@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Headline set = the relational/analytic core (scan-join-agg, windows, as-of,
+top-k) plus the LLM ops that exercise shuffle-heavy text/vector paths — the
+queries whose plans must survive 100 TB. I/O round-trip and streaming
+queries are correctness-gated but excluded here: they benchmark the local
+filesystem, not the engine.
+
+Each query is executed via a count-style action that forces full evaluation
+without driver-side materialization of result sets.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cta_train_tracker_analytics_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "flagship_region_pricing",
+    "join_dim_broadcast",
+    "join_key_equi",
+    "join_semi_anti",
+    "join_asof",
+    "join_range_interval",
+    "agg_count",
+    "agg_group_by_day",
+    "agg_delay_rate",
+    "agg_distinct_trains",
+    "agg_grouping_sets",
+    "win_latest_state",
+    "win_lag_headway",
+    "win_running",
+    "win_rank_topk",
+    "win_frame_range",
+    "sort_limit_topk",
+    "set_union_all",
+    "ext_dedup_exact",
+    "ext_dedup_minhash",
+    "ext_text_stats",
+    "ext_quality_filter",
+    "ext_sim_search",
+    "ext_multimodal_cols",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    spark = get_spark(app_name="cta-spark-bench")
+    from cta_train_tracker_analytics_spark.plans import registry
+
+    queries = registry.all_queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

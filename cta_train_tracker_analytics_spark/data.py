@@ -31,12 +31,24 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # events.ts is parquet TIMESTAMP(NANOS), which the Spark reader
         # rejects natively. Read nanos as long and truncate to micros —
         # the same ns→µs truncation DuckDB applies — then present as NTZ
-        # so every engine table carries naive timestamps.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # so every engine table carries naive timestamps. Sessions built by
+        # session.get_spark() already carry this conf; the guarded set below
+        # exists only for externally-owned sessions (e.g. the driver's) and
+        # is engine policy, not a per-read toggle — no other table carries
+        # nanos timestamps, so flipping it session-wide is behavior-neutral.
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         return (
             spark.read.parquet(f"{sf_dir}/events.parquet")
+            # timestampadd on an NTZ base is pure arithmetic — unlike
+            # cast(timestamp_micros(..) as ntz), it cannot shift with the
+            # session timezone (verified against a non-UTC driver session).
             .withColumn(
-                "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000, "
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
             )
         )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -104,7 +104,7 @@ def cast_flag_bool(col: Column) -> Column:
 def parse_wire_ts(col: Column) -> Column:
     """Zoneless wire timestamp text → TIMESTAMP_NTZ (wall-clock fidelity;
     the wire is America/Chicago local without an offset)."""
-    return F.to_timestamp_ntz(col, "yyyy-MM-dd'T'HH:mm:ss")
+    return F.to_timestamp_ntz(col, F.lit("yyyy-MM-dd'T'HH:mm:ss"))
 
 
 def ts_diff_seconds(later: Column, earlier: Column) -> Column:

@@ -1,0 +1,78 @@
+"""Text-analysis primitives for the LLM-data-pipeline operators (north
+star; SURVEY.md §2.11): tokenization, portable 64-bit-safe hashing, minhash
+permutations, fingerprints. All native column expressions — no Python UDFs.
+
+Hashing is md5-based (``conv(substr(md5(x),1,15),16,10)``) rather than
+xxhash64 so the DuckDB oracle can reproduce every value bit-for-bit
+(``('0x'||substr(md5(x),1,15))::BIGINT``): 60 bits, always positive, fits a
+BIGINT in both engines. Permutation parameters come from an explicit LCG so
+both engines derive identical constants with pure integer arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Mersenne prime 2^31-1 — small enough that a*h never overflows a BIGINT.
+MINHASH_PRIME = 2147483647
+
+#: number of minhash permutations / LSH band layout (16 = 4 bands × 4 rows).
+MINHASH_K = 16
+MINHASH_BANDS = 4
+
+
+def lcg(i: int, m: int) -> int:
+    """Deterministic pseudo-random parameter stream (glibc LCG constants) —
+    replicated literally in oracle SQL."""
+    return (1103515245 * i + 12345) % m
+
+
+def minhash_params() -> list[tuple[int, int]]:
+    """(a_i, b_i) for each of the K permutations; a_i != 0."""
+    return [
+        (lcg(i, MINHASH_PRIME - 1) + 1, lcg(i + 100, MINHASH_PRIME))
+        for i in range(MINHASH_K)
+    ]
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of lower-cased text — array<string>."""
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (bigint)."""
+    return F.size(tokens(col)).cast("bigint")
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-ish token count: alpha runs, digit runs, and single symbols each
+    count as one token — the standard cheap proxy for subword tokenizers."""
+    return F.regexp_count(col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")).cast("bigint")
+
+
+def hash60(col: Column) -> Column:
+    """Portable 60-bit hash of a string: first 15 hex chars of md5 as a
+    BIGINT. Identical in DuckDB via ('0x'||substr(md5(x),1,15))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 over the whitespace-normalized, lower-cased
+    text — stable under reflow/case changes (rolling-hash-class dedup key)."""
+    normalized = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    return F.md5(normalized)
+
+
+def quality_features(col: Column) -> dict[str, Column]:
+    """Heuristic quality signals: length, tokens, alpha/digit/punct ratios.
+    All integer counts + one exact division — oracle-reproducible."""
+    n_chars = F.length(col).cast("bigint")
+    return {
+        "n_chars": n_chars,
+        "n_tokens": token_count(col),
+        "n_alpha": F.regexp_count(col, F.lit("[A-Za-z]")).cast("bigint"),
+        "n_digits": F.regexp_count(col, F.lit("[0-9]")).cast("bigint"),
+        "n_punct": F.regexp_count(col, F.lit(r"[.,;:!?]")).cast("bigint"),
+    }

@@ -101,10 +101,10 @@ def flatten_positions(
 
     route = F.col("ctatt.route")
     if require_route:
-        # Reference raises KeyError when `route` is absent
-        # (get_train_status.py:130-133).
+        # Reference raises KeyError when `route` is absent — a falsy check,
+        # so an empty route list also raises (get_train_status.py:104,130-133).
         route = F.when(
-            route.isNull(),
+            route.isNull() | (F.size(route) == 0),
             F.raise_error(F.lit("No route object found in API response")),
         ).otherwise(route)
 

@@ -15,6 +15,14 @@ the difference between working and not working at 100 TB:
 - ``range_join``: bucketize the time dimension so the interval predicate
   becomes an equi-join on (key, bucket), then re-filter exactly. Catalyst
   plans a shuffled hash/sort-merge join instead of BroadcastNestedLoopJoin.
+
+Design notes (round-2 fixes):
+- The carried right-side payload travels as ONE struct so every output field
+  comes from the same matched right row (per-column ``last(ignorenulls)``
+  could mix rows when the matched row holds NULLs).
+- ``left_ts`` is excluded from the left payload (was emitted twice).
+- ``range_join`` supports ``how in {"inner", "left"}``; left semantics are
+  restored after the exact filter via an anti-join on an interval row id.
 """
 
 from __future__ import annotations
@@ -23,8 +31,19 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = ["asof_join", "range_join"]
+
+
+def _epoch_us(col: Column) -> Column:
+    """Microseconds since epoch, timezone-independent for NTZ inputs.
+
+    ``unix_micros(cast(x as timestamp))`` would shift by the session zone for
+    TIMESTAMP_NTZ columns; diffing two NTZ values does not.
+    """
+    ntz = col.cast("timestamp_ntz")
+    return F.timestamp_diff("MICROSECOND", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), ntz)
 
 
 def asof_join(
@@ -45,39 +64,48 @@ def asof_join(
     Spark SQL has no native operator for. Implemented as the
     union + last-value-carried-forward window pattern:
 
-    1. tag each side, union on (by, ts, side, payload-with-nulls),
-    2. one window sorted by (ts, side) per key carries the latest right
-       payload forward,
+    1. tag each side; the right side packs ``(right_ts, *right_cols)`` into a
+       single struct so the match is all-or-nothing (one physical right row),
+    2. union on (by, ts, side, payloads), one window sorted by (ts, side)
+       per key carries the latest right struct forward,
     3. keep left rows; optionally null matches older than ``tolerance_seconds``.
 
     Scale: a single hash shuffle on ``by`` + per-partition sort. No row
     multiplication, so it survives arbitrarily dense right sides (unlike a
     range self-join). Left-join semantics: unmatched left rows keep nulls.
+    Known limit: one extremely hot key serializes into one window partition.
     """
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in by and c != right_ts]
     by = list(by)
+    right_cols = list(right_cols)
 
-    left_payload = [c for c in left.columns if c not in by]
+    left_payload = [c for c in left.columns if c not in by and c != left_ts]
     # Right-side ties sort *before* the left row so `last()` sees them
     # (non-strict <=); strict mode sorts them after instead.
     right_side, left_side = (0, 1) if not strict else (1, 0)
+
+    r_struct_type = T.StructType(
+        [T.StructField("__match_ts", right.schema[right_ts].dataType)]
+        + [T.StructField(c, right.schema[c].dataType) for c in right_cols]
+    )
 
     l_tagged = left.select(
         *[F.col(c) for c in by],
         F.col(left_ts).alias("__ts"),
         F.lit(left_side).alias("__side"),
         *[F.col(c) for c in left_payload],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("__r_ts"),
+        F.lit(None).cast(r_struct_type).alias("__r"),
     )
     r_tagged = right.select(
         *[F.col(c) for c in by],
         F.col(right_ts).alias("__ts"),
         F.lit(right_side).alias("__side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
-        F.col(right_ts).alias("__r_ts"),
+        F.struct(
+            F.col(right_ts).alias("__match_ts"),
+            *[F.col(c) for c in right_cols],
+        ).alias("__r"),
     )
 
     w = (
@@ -85,35 +113,25 @@ def asof_join(
         .orderBy(F.col("__ts"), F.col("__side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = l_tagged.unionByName(r_tagged)
-    for c in right_cols:
-        carried = carried.withColumn(f"__r_{c}", F.last(f"__r_{c}", ignorenulls=True).over(w))
-    carried = carried.withColumn("__r_ts", F.last("__r_ts", ignorenulls=True).over(w))
+    carried = l_tagged.unionByName(r_tagged).withColumn(
+        "__r", F.last("__r", ignorenulls=True).over(w)
+    )
 
     out = carried.filter(F.col("__side") == left_side)
     if tolerance_seconds is not None:
         in_tol = (
-            F.unix_micros(F.col("__ts").cast("timestamp"))
-            - F.unix_micros(F.col("__r_ts").cast("timestamp"))
+            _epoch_us(F.col("__ts")) - _epoch_us(F.col("__r.__match_ts"))
             <= F.lit(int(tolerance_seconds) * 1_000_000)
         )
-        for c in right_cols:
-            out = out.withColumn(f"__r_{c}", F.when(in_tol, F.col(f"__r_{c}")))
-        out = out.withColumn("__r_ts", F.when(in_tol, F.col("__r_ts")))
+        out = out.withColumn("__r", F.when(in_tol, F.col("__r")))
 
     return out.select(
         *by,
         F.col("__ts").alias(left_ts),
         *left_payload,
-        *[F.col(f"__r_{c}").alias(c) for c in right_cols],
-        F.col("__r_ts").alias(f"{right_ts}_matched"),
+        *[F.col(f"__r.{c}").alias(c) for c in right_cols],
+        F.col("__r.__match_ts").alias(f"{right_ts}_matched"),
     )
-
-
-def _epoch_us(col: Column) -> Column:
-    # Microsecond precision: second-truncated epochs would silently change
-    # the interval predicate for sub-second timestamps.
-    return F.unix_micros(col.cast("timestamp"))
 
 
 def range_join(
@@ -132,27 +150,57 @@ def range_join(
 
     The interval side is exploded to one row per covered time bucket
     (``sequence(floor(lo/w), floor(hi/w))``); the join then runs as an
-    equi-join on (by, bucket) and re-applies the exact predicate. With
+    equi-join on (by, bucket) and re-applies the exact predicate. A point
+    belongs to exactly one bucket, so no dedup is needed post-join. With
     ``bucket_seconds`` ≈ the typical interval width, replication is O(1)
     per interval and Catalyst plans a shuffled/broadcast *hash* join —
     the standard trick for making theta joins scale.
 
+    ``how``: "inner" (default) or "left" — left keeps intervals with no
+    matching point (point columns null), restored via an anti-join on an
+    internal interval row id after the exact filter.
+
     ``points`` and ``intervals`` must not share column names apart from
     ``by``.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"range_join supports how='inner'|'left', got {how!r}")
     by = list(by)
     w = int(bucket_seconds) * 1_000_000
 
-    iv = intervals.withColumn("__lo_e", _epoch_us(lo)).withColumn("__hi_e", _epoch_us(hi))
+    iv0 = intervals.withColumn("__iv_id", F.monotonically_increasing_id())
+    iv = iv0.withColumn("__lo_e", _epoch_us(lo)).withColumn("__hi_e", _epoch_us(hi))
+    # Guard: refuse intervals so wide the bucket explode would blow up rows
+    # (unbounded sequence() would multiply the interval side arbitrarily).
+    max_buckets = 10_000
+    iv = iv.withColumn(
+        "__hi_div",
+        F.expr(
+            f"case when (__hi_e div {w}) - (__lo_e div {w}) >= {max_buckets} "
+            f"then cast(raise_error('range_join: interval spans more than "
+            f"{max_buckets} buckets; raise bucket_seconds') as bigint) "
+            f"else __hi_e div {w} end"
+        ),
+    )
     iv = iv.withColumn(
         "__bucket",
-        F.explode(F.sequence(F.expr(f"__lo_e div {w}"), F.expr(f"__hi_e div {w}"))),
+        F.explode(F.sequence(F.expr(f"__lo_e div {w}"), F.col("__hi_div"))),
     )
     pt = points.withColumn("__pt_e", _epoch_us(F.col(point_ts))).withColumn(
         "__bucket", F.expr(f"__pt_e div {w}")
     )
 
-    joined = iv.join(pt, on=by + ["__bucket"], how=how).filter(
+    joined = iv.join(pt, on=by + ["__bucket"], how="inner").filter(
         (F.col("__pt_e") > F.col("__lo_e")) & (F.col("__pt_e") <= F.col("__hi_e"))
     )
-    return joined.drop("__bucket", "__lo_e", "__hi_e", "__pt_e")
+    aux = ["__bucket", "__lo_e", "__hi_e", "__pt_e", "__hi_div", "__iv_id"]
+    if how == "inner":
+        return joined.drop(*aux)
+
+    pt_payload = [c for c in points.columns if c not in by]
+    matched = joined.select("__iv_id").distinct()
+    unmatched = iv0.join(matched, on="__iv_id", how="left_anti").select(
+        *[F.col(c) for c in intervals.columns],
+        *[F.lit(None).cast(points.schema[c].dataType).alias(c) for c in pt_payload],
+    )
+    return joined.drop(*aux).unionByName(unmatched)

@@ -1,0 +1,85 @@
+"""Multimodal columns (north star; SURVEY.md §2.11 ext_multimodal_cols).
+
+Images/audio/video travel as opaque ``binary`` columns with typed metadata
+structs; decode / feature-extraction runs as Arrow-batched ``mapInPandas``
+so heavy per-item Python work is vectorized per batch and parallelized per
+partition — the schema, partitioning, and batch plumbing here are the real
+thing; only the codec is stubbed.
+
+The decode stub is DETERMINISTIC (byte arithmetic), so the Spark-side
+pipeline is oracle-checkable end-to-end; a real deployment swaps
+``_decode_batch``'s body for PIL/ffmpeg calls — the container ships neither
+(environment constraint), and ``decode_features(..., real_codec=True)``
+raises NotImplementedError to mark exactly that seam.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["attach_binary", "decode_features", "FEATURE_SCHEMA"]
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("first_byte", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+    ]
+)
+
+
+def attach_binary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Text → fake media payload: binary column + typed metadata struct.
+    In production the binary is the raw image/audio bytes and the metadata
+    comes from the container header; the shapes are identical."""
+    data = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col),
+        data.alias("data"),
+        F.struct(
+            F.lit("fake/raw").alias("format"),
+            F.length(data).cast("bigint").alias("n_bytes"),
+        ).alias("media_meta"),
+    )
+
+
+def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic stand-in for a codec: features from raw bytes."""
+    data = pdf["data"]
+    n_bytes = data.map(len).astype("int64")
+    first = data.map(lambda b: b[0] if len(b) else 0).astype("int64")
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"].astype("int64"),
+            "n_bytes": n_bytes,
+            "first_byte": first,
+            "width": (n_bytes % 640).astype("int64"),
+            "height": (n_bytes % 480).astype("int64"),
+        }
+    )
+
+
+def decode_features(media: DataFrame, real_codec: bool = False) -> DataFrame:
+    """mapInPandas decode: binary → feature rows, one Arrow batch at a time.
+
+    ``real_codec=True`` is the seam where PIL/torchaudio/ffmpeg would mount;
+    unavailable in this environment by design."""
+    if real_codec:
+        raise NotImplementedError(
+            "real media codecs are not installed in this environment; "
+            "the deterministic byte-feature stub is the supported path"
+        )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _decode_batch(pdf)
+
+    return media.select("doc_id", "data").mapInPandas(gen, FEATURE_SCHEMA)

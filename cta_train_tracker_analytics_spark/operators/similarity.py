@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns (north star; SURVEY.md §2.11).
+
+Two tiers, both avoiding the all-pairs trap:
+
+- ``topk_cosine``: small query set **broadcast** against the corpus — one
+  scan of the corpus, k-way row multiplication only (k = #queries). This is
+  the correct *exact* plan at 100 TB when k is small: no shuffle of the
+  corpus, per-partition top-k before the final merge.
+- ``lsh_bucketed_pairs``: sign-random-projection LSH for corpus×corpus
+  near-neighbor discovery — bucket on the sign bits of deterministic integer
+  hyperplanes, equi-join buckets, verify cosine inside buckets only.
+
+All float math is done in double with a fixed left-to-right fold
+(``aggregate`` over ``zip_with``), so the DuckDB oracle reproduces values
+bit-for-bit before rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import lcg
+
+__all__ = ["dot", "norm", "cosine", "topk_cosine", "projection_planes", "lsh_bucketed_pairs"]
+
+#: hyperplane count for sign-LSH (bucket id = 8 sign bits).
+LSH_PLANES = 8
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double — order-stable across engines."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def topk_cosine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query vector, query side broadcast.
+
+    Plan shape: BroadcastNestedLoopJoin is *intended* here — the broadcast
+    side is k rows, so the 'nested loop' is a constant-width map over the
+    corpus scan, followed by a per-query top-k window."""
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+    )
+    scored = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
+    ).crossJoin(q).select(
+        "query_id",
+        "vec_id",
+        cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("cos_sim", 4).alias("cos_sim"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
+def projection_planes(dims: int, planes: int = LSH_PLANES) -> list[list[float]]:
+    """Deterministic integer-valued hyperplanes: coef[p][d] from the shared
+    LCG — exactly representable doubles, reproducible in SQL."""
+    return [
+        [float(lcg(p * dims + d, 2_000_001) - 1_000_000) for d in range(dims)]
+        for p in range(planes)
+    ]
+
+
+def lsh_bucketed_pairs(
+    df: DataFrame,
+    dims: int,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = LSH_PLANES,
+) -> DataFrame:
+    """Corpus near-dup pairs via sign-LSH: equal 8-bit sign bucket →
+    candidate; cosine ≥ threshold verified inside buckets only.
+
+    Scale: bucket cardinality 2^planes spreads the corpus; the candidate
+    join is an equi-join on the bucket id. Recall is tunable by planes count
+    (fewer planes → bigger buckets → higher recall/cost)."""
+    coefs = projection_planes(dims, planes)
+    plane_cols = [
+        dot(F.col(vec_col), F.array(*[F.lit(c) for c in row])).alias(f"__p{p}")
+        for p, row in enumerate(coefs)
+    ]
+    with_bucket = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), *plane_cols)
+    bucket = sum(
+        (F.when(F.col(f"__p{p}") >= 0, 1 << p).otherwise(0) for p in range(planes)),
+        F.lit(0),
+    )
+    bucketed = with_bucket.select("id", "vec", bucket.cast("int").alias("bucket"))
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    pairs = a.join(
+        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        cosine(F.col("a.vec"), F.col("b.vec")).alias("cos_sim"),
+    )
+    return pairs.filter(F.col("cos_sim") >= threshold).select(
+        F.col("id_a").cast("bigint"),
+        F.col("id_b").cast("bigint"),
+        F.round("cos_sim", 4).alias("cos_sim"),
+    )

@@ -33,6 +33,17 @@ def _ordered(keys: Sequence[str], order: Sequence[Column]) -> WindowSpec:
     return Window.partitionBy(*keys).orderBy(*order)
 
 
+def _epoch_us(col: Column) -> Column:
+    """Microseconds since epoch via an NTZ-to-NTZ diff — unlike
+    ``unix_micros(cast(x as timestamp))`` this never shifts with the session
+    timezone, so results are deterministic under any driver session."""
+    return F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        col.cast("timestamp_ntz"),
+    )
+
+
 def latest_state(
     df: DataFrame, keys: Sequence[str], ts: str, tiebreak: str | None = None
 ) -> DataFrame:
@@ -68,11 +79,10 @@ def lag_gap_seconds(
         order.append(F.col(tiebreak))
     w = _ordered(keys, order)
     prev = F.lag(F.col(ts)).over(w)
-    epoch = F.unix_micros if unit == "us" else F.unix_timestamp
-    return df.withColumn(
-        gap_name,
-        (epoch(F.col(ts).cast("timestamp")) - epoch(prev.cast("timestamp"))).cast("bigint"),
-    )
+    gap = _epoch_us(F.col(ts)) - _epoch_us(prev)
+    if unit != "us":
+        gap = gap / F.lit(1_000_000)
+    return df.withColumn(gap_name, gap.cast("bigint"))
 
 
 def running_agg(
@@ -127,7 +137,7 @@ def rolling_range_frame(
     """
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.unix_micros(F.col(ts).cast("timestamp")))
+        .orderBy(_epoch_us(F.col(ts)))
         .rangeBetween(-int(preceding_seconds) * 1_000_000, 0)
     )
     return df.withColumn(agg_name, F.sum(value).over(w))

@@ -1,0 +1,364 @@
+"""Registered I/O + projection/filter queries (SURVEY.md §2.1–§2.2).
+
+Sinks are demonstrated as write-then-read round-trips through a scratch dir
+(the read-back result is what the oracle checks); fixture-driven operators
+(the CTA document dataflow) check against literal VALUES oracles carrying the
+reference's golden rows (tests/unit/test_get_train_status.py:342-353).
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..data import load
+from ..operators.flatten import flatten_positions
+from ..operators.windows import latest_state
+from ..schemas import TRIGGER_SCHEMA, train_lines_df
+from ..sources import fixtures
+from ..sources.jsonl import read_jsonl, write_jsonl
+from .registry import query
+
+_SCRATCH = Path("/tmp/cta_spark_engine_scratch")
+
+
+def _scratch(name: str, sf_dir: str) -> str:
+    """Per-query scratch dir, wiped before use so round-trips are exact."""
+    p = _SCRATCH / Path(sf_dir).name / name
+    shutil.rmtree(p, ignore_errors=True)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    return str(p)
+
+
+def _fixture_flat(spark: SparkSession, docs: list[dict]) -> DataFrame:
+    return flatten_positions(
+        fixtures.response_df(spark, docs),
+        observed_date=F.lit(fixtures.OBSERVED_DATE),
+        observed_ts=F.lit(fixtures.OBSERVED_TS),
+    )
+
+
+#: The two golden flatten rows as SQL literals (train 110 = the reference's
+#: golden row; train 217 = second fixture train).
+_GOLDEN_VALUES = """
+    (VALUES
+      ('2025-06-25#Purple#110#5', '2025-06-25T10:30:25.000045-05:00',
+       '2025-06-20T12:42:56', 'Forest Park', 'Belmont',
+       '2025-06-20T12:43:56', '1', '0'),
+      ('2025-06-25#Purple#217#1', '2025-06-25T10:30:25.000045-05:00',
+       '2025-06-20T12:41:10', 'Linden', 'Noyes',
+       '2025-06-20T12:44:30', '0', '1'))
+      AS t(train_id, "current_timestamp", prediction_generated_timestamp,
+           destination_station, next_station, next_station_arrival_time,
+           is_approaching_station, is_train_delayed)
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.1 sources
+# --------------------------------------------------------------------------
+
+
+@query("src_rest_api", oracle=f"SELECT * FROM {_GOLDEN_VALUES}")
+def src_rest_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REST poll → typed rows (get_train_status.py:29-43). Offline, the
+    golden fixture document stands in for the HTTP payload; the parse +
+    flatten chain is identical to the live path (driver-side fetch →
+    createDataFrame → from_json(CTA_RESPONSE_SCHEMA))."""
+    return _fixture_flat(spark, [fixtures.HAPPY_DOC])
+
+
+@query(
+    "src_jsonl",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def src_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL read with a declared schema (bucket_raw_data.py:43-53):
+    documents round-tripped through newline-delimited JSON files."""
+    docs = load(spark, sf_dir, "documents")
+    path = _scratch("src_jsonl", sf_dir)
+    write_jsonl(docs, path, mode="overwrite")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    return read_jsonl(spark, path, schema)
+
+
+@query("src_listing", oracle="SELECT * FROM nation")
+def src_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File enumeration under a prefix (bucket_raw_data.py:29-40) — a path
+    glob resolved by Spark's file index instead of a hand-paginated listing."""
+    return spark.read.parquet(f"{sf_dir}/n*.parquet")
+
+
+@query(
+    "src_queue",
+    oracle="""
+    SELECT train_line_abbrev, train_line FROM (VALUES
+        ('Red','Red'),('Blue','Blue'),('Brn','Brown'),('G','Green'),
+        ('Org','Orange'),('P','Purple'),('Pink','Pink'))
+        AS t(train_line_abbrev, train_line)
+    """,
+)
+def src_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigger-message consumption (get_train_status.py:96-98): the 7
+    fan-out messages parsed from their JSON bodies with TRIGGER_SCHEMA. In
+    streaming this is the micro-batch work list; the queue itself dissolves
+    into the scheduler."""
+    bodies = train_lines_df(spark).select(
+        F.to_json(F.struct("train_line_abbrev", "train_line")).alias("body")
+    )
+    parsed = bodies.select(F.from_json("body", TRIGGER_SCHEMA).alias("m"))
+    return parsed.select("m.train_line_abbrev", "m.train_line")
+
+
+@query(
+    "snk_queue",
+    oracle="""
+    SELECT body FROM (VALUES
+        ('{"train_line_abbrev":"Red","train_line":"Red"}'),
+        ('{"train_line_abbrev":"Blue","train_line":"Blue"}'),
+        ('{"train_line_abbrev":"Brn","train_line":"Brown"}'),
+        ('{"train_line_abbrev":"G","train_line":"Green"}'),
+        ('{"train_line_abbrev":"Org","train_line":"Orange"}'),
+        ('{"train_line_abbrev":"P","train_line":"Purple"}'),
+        ('{"train_line_abbrev":"Pink","train_line":"Pink"}')) AS t(body)
+    """,
+)
+def snk_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigger-message production (write_train_lines.py:54-66,86-91): one
+    JSON body per line of the dimension."""
+    return train_lines_df(spark).select(
+        F.to_json(F.struct("train_line_abbrev", "train_line")).alias("body")
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.1 sinks
+# --------------------------------------------------------------------------
+
+
+@query(
+    "snk_jsonl_append",
+    oracle="""
+    SELECT event_id, user_id, value FROM events WHERE event_type = 'signup'
+    """,
+)
+def snk_jsonl_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched JSONL append (get_train_status.py:52-79): two append writes
+    into the same raw path, read back complete — commit-based exactly-once
+    replaces the reference's partial-batch retry loop."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "value"
+    )
+    path = _scratch("snk_jsonl_append", sf_dir)
+    write_jsonl(ev.filter(F.col("event_id") % 2 == 0), path, mode="append")
+    write_jsonl(ev.filter(F.col("event_id") % 2 == 1), path, mode="append")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    return read_jsonl(spark, path, schema)
+
+
+@query(
+    "snk_parquet",
+    oracle="SELECT p_partkey, p_name, p_retailprice FROM part",
+)
+def snk_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-file Parquet write (bucket_raw_data.py:56-61): coalesce(1)
+    mirrors the reference's one-file batch; read back for verification."""
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_name", "p_retailprice")
+    path = _scratch("snk_parquet", sf_dir)
+    part.coalesce(1).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+@query(
+    "snk_parquet_partitioned",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS load_date, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY CAST(ts AS DATE)
+    """,
+)
+def snk_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style load_date= partitioned Parquet publish
+    (bucket_raw_data.py:107-112): write partitioned, read back with partition
+    discovery, count per partition."""
+    ev = load(spark, sf_dir, "events").withColumn("load_date", F.to_date("ts"))
+    path = _scratch("snk_parquet_partitioned", sf_dir)
+    ev.write.mode("overwrite").partitionBy("load_date").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy(F.col("load_date").cast("date").alias("load_date")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+
+@query(
+    "snk_keyed_store",
+    oracle="""
+    SELECT user_id, ts, value, event_id FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def snk_keyed_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed upsert store (the disabled DynamoDB table, main.tf:25-43): the
+    materialized latest-state view IS the store's point-read surface."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "value", "event_id")
+    return latest_state(ev, ["user_id"], "ts", tiebreak="event_id")
+
+
+# --------------------------------------------------------------------------
+# §2.2 projections / filters (fixture-driven, golden-row oracles)
+# --------------------------------------------------------------------------
+
+
+@query("proj_flatten", oracle=f"SELECT * FROM {_GOLDEN_VALUES}")
+def proj_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flatten projection (get_train_status.py:110-122):
+    nested doc → 8-column curated record, golden rows pinned."""
+    return _fixture_flat(spark, [fixtures.HAPPY_DOC])
+
+
+@query(
+    "nav_struct",
+    oracle="""
+    SELECT tmst, errCd, has_route FROM (VALUES
+        ('2025-06-20T12:43:12', '0', TRUE),
+        ('2025-06-20T12:43:12', '0', FALSE)) AS t(tmst, errCd, has_route)
+    """,
+)
+def nav_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-tolerant nested navigation ctatt→route (get_train_status.py:104)."""
+    docs = fixtures.response_df(spark, [fixtures.HAPPY_DOC, fixtures.NO_ROUTE_DOC])
+    return docs.select(
+        F.col("ctatt.tmst").alias("tmst"),
+        F.col("ctatt.errCd").alias("errCd"),
+        F.col("ctatt.route").isNotNull().alias("has_route"),
+    )
+
+
+@query(
+    "arr_element",
+    oracle="""
+    SELECT first_route_name, CAST(n_trains AS BIGINT) AS n_trains
+    FROM (VALUES ('purple', 2), ('purple', 0)) AS t(first_route_name, n_trains)
+    """,
+)
+def arr_element(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-element array access route[0] (get_train_status.py:106)."""
+    docs = fixtures.response_df(spark, [fixtures.HAPPY_DOC, fixtures.NO_TRAINS_DOC])
+    first = F.element_at(F.col("ctatt.route"), 1)
+    return docs.select(
+        first.getField("@name").alias("first_route_name"),
+        F.coalesce(F.size(first.getField("train")), F.lit(0))
+        .cast("bigint")
+        .alias("n_trains"),
+    )
+
+
+@query(
+    "explode_trains",
+    oracle="""
+    SELECT train_line, rn FROM (VALUES ('Purple','110'), ('Purple','217'))
+        AS t(train_line, rn)
+    """,
+)
+def explode_trains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One output row per train array element (get_train_status.py:110)."""
+    docs = fixtures.response_df(spark, [fixtures.HAPPY_DOC])
+    first = F.element_at(F.col("ctatt.route"), 1)
+    return docs.select(
+        "train_line", F.explode(first.getField("train")).alias("train")
+    ).select("train_line", F.col("train.rn").alias("rn"))
+
+
+@query(
+    "filter_nonempty",
+    oracle="SELECT 'Purple' AS train_line, CAST(2 AS BIGINT) AS n",
+)
+def filter_nonempty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-if-empty semantics (get_train_status.py:107,124-129): the
+    no-trains document contributes zero rows via native explode semantics."""
+    flat = flatten_positions(
+        fixtures.response_df(spark, [fixtures.HAPPY_DOC, fixtures.NO_TRAINS_DOC]),
+        observed_date=F.lit(fixtures.OBSERVED_DATE),
+        observed_ts=F.lit(fixtures.OBSERVED_TS),
+        require_route=False,
+    )
+    return (
+        flat.select(F.split("train_id", "#").getItem(1).alias("train_line"))
+        .groupBy("train_line")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+@query(
+    "filter_required",
+    oracle="""
+    SELECT train_line_abbrev, train_line FROM (VALUES ('P','Purple'),('Red','Red'))
+        AS t(train_line_abbrev, train_line)
+    """,
+)
+def filter_required(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Required-param enforcement (get_train_status.py:99-100) — the lenient
+    filter form; the raising form (raise_error) is unit-tested in
+    tests/test_flatten.py."""
+    msgs = spark.createDataFrame(
+        [("P", "Purple"), ("Red", "Red"), (None, "Ghost"), ("", "Blank")],
+        TRIGGER_SCHEMA,
+    )
+    cond = (
+        F.col("train_line_abbrev").isNotNull()
+        & (F.col("train_line_abbrev") != "")
+        & F.col("train_line").isNotNull()
+        & (F.col("train_line") != "")
+    )
+    return msgs.filter(cond)
+
+
+@query(
+    "filter_blank_lines",
+    oracle="SELECT a FROM (VALUES (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT))) AS t(a)",
+)
+def filter_blank_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blank-line skip in JSONL parsing (bucket_raw_data.py:49-51)."""
+    lines = spark.createDataFrame(
+        [('{"a": 1}',), ("",), ("   ",), ('{"a": 2}',)], "value string"
+    )
+    kept = lines.filter(F.trim("value") != "")
+    return kept.select(F.from_json("value", "a BIGINT").getField("a").alias("a"))
+
+
+@query(
+    "proj_drop",
+    oracle="""
+    SELECT rn, destNm, nextStaNm FROM (VALUES
+        ('110','Forest Park','Belmont'), ('217','Linden','Noyes'))
+        AS t(rn, destNm, nextStaNm)
+    """,
+)
+def proj_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column pruning: lat/lon/heading/destSt/nextStaId/nextStpId/flags are
+    dropped (never selected), so Catalyst prunes them from the scan
+    (get_train_status.py:110-122 vs the 15-field wire record)."""
+    docs = fixtures.response_df(spark, [fixtures.HAPPY_DOC])
+    first = F.element_at(F.col("ctatt.route"), 1)
+    wide = docs.select(F.explode(first.getField("train")).alias("t")).select("t.*")
+    return wide.drop(
+        "destSt", "nextStaId", "nextStpId", "flags", "lat", "lon", "heading",
+        "prdt", "arrT", "isApp", "isDly", "trDr",
+    )

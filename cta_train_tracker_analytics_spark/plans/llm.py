@@ -1,0 +1,390 @@
+"""Registered LLM-data-pipeline queries (north star; SURVEY.md §2.11):
+dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding-LSH),
+similarity search, text stats, quality filtering, language-ID, document
+fingerprinting, multimodal columns.
+
+Every operator is blocked/bucketed — no all-pairs joins anywhere. The
+oracles replicate the *same algorithm* in DuckDB SQL (portable md5-based
+hashing + LCG-derived constants, integer arithmetic), so even the
+approximate LSH pipelines hash-match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..data import load
+from ..functions.text import bpe_ish_token_count, fingerprint, quality_features, token_count
+from ..operators.dedup import (
+    doc_tokens,
+    exact_dedup,
+    minhash_candidate_pairs,
+    minhash_signatures,
+    ngram_candidate_pairs,
+    simhash16,
+    verified_jaccard_pairs,
+)
+from ..operators.multimodal import attach_binary, decode_features
+from ..operators.similarity import lsh_bucketed_pairs, topk_cosine
+from .registry import query
+
+#: shared oracle CTE: distinct (id, tok) whitespace tokens per document.
+_TOK_CTE = """
+    tok AS (
+        SELECT DISTINCT doc_id AS id, t.tok
+        FROM documents, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t(tok)
+        WHERE t.tok <> ''
+    )
+"""
+
+
+@query(
+    "ext_dedup_exact",
+    oracle="""
+    SELECT sha256(text) AS content_hash,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY sha256(text)
+    """,
+)
+def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by sha256 content hash — one hash aggregate."""
+    return exact_dedup(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "ext_fingerprint",
+    oracle="""
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+    """,
+)
+def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content fingerprint dedup: md5 over case-folded,
+    whitespace-collapsed text — catches reflowed/re-cased copies."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy(fingerprint(F.col("text")).alias("fp")).agg(
+        F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+    )
+
+
+@query(
+    "ext_dedup_minhash",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    h AS (SELECT id, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 2147483647 AS hv
+          FROM tok),
+    params AS (SELECT i,
+                      ((1103515245 * i + 12345) % 2147483646) + 1 AS a,
+                      (1103515245 * (i + 100) + 12345) % 2147483647 AS b
+               FROM generate_series(0, 15) g(i)),
+    sig AS (SELECT id, i, min((a * hv + b) % 2147483647) AS mh
+            FROM h CROSS JOIN params GROUP BY id, i),
+    bands AS (SELECT id, i // 4 AS band,
+                     md5(string_agg(format('{{:02d}}:{{}}', i, mh), ',' ORDER BY i))
+                     AS band_hash
+              FROM sig GROUP BY id, i // 4),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id),
+    sizes AS (SELECT id, count(*) AS n FROM tok GROUP BY id),
+    inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+              FROM cand c
+              JOIN tok ta ON ta.id = c.id_a
+              JOIN tok tb ON tb.id = c.id_b AND tb.tok = ta.tok
+              GROUP BY c.id_a, c.id_b)
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           round(n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE), 4) AS jaccard
+    FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+    WHERE n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= 0.7
+    """,
+)
+def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup: 16 permutations, 4 bands → banded equi-join
+    for candidates, exact Jaccard ≥ 0.7 verified inside buckets only. The
+    oracle replays the identical algorithm (portable md5 hashing)."""
+    tok = doc_tokens(load(spark, sf_dir, "documents"))
+    sig = minhash_signatures(tok)
+    cand = minhash_candidate_pairs(sig)
+    return verified_jaccard_pairs(cand, tok, threshold=0.7)
+
+
+@query(
+    "ext_dedup_simhash",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    h AS (SELECT id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM tok),
+    perbit AS (SELECT id, j, sum(CASE WHEN (hv >> j) % 2 = 1 THEN 1 ELSE -1 END) AS s
+               FROM h CROSS JOIN generate_series(0, 15) g(j) GROUP BY id, j)
+    SELECT CAST(id AS BIGINT) AS id,
+           CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT)
+           AS simhash
+    FROM perbit GROUP BY id
+    """,
+)
+def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprints — equal fingerprints (or low Hamming
+    bands) are the near-dup blocking key. Pure integer arithmetic."""
+    docs = load(spark, sf_dir, "documents")
+    return simhash16(docs).select(F.col("id").cast("bigint").alias("id"), "simhash")
+
+
+@query(
+    "ext_dedup_ngram",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id AS id, string_split_regex(lower(trim(text)), '\\s+') AS l
+        FROM documents
+    ),
+    t AS (SELECT id, generate_subscripts(l, 1) AS i, unnest(l) AS tok FROM toks),
+    ng AS (SELECT DISTINCT a.id, a.tok || ' ' || b.tok || ' ' || c.tok AS tok
+           FROM t a
+           JOIN t b ON b.id = a.id AND b.i = a.i + 1
+           JOIN t c ON c.id = a.id AND c.i = a.i + 2),
+    rare AS (SELECT tok FROM ng GROUP BY tok HAVING count(*) BETWEEN 2 AND 5),
+    blocked AS (SELECT ng.id, ng.tok FROM ng JOIN rare USING (tok)),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM blocked a JOIN blocked b ON a.tok = b.tok AND a.id < b.id),
+    sizes AS (SELECT id, count(*) AS n FROM ng GROUP BY id),
+    inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+              FROM cand c
+              JOIN ng ta ON ta.id = c.id_a
+              JOIN ng tb ON tb.id = c.id_b AND tb.tok = ta.tok
+              GROUP BY c.id_a, c.id_b)
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           round(n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE), 4) AS jaccard
+    FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+    WHERE n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= 0.3
+    """,
+)
+def ext_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-trigram Jaccard near-dup, blocked by *rare* n-grams (document
+    frequency 2..5): common n-grams — the quadratic ones — never join."""
+    docs = load(spark, sf_dir, "documents")
+    cand = ngram_candidate_pairs(docs, n=3, max_df=5)
+    toks = docs.select(F.col("doc_id").alias("id"), F.split(F.lower(F.trim("text")), r"\s+").alias("ts"))
+    ng = (
+        toks.select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.size("ts") - 3, F.lit(0))),
+                    lambda i: F.concat_ws(" ", F.slice("ts", i + 1, 3)),
+                )
+            ).alias("tok"),
+        )
+        .filter(F.size(F.split(F.col("tok"), " ")) == 3)
+        .distinct()
+    )
+    return verified_jaccard_pairs(cand, ng, threshold=0.3)
+
+
+@query(
+    "ext_dedup_embed",
+    oracle="""
+    WITH planes AS (
+        SELECT p, d, CAST(((1103515245 * (p * 64 + d) + 12345) % 2000001)
+                          - 1000000 AS DOUBLE) AS c
+        FROM generate_series(0, 7) gp(p), generate_series(0, 63) gd(d)
+    ),
+    emb AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+                   unnest(embedding)::DOUBLE AS v
+            FROM embeddings),
+    proj AS (SELECT vec_id, p, sum(c * v) AS dp
+             FROM emb JOIN planes USING (d) GROUP BY vec_id, p),
+    bucket AS (SELECT vec_id,
+                      CAST(sum(CASE WHEN dp >= 0 THEN (1 << p) ELSE 0 END) AS INTEGER)
+                      AS bucket
+               FROM proj GROUP BY vec_id),
+    cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM bucket a JOIN bucket b
+               ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+    terms AS (SELECT c.id_a, c.id_b, unnest(ea.embedding)::DOUBLE AS va,
+                     unnest(eb.embedding)::DOUBLE AS vb
+              FROM cand c
+              JOIN embeddings ea ON ea.vec_id = c.id_a
+              JOIN embeddings eb ON eb.vec_id = c.id_b),
+    cos AS (SELECT id_a, id_b,
+                   sum(va * vb) / (sqrt(sum(va * va)) * sqrt(sum(vb * vb))) AS cs
+            FROM terms GROUP BY id_a, id_b)
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           round(cs, 4) AS cos_sim
+    FROM cos WHERE cs >= 0.2
+    """,
+)
+def ext_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup via sign-LSH: 8 deterministic integer
+    hyperplanes → 256 buckets → equi-join + cosine ≥ 0.2 inside buckets."""
+    emb = load(spark, sf_dir, "embeddings")
+    return lsh_bucketed_pairs(emb, dims=64, threshold=0.2)
+
+
+@query(
+    "ext_sim_search",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+               WHERE vec_id < 5),
+    pairs AS (SELECT q.query_id, e.vec_id, q.qe, e.embedding AS ce
+              FROM q CROSS JOIN embeddings e),
+    terms AS (SELECT query_id, vec_id, unnest(qe)::DOUBLE AS qa,
+                     unnest(ce)::DOUBLE AS cb
+              FROM pairs),
+    s AS (SELECT query_id, vec_id,
+                 sum(qa * cb) / (sqrt(sum(qa * qa)) * sqrt(sum(cb * cb))) AS cs
+          FROM terms GROUP BY query_id, vec_id)
+    SELECT query_id, vec_id, round(cs, 4) AS cos_sim,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, vec_id)
+                AS BIGINT) AS rnk
+    FROM s QUALIFY rnk <= 10
+    """,
+)
+def ext_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors for 5 query vectors — query side
+    broadcast, ONE corpus scan, per-query top-k window. The scale path for
+    corpus×corpus discovery is ext_dedup_embed's LSH buckets."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return topk_cosine(emb, queries, k=10)
+
+
+@query(
+    "ext_text_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT)
+               AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+           CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits
+    FROM documents
+    """,
+)
+def ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text statistics — map-only, codegen'd, no UDFs."""
+    docs = load(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["n_alpha"].alias("n_alpha"),
+        feats["n_digits"].alias("n_digits"),
+    )
+
+
+@query(
+    "ext_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT)
+               AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                AS BIGINT) AS n_bpe_ish
+    FROM documents
+    """,
+)
+def ext_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    (alpha runs / digit runs / single symbols)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_ws_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe_ish"),
+    )
+
+
+@query(
+    "ext_quality_filter",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT)
+                   AS n_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+               CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits
+        FROM documents
+    )
+    SELECT doc_id, n_tokens, round(n_alpha / CAST(n_chars AS DOUBLE), 4) AS score
+    FROM f
+    WHERE n_tokens BETWEEN 5 AND 500
+      AND n_alpha / CAST(n_chars AS DOUBLE) >= 0.5
+      AND n_digits / CAST(n_chars AS DOUBLE) <= 0.3
+    """,
+)
+def ext_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality gate: token-count band + alpha-ratio floor +
+    digit-ratio ceiling; emits the surviving docs with their score."""
+    docs = load(spark, sf_dir, "documents")
+    f = quality_features(F.col("text"))
+    alpha_ratio = f["n_alpha"] / f["n_chars"].cast("double")
+    digit_ratio = f["n_digits"] / f["n_chars"].cast("double")
+    return (
+        docs.select(
+            "doc_id",
+            f["n_tokens"].alias("n_tokens"),
+            alpha_ratio.alias("__ar"),
+            digit_ratio.alias("__dr"),
+        )
+        .filter(
+            (F.col("n_tokens").between(5, 500))
+            & (F.col("__ar") >= 0.5)
+            & (F.col("__dr") <= 0.3)
+        )
+        .select("doc_id", "n_tokens", F.round("__ar", 4).alias("score"))
+    )
+
+
+@query(
+    "ext_lang_id",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN len(regexp_extract_all(lower(text), '\\bthe\\b')) > 0
+                     OR len(regexp_extract_all(lower(text), '\\ba\\b')) > 0
+                THEN 'en' ELSE 'und' END AS lang_pred
+    FROM documents
+    """,
+)
+def ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/stopword language-ID heuristic (deterministic rule: English
+    function words present → 'en', else undetermined). On real corpora the
+    rule set extends per language; the synthetic corpus shares one
+    vocabulary, so the point here is the operator shape, not accuracy."""
+    docs = load(spark, sf_dir, "documents")
+    lowered = F.lower(F.col("text"))
+    is_en = (F.regexp_count(lowered, F.lit(r"\bthe\b")) > 0) | (
+        F.regexp_count(lowered, F.lit(r"\ba\b")) > 0
+    )
+    return docs.select(
+        "doc_id", "lang", F.when(is_en, "en").otherwise("und").alias("lang_pred")
+    )
+
+
+@query(
+    "ext_multimodal_cols",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
+           CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+           CAST(octet_length(encode(text)) % 480 AS BIGINT) AS height
+    FROM documents
+    """,
+)
+def ext_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: text → binary payload + metadata
+    struct → Arrow-batched mapInPandas 'decode' → typed features. The codec
+    is a deterministic byte-arithmetic stub (environment has no media libs),
+    so the whole pipeline stays oracle-checkable; ascii() parity holds on
+    this ASCII corpus."""
+    docs = load(spark, sf_dir, "documents")
+    media = attach_binary(docs)
+    return decode_features(media)

@@ -43,7 +43,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 def _ensure_loaded() -> None:
     # Import side-effect: modules register their queries on first use.
-    from . import io_queries, llm, relational, streaming_queries  # noqa: F401
+    from . import (  # noqa: F401
+        io_queries,
+        llm,
+        relational,
+        scalar_queries,
+        streaming_queries,
+    )
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -1,0 +1,555 @@
+"""Registered relational queries: joins, aggregations, windows, sorts, set ops
+(SURVEY.md §2.3–§2.7), each paired with its DuckDB oracle SQL.
+
+Conventions (required for driver hash-parity):
+- every computed column is aliased identically in Spark and SQL;
+- integer-valued aggregates are cast to BIGINT on both sides (DuckDB widens
+  int sums to HUGEINT, Spark to BIGINT);
+- double aggregates are ``round(x, 2)`` (or 4) on both sides — sums of
+  doubles are order-sensitive in the last ulp;
+- timestamps stay TIMESTAMP_NTZ and all epoch math uses NTZ-to-NTZ
+  differences (``timestamp_diff``), never session-timezone-dependent
+  ``unix_timestamp``;
+- every window ordering carries a unique tiebreaker (``event_id`` /
+  ``c_custkey``) so results are deterministic.
+
+Scale notes are on each query: what shuffles, what broadcasts, and why the
+plan survives 1000 executors (the same DataFrame code, different cluster).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..data import load
+from ..operators.joins import asof_join, range_join
+from ..operators.windows import latest_state, rank_topk
+from .registry import query
+
+_EPOCH = "1970-01-01 00:00:00"
+
+
+def _epoch_us(col):
+    return F.timestamp_diff(
+        "MICROSECOND", F.lit(_EPOCH).cast("timestamp_ntz"), col.cast("timestamp_ntz")
+    )
+
+
+# --------------------------------------------------------------------------
+# flagship — scan + broadcast dim join + shuffled join + agg + having in one
+# --------------------------------------------------------------------------
+
+
+@query(
+    "flagship_region_pricing",
+    oracle="""
+    SELECT r_name, l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, l_returnflag
+    """,
+)
+def flagship_region_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: revenue by region × returnflag across the full star join.
+    nation/region broadcast (tiny dims); lineitem⋈orders⋈customer shuffle on
+    their keys with map-side partial aggregation — the plan a 1000-executor
+    cluster wants."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .groupBy("r_name", "l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.3 joins
+# --------------------------------------------------------------------------
+
+
+@query(
+    "join_dim_broadcast",
+    oracle="""
+    SELECT r_name, CAST(count(*) AS BIGINT) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def join_dim_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈small-dim with an explicit broadcast — the reference's
+    abbrev→line lookup (write_train_lines.py:25-33) generalized. The dim side
+    ships to every executor; zero shuffle of the fact side."""
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nations"))
+    )
+
+
+@query(
+    "join_key_equi",
+    oracle="""
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_key_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffled equi-join on the composite-key design (train_id analog,
+    get_train_status.py:113). Both sides hash-partition on the key; AQE
+    handles skew. Partial aggregation runs map-side before the final shuffle."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "join_semi_anti",
+    oracle="""
+    SELECT c_mktsegment, 'with_orders' AS kind, CAST(count(*) AS BIGINT) AS n
+    FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    GROUP BY c_mktsegment
+    UNION ALL
+    SELECT c_mktsegment, 'without_orders' AS kind, CAST(count(*) AS BIGINT) AS n
+    FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    GROUP BY c_mktsegment
+    """,
+)
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi / left_anti — 'lines with/without delayed trains' shape
+    (SURVEY.md §2.3). Semi/anti joins never multiply rows and only ship the
+    join key of the right side."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").select("o_custkey")
+    cond = F.col("c_custkey") == F.col("o_custkey")
+    semi = (
+        customer.join(orders, cond, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .withColumn("kind", F.lit("with_orders"))
+    )
+    anti = (
+        customer.join(orders, cond, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .withColumn("kind", F.lit("without_orders"))
+    )
+    return semi.unionByName(anti).select("c_mktsegment", "kind", "n")
+
+
+@query(
+    "join_asof",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    ),
+    views AS (
+        SELECT user_id, ts, event_id AS view_event_id
+        FROM events WHERE event_type = 'view'
+        QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+    )
+    SELECT c.user_id, c.ts, c.event_id,
+           v.view_event_id, v.ts AS view_ts
+    FROM clicks c ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND v.ts <= c.ts
+    """,
+)
+def join_asof_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click matched to the user's latest view at-or-before
+    it — the 'observation vs latest prediction' pattern the reference's keyed
+    event log exists for (main.tf:25-43). Union+LOCF window plan: ONE shuffle
+    on user_id, no row multiplication (operators/joins.py)."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_event_id")
+    )
+    # Dedup right side per (user_id, ts) so as-of tie-breaks deterministically.
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("view_event_id").desc())
+    views = (
+        views.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    out = asof_join(
+        clicks, views, by=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["view_event_id"],
+    )
+    return out.withColumnRenamed("ts_matched", "view_ts")
+
+
+@query(
+    "join_range_interval",
+    oracle="""
+    SELECT i.user_id, i.event_id AS p_event_id, i.ts AS p_ts,
+           p.event_id AS c_event_id, p.ts AS c_ts
+    FROM events i JOIN events p
+      ON i.user_id = p.user_id
+     AND p.ts >  i.ts - INTERVAL 1 HOUR
+     AND p.ts <= i.ts
+    WHERE i.event_type = 'purchase' AND p.event_type = 'click'
+    """,
+)
+def join_range_interval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: clicks within the hour before each purchase, per user.
+    Bucketized to an equi-join on (user_id, hour-bucket) — Catalyst plans a
+    hash join, not BroadcastNestedLoopJoin (operators/joins.py:range_join)."""
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_event_id"), F.col("ts").alias("p_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("c_event_id"), F.col("ts").alias("c_ts")
+    )
+    out = range_join(
+        clicks,
+        purchases,
+        by=["user_id"],
+        point_ts="c_ts",
+        lo=F.col("p_ts") - F.expr("INTERVAL 1 HOUR"),
+        hi=F.col("p_ts"),
+        bucket_seconds=3600,
+    )
+    return out.select("user_id", "p_event_id", "p_ts", "c_event_id", "c_ts")
+
+
+# --------------------------------------------------------------------------
+# §2.4 aggregations
+# --------------------------------------------------------------------------
+
+
+@query("agg_count", oracle="SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem")
+def agg_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(*) — reference logs record counts (bucket_raw_data.py:103).
+    Planned as a partial count per partition + single final combine."""
+    return load(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+
+@query(
+    "agg_concat_union",
+    oracle="""
+    WITH u AS (
+        SELECT o_orderkey AS id, o_totalprice AS amount FROM orders
+        UNION ALL
+        SELECT l_orderkey AS id, NULL AS amount FROM lineitem
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(count(amount) AS BIGINT) AS n_amount,
+           round(sum(amount), 2) AS total
+    FROM u
+    """,
+)
+def agg_concat_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag union of heterogeneous batches — the compaction job's list-extend
+    (bucket_raw_data.py:95-102) as unionByName(allowMissingColumns=True)."""
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"), F.col("o_totalprice").alias("amount")
+    )
+    items = load(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("id"))
+    u = orders.unionByName(items, allowMissingColumns=True)
+    return u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count("amount").cast("bigint").alias("n_amount"),
+        F.round(F.sum("amount"), 2).alias("total"),
+    )
+
+
+@query(
+    "agg_group_by_day",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total
+    FROM events GROUP BY CAST(ts AS DATE)
+    """,
+)
+def agg_group_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-by-calendar-day — the physical grouping the compaction job
+    realizes as load_date= partitions (bucket_raw_data.py:90-94,111)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+    )
+
+
+@query(
+    "agg_delay_rate",
+    oracle="""
+    SELECT o_orderpriority,
+           round(avg(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END), 4) AS rate
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_delay_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """avg-of-flag rate — the delay-rate analytic the curated is_train_delayed
+    field exists for (get_train_status.py:120, README.md:2)."""
+    orders = load(spark, sf_dir, "orders")
+    flag = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    return orders.groupBy("o_orderpriority").agg(F.round(F.avg(flag), 4).alias("rate"))
+
+
+@query(
+    "agg_distinct_trains",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS d, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY CAST(ts AS DATE)
+    """,
+)
+def agg_distinct_trains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """countDistinct per day — 'trains in service per day' via the train_id
+    key design (get_train_status.py:113). Exact here; at 100 TB swap to
+    approx_count_distinct (HLL) for a one-pass sketch."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users")
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP in one pass — delay stats by (line), (line,station), total
+    (SURVEY.md §2.4). Spark expands grouping sets before the hash agg; still
+    a single shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT over a projection — planned as a hash aggregate."""
+    return load(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+# --------------------------------------------------------------------------
+# §2.5 windows
+# --------------------------------------------------------------------------
+
+
+@query(
+    "win_latest_state",
+    oracle="""
+    SELECT user_id, ts, event_type, value, event_id FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def win_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest observation per key — the keyed-store point-read
+    (main.tf:25-43). Single shuffle on the key; row_number()==1."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type", "value", "event_id")
+    return latest_state(ev, ["user_id"], "ts", tiebreak="event_id")
+
+
+@query(
+    "win_lag_headway",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+    FROM events
+    """,
+)
+def win_lag_headway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Headway: microseconds since the key's previous event (SURVEY §2.5).
+    NTZ-to-NTZ diff — timezone-independent epoch math."""
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.withColumn(
+        "gap_us", _epoch_us(F.col("ts")) - _epoch_us(F.lag("ts").over(w))
+    )
+
+
+@query(
+    "win_running",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS n_errors_so_far
+    FROM events
+    """,
+)
+def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running count over the event order — 'running delay count over the
+    service day' (SURVEY §2.5). Integer accumulation: exact, order-stable."""
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flag = F.when(F.col("event_type") == "error", 1).otherwise(0)
+    return ev.withColumn("n_errors_so_far", F.sum(flag).over(w).cast("bigint")).drop(
+        "event_type"
+    )
+
+
+@query(
+    "win_rank_topk",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_acctbal,
+           CAST(dense_rank() OVER (
+               PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS BIGINT)
+           AS rnk
+    FROM customer
+    QUALIFY rnk <= 3
+    """,
+)
+def win_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 per group by rank (SURVEY §2.5 win_rank_topk). The rank filter
+    pushes a per-partition top-k through the window shuffle."""
+    cust = load(spark, sf_dir, "customer").select("c_nationkey", "c_custkey", "c_acctbal")
+    out = rank_topk(
+        cust,
+        ["c_nationkey"],
+        [F.col("c_acctbal").desc(), F.col("c_custkey")],
+        k=3,
+        rank_name="rnk",
+        dense=True,
+    )
+    return out.withColumn("rnk", F.col("rnk").cast("bigint"))
+
+
+@query(
+    "win_frame_range",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 900000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS n_15m
+    FROM events
+    """,
+)
+def win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 15-minute event count per key — a true RANGE frame over epoch
+    microseconds, so equal timestamps enter the frame together."""
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(_epoch_us(F.col("ts")))
+        .rangeBetween(-900 * 1_000_000, 0)
+    )
+    return ev.withColumn("n_15m", F.count(F.lit(1)).over(w).cast("bigint")).drop("ts")
+
+
+# --------------------------------------------------------------------------
+# §2.6 sorts / limits / top-k
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sort_limit_topk",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k — Spark plans TakeOrderedAndProject (per-partition top-k
+    + merge on the driver), never a full sort. Fully tiebroken ordering makes
+    the selected set deterministic."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")
+    return li.orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+    ).limit(100)
+
+
+# --------------------------------------------------------------------------
+# §2.7 set operations
+# --------------------------------------------------------------------------
+
+
+@query(
+    "set_union_all",
+    oracle="""
+    WITH u AS (
+        SELECT n_nationkey AS k FROM nation
+        UNION ALL
+        SELECT c_nationkey AS k FROM customer
+    )
+    SELECT k, CAST(count(*) AS BIGINT) AS n FROM u GROUP BY k
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-preserving UNION ALL — the compaction job's batch concat
+    (bucket_raw_data.py:95-102). No shuffle for the union itself."""
+    nation = load(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("k"))
+    cust = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    return nation.unionByName(cust).groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics) — nations with both customers and
+    suppliers."""
+    cust = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.intersect(supp)
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT n_nationkey AS nationkey FROM nation
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct semantics) — nations with no supplier."""
+    nation = load(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nationkey"))
+    supp = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return nation.subtract(supp)

@@ -1,0 +1,285 @@
+"""Registered Structured Streaming queries (SURVEY.md §2.9).
+
+Every query runs a REAL streaming pipeline (micro-batch engine, state store,
+checkpointed sinks) over a bounded copy of the ``events`` table, drained
+with ``trigger(availableNow=True)`` so results are deterministic and
+oracle-checkable. Production deployments swap the bounded parquet source for
+the live source and ``availableNow`` for ``processingTime`` triggers — the
+plan is otherwise identical.
+
+Watermarks require TIMESTAMP (not NTZ): those queries cast NTZ → session-tz
+timestamp for the watermark and cast back on output — a wall-clock identity
+round-trip under any session timezone.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..data import load
+from ..streaming.pipelines import parquet_stream, run_to_files, run_to_memory
+from .registry import query
+
+_SCRATCH = Path("/tmp/cta_spark_engine_scratch/streaming")
+
+
+def _dirs(name: str, sf_dir: str, *subs: str) -> list[str]:
+    root = _SCRATCH / Path(sf_dir).name / name
+    shutil.rmtree(root, ignore_errors=True)
+    out = []
+    for s in subs:
+        p = root / s
+        p.mkdir(parents=True, exist_ok=True)
+        out.append(str(p))
+    return out
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+
+
+@query(
+    "str_tumbling_day",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total
+    FROM events GROUP BY CAST(ts AS DATE)
+    """,
+)
+def str_tumbling_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-day tumbling window aggregation — the daily-compaction window
+    (main.tf:296) as a streaming group-by. Complete mode emits every window
+    at drain time."""
+    src_dir, cp = _dirs("str_tumbling_day", sf_dir, "src", "cp")
+    src = parquet_stream(spark, _events(spark, sf_dir), src_dir)
+    agg = src.groupBy(F.window("ts", "1 day").alias("w")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+    )
+    out = run_to_memory(agg, "complete", cp)
+    return out.select(F.to_date("w.start").alias("d"), "n", "total")
+
+
+@query(
+    "str_trigger_1min",
+    oracle="""
+    SELECT date_trunc('minute', ts) AS minute_start, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY date_trunc('minute', ts)
+    """,
+)
+def str_trigger_1min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-minute cadence (EventBridge cron(* * * * ? *), main.tf:49) as
+    1-minute tumbling windows; production trigger is
+    processingTime='60 seconds', drained here with availableNow."""
+    src_dir, cp = _dirs("str_trigger_1min", sf_dir, "src", "cp")
+    src = parquet_stream(spark, _events(spark, sf_dir), src_dir)
+    agg = src.groupBy(F.window("ts", "1 minute").alias("w")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    out = run_to_memory(agg, "complete", cp)
+    return out.select(F.col("w.start").alias("minute_start"), "n")
+
+
+@query(
+    "str_microbatch_sink",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def str_microbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-batched file sink (Firehose 64MB/900s buffering,
+    main.tf:287-288): stream → checkpointed JSON files → batch read-back."""
+    src_dir, cp, out_dir = _dirs("str_microbatch_sink", sf_dir, "src", "cp", "out")
+    ev = _events(spark, sf_dir).withColumn(
+        "ts", F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    )
+    src = parquet_stream(spark, ev, src_dir)
+    run_to_files(src, out_dir, cp, fmt="json")
+    back = spark.read.schema(ev.schema).json(out_dir)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+    )
+
+
+@query(
+    "str_at_least_once",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct
+    FROM events
+    """,
+)
+def str_at_least_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's at-least-once Firehose retry (get_train_status.py:
+    52-79) upgraded to exactly-once: the SAME drain re-run against the same
+    checkpoint commits nothing new — n == n_distinct proves no duplicates."""
+    src_dir, cp, out_dir = _dirs("str_at_least_once", sf_dir, "src", "cp", "out")
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "value")
+    src = parquet_stream(spark, ev, src_dir)
+    run_to_files(src, out_dir, cp, fmt="json")
+    # simulated redelivery: replay the whole source against the checkpoint
+    src2 = spark.readStream.schema(ev.schema).parquet(src_dir)
+    run_to_files(src2, out_dir, cp, fmt="json")
+    back = spark.read.schema(ev.schema).json(out_dir)
+    return back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct("event_id").cast("bigint").alias("n_distinct"),
+    )
+
+
+@query(
+    "str_redelivery",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct
+    FROM events
+    """,
+)
+def str_redelivery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset replay across restarts (SQS visibility/redelivery,
+    main.tf:149-150): drain batch 1, add batch 2 files, resume from the same
+    checkpoint — the sink ends exactly-once complete."""
+    src_dir, cp, out_dir = _dirs("str_redelivery", sf_dir, "src", "cp", "out")
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "value")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    first.coalesce(1).write.mode("overwrite").parquet(src_dir)
+    src = spark.readStream.schema(ev.schema).parquet(src_dir)
+    run_to_files(src, out_dir, cp, fmt="json")
+    second.coalesce(1).write.mode("append").parquet(src_dir)
+    src2 = spark.readStream.schema(ev.schema).parquet(src_dir)
+    run_to_files(src2, out_dir, cp, fmt="json")
+    back = spark.read.schema(ev.schema).json(out_dir)
+    return back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct("event_id").cast("bigint").alias("n_distinct"),
+    )
+
+
+@query(
+    "str_dedup_late",
+    oracle="SELECT DISTINCT user_id, ts FROM events",
+)
+def str_dedup_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dedup on the natural key (train_id,
+    current_timestamp analog — SURVEY §2.9 str_dedup_late): duplicated
+    source → withWatermark + dropDuplicates → distinct keys out. The
+    watermark bounds dedup state at scale; the NTZ↔TZ casts are a wall-clock
+    identity."""
+    src_dir, cp = _dirs("str_dedup_late", sf_dir, "src", "cp")
+    ev = _events(spark, sf_dir).select("user_id", "ts")
+    dup = ev.unionByName(ev)
+    src = parquet_stream(spark, dup, src_dir)
+    deduped = (
+        src.withColumn("ts_wm", F.col("ts").cast("timestamp"))
+        .withWatermark("ts_wm", "10 minutes")
+        .dropDuplicates(["user_id", "ts_wm"])
+    )
+    out = run_to_memory(deduped, "append", cp)
+    return out.select("user_id", F.col("ts_wm").cast("timestamp_ntz").alias("ts"))
+
+
+@query(
+    "str_session_window",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    islands AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n
+    FROM islands GROUP BY user_id, sess
+    """,
+)
+def str_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key session windows with a 30-minute gap (service-run sessions,
+    SURVEY §2.9): native session_window state merging; oracle is the
+    batch gaps-and-islands equivalent."""
+    src_dir, cp = _dirs("str_session_window", sf_dir, "src", "cp")
+    src = parquet_stream(spark, _events(spark, sf_dir), src_dir)
+    agg = src.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    out = run_to_memory(agg, "complete", cp)
+    return out.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n",
+    )
+
+
+_STATE_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("max_value", T.DoubleType()),
+    ]
+)
+_STATE = T.StructType(
+    [T.StructField("n", T.LongType()), T.StructField("mx", T.DoubleType())]
+)
+
+
+def _running_state(
+    key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n, mx = state.get if state.exists else (0, None)
+    for pdf in pdfs:
+        n += len(pdf)
+        if len(pdf):
+            m = float(pdf["value"].max())
+            mx = m if mx is None else max(mx, m)
+    state.update((n, mx))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "max_value": [mx]})
+
+
+@query(
+    "str_stateful",
+    oracle="""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           max(value) AS max_value
+    FROM events GROUP BY user_id
+    """,
+)
+def str_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom per-key state machine via applyInPandasWithState (the
+    approaching→arrived state-transition shape, SURVEY §2.9 str_stateful):
+    Arrow-batched state updates, update-mode emission per micro-batch."""
+    src_dir, cp = _dirs("str_stateful", sf_dir, "src", "cp")
+    ev = _events(spark, sf_dir).select("user_id", "value")
+    src = parquet_stream(spark, ev, src_dir)
+    result = src.groupBy("user_id").applyInPandasWithState(
+        _running_state,
+        outputStructType=_STATE_OUT,
+        stateStructType=_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_to_memory(result, "update", cp)
+    return out

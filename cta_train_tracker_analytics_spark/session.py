@@ -46,6 +46,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet carries TIMESTAMP(NANOS), which Spark's reader
+        # rejects natively; read nanos as long once, engine-wide (data.load
+        # applies the ns→µs truncation). Set here so reads don't mutate conf.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         # At 100 TB the default 128 MB split is fine; keep it explicit so a

