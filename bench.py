@@ -58,7 +58,13 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
 
     spark = get_spark(app_name="cta-spark-bench")
+    from cta_train_tracker_analytics_spark.data import TABLES, load
     from cta_train_tracker_analytics_spark.plans import registry
+
+    # Warmup (untimed): touch every table once so JVM/codegen warmup and
+    # parquet footer reads don't land on the first timed query.
+    for t in TABLES:
+        load(spark, sf_dir, t).count()
 
     queries = registry.all_queries()
     timings: dict[str, float] = {}

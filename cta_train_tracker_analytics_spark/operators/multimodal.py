@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .util import spread
+
 __all__ = ["attach_binary", "decode_features", "FEATURE_SCHEMA"]
 
 FEATURE_SCHEMA = T.StructType(
@@ -41,7 +43,7 @@ def attach_binary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     In production the binary is the raw image/audio bytes and the metadata
     comes from the container header; the shapes are identical."""
     data = F.encode(F.col(text_col), "UTF-8")
-    return df.select(
+    return spread(df).select(
         F.col(id_col),
         data.alias("data"),
         F.struct(

@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import lcg
+from .util import spread
 
 __all__ = ["dot", "norm", "cosine", "topk_cosine", "projection_planes", "lsh_bucketed_pairs"]
 
@@ -63,7 +64,7 @@ def topk_cosine(
             F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
         )
     )
-    scored = corpus.select(
+    scored = spread(corpus).select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
     ).crossJoin(q).select(
         "query_id",
@@ -111,7 +112,9 @@ def lsh_bucketed_pairs(
         dot(F.col(vec_col), F.array(*[F.lit(c) for c in row])).alias(f"__p{p}")
         for p, row in enumerate(coefs)
     ]
-    with_bucket = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), *plane_cols)
+    with_bucket = spread(df).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), *plane_cols
+    )
     bucket = sum(
         (F.when(F.col(f"__p{p}") >= 0, 1 << p).otherwise(0) for p in range(planes)),
         F.lit(0),

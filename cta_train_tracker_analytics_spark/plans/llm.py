@@ -13,15 +13,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..data import load
 from ..functions.text import bpe_ish_token_count, fingerprint, quality_features, token_count
 from ..operators.dedup import (
-    doc_tokens,
+    doc_shingles,
     exact_dedup,
     minhash_candidate_pairs,
     minhash_signatures,
-    ngram_candidate_pairs,
     simhash16,
     verified_jaccard_pairs,
 )
@@ -36,6 +36,20 @@ _TOK_CTE = """
         FROM documents, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t(tok)
         WHERE t.tok <> ''
     )
+"""
+
+#: shared oracle CTE: distinct (id, tok) word TRIGRAM shingles per document
+#: (matches operators/dedup.py:doc_shingles — the minhash set unit).
+_SHINGLE_CTE = """
+    toks AS (
+        SELECT doc_id AS id, string_split_regex(lower(trim(text)), '\\s+') AS l
+        FROM documents
+    ),
+    t AS (SELECT id, generate_subscripts(l, 1) AS i, unnest(l) AS tok FROM toks),
+    tok AS (SELECT DISTINCT a.id, a.tok || ' ' || b.tok || ' ' || c.tok AS tok
+            FROM t a
+            JOIN t b ON b.id = a.id AND b.i = a.i + 1
+            JOIN t c ON c.id = a.id AND c.i = a.i + 2)
 """
 
 
@@ -76,7 +90,7 @@ def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ext_dedup_minhash",
     oracle=f"""
-    WITH {_TOK_CTE},
+    WITH {_SHINGLE_CTE},
     h AS (SELECT id, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 2147483647 AS hv
           FROM tok),
     params AS (SELECT i,
@@ -105,10 +119,18 @@ def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup: 16 permutations, 4 bands → banded equi-join
-    for candidates, exact Jaccard ≥ 0.7 verified inside buckets only. The
-    oracle replays the identical algorithm (portable md5 hashing)."""
-    tok = doc_tokens(load(spark, sf_dir, "documents"))
+    """MinHash + LSH near-dup over word-trigram SHINGLES: 16 permutations,
+    4 bands → banded equi-join for candidates, exact Jaccard ≥ 0.7 verified
+    inside buckets only. Shingles (not unigrams) keep similarity sparse —
+    unigram sets on a small-vocab corpus made every pair a 'near-dup'
+    (4.3M output rows at sf0.1, quadratic). The oracle replays the
+    identical algorithm (portable md5 hashing)."""
+    # The shingle set feeds three consumers (signatures, and both sides of
+    # the Jaccard verify join) — persist it once instead of recomputing the
+    # tokenize+shingle pipeline per consumer (measured 3-5× re-execution).
+    tok = doc_shingles(load(spark, sf_dir, "documents"), n=3).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sig = minhash_signatures(tok)
     cand = minhash_candidate_pairs(sig)
     return verified_jaccard_pairs(cand, tok, threshold=0.7)
@@ -166,19 +188,17 @@ def ext_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-trigram Jaccard near-dup, blocked by *rare* n-grams (document
     frequency 2..5): common n-grams — the quadratic ones — never join."""
     docs = load(spark, sf_dir, "documents")
-    cand = ngram_candidate_pairs(docs, n=3, max_df=5)
-    toks = docs.select(F.col("doc_id").alias("id"), F.split(F.lower(F.trim("text")), r"\s+").alias("ts"))
-    ng = (
-        toks.select(
-            "id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.greatest(F.size("ts") - 3, F.lit(0))),
-                    lambda i: F.concat_ws(" ", F.slice("ts", i + 1, 3)),
-                )
-            ).alias("tok"),
-        )
-        .filter(F.size(F.split(F.col("tok"), " ")) == 3)
+    ng = doc_shingles(docs, n=3).persist(StorageLevel.MEMORY_AND_DISK)
+    rare = (
+        ng.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("dfreq"))
+        .filter(F.col("dfreq").between(2, 5))
+    )
+    blocked = ng.join(rare.select("tok"), "tok")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    cand = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
     return verified_jaccard_pairs(cand, ng, threshold=0.3)

@@ -498,6 +498,19 @@ def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(100)
 
 
+@query(
+    "sort_within_partitions",
+    oracle="SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem",
+)
+def sort_within_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-local sort (no global exchange-and-merge) — the write-side
+    clustering primitive: sorted-within-partition output makes parquet
+    row-group min/max pruning effective downstream. Row content is
+    order-insensitive to the oracle; the plan property is the point."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_shipdate")
+    return li.repartition(8, "l_orderkey").sortWithinPartitions("l_orderkey", "l_linenumber")
+
+
 # --------------------------------------------------------------------------
 # §2.7 set operations
 # --------------------------------------------------------------------------

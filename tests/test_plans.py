@@ -1,0 +1,98 @@
+"""Physical-plan shape assertions — the 100 TB design contract, pinned.
+
+These tests read ``explain`` output and fail if a plan regresses to a shape
+that would not survive scale: a broadcast that became a shuffle, a filter
+that stopped reaching the parquet scan, a top-k that became a full sort, a
+cartesian product anywhere it isn't intended.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cta_train_tracker_analytics_spark.plans import registry
+
+from conftest import SF_DIR
+
+
+def plan(spark, name: str) -> str:
+    df = registry.all_queries()[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized(spark, name: str) -> str:
+    df = registry.all_queries()[name](spark, SF_DIR)
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_dim_join_is_broadcast(spark):
+    p = plan(spark, "join_dim_broadcast")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_flagship_broadcasts_small_dims(spark):
+    p = plan(spark, "flagship_region_pricing")
+    # nation and region must broadcast; the fact-side joins may shuffle.
+    assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_topk_plans_take_ordered(spark):
+    p = plan(spark, "sort_limit_topk")
+    assert "TakeOrderedAndProject" in p
+    # no global Sort node — top-k must not become a full sort
+    assert "Sort [l_extendedprice" not in p.split("TakeOrderedAndProject")[1][:200]
+
+
+def test_event_type_filter_reaches_scan(spark):
+    """Predicate pushdown: the event_type filter must reach the parquet
+    scan, not run post-scan only."""
+    p = plan(spark, "join_asof")
+    assert "PushedFilters: [" in p
+    assert "event_type" in p.split("PushedFilters: [", 1)[1][:200]
+
+
+def test_text_stats_prunes_columns(spark):
+    """Column pruning: a 2-column projection must not scan all 5 columns."""
+    p = plan(spark, "ext_text_stats")
+    read_schema = p.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "text" in read_schema and "doc_id" in read_schema
+    assert "source" not in read_schema and "n_chars" not in read_schema
+
+
+def test_asof_join_shuffles_once_per_side(spark):
+    """The as-of join is union+window: one hash partitioning on the key —
+    not a row-multiplying join. No cartesian/BNLJ anywhere."""
+    p = plan(spark, "join_asof")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_no_cartesian_in_llm_pipelines(spark):
+    """Near-dup operators must stay bucket-joined; only ext_sim_search is
+    allowed its intentional broadcast of the 5-row query side."""
+    for name in ["ext_dedup_minhash", "ext_dedup_ngram", "ext_dedup_embed"]:
+        p = plan(spark, name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_sim_search_broadcasts_queries_not_corpus(spark):
+    p = plan(spark, "ext_sim_search")
+    # the intended shape: tiny query side broadcast against one corpus scan
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+
+
+def test_whole_stage_codegen_on_scalar_path(spark):
+    """§2.10 policy: scalar queries stay JVM-side — whole-stage codegen,
+    no Python row UDFs (BatchEvalPython) in any registered scalar plan."""
+    # map-only queries must be one whole-stage-codegen span
+    for name in ["f_concat_ws", "ext_text_stats"]:
+        p = plan(spark, name)
+        # toString() marks codegen stages with the `*(n)` prefix
+        assert "*(1)" in p, name
+        assert "BatchEvalPython" not in p, name
+    # percentile() plans ObjectHashAggregate (no codegen) — still JVM-side:
+    # the policy is zero Python row UDFs anywhere in the scalar surface
+    assert "BatchEvalPython" not in plan(spark, "f_math_std")
