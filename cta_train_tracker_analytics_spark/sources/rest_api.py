@@ -1,0 +1,72 @@
+"""Spark 4 Python DataSource for the CTA Train Locations poll
+(``src_rest_api`` — SURVEY.md §2.1, §4 'custom Spark work item 1').
+
+The reference polls one REST endpoint per train line per minute
+(``get_train_status.py:29-43``). Expressed as a custom Python data source,
+the poll becomes a first-class Spark scan: one input partition per train
+line (the reference's 7-way SQS fan-out becomes task parallelism), each
+partition fetching its line's payload and yielding (train_line, body) rows
+that feed the same parse→flatten chain as every other source.
+
+Offline, the fetcher returns the golden fixture document; a live deployment
+replaces ``_fetch`` with the HTTP call (requests + retry/backoff — the
+reference's external retry layer maps to task retries + per-call backoff).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql import types as T
+
+from ..schemas import TRAIN_LINES
+from . import fixtures
+
+POLL_SCHEMA = T.StructType(
+    [
+        T.StructField("train_line", T.StringType()),
+        T.StructField("body", T.StringType()),
+    ]
+)
+
+
+def _fetch(train_line_abbrev: str) -> str:
+    """One poll for one line. Fixture-backed here (no network in this
+    environment); the live implementation issues the HTTPS request with
+    the key from options and backoff on 429/5xx."""
+    return json.dumps(fixtures.HAPPY_DOC)
+
+
+class _LinePartition(InputPartition):
+    def __init__(self, abbrev: str, line: str):
+        self.abbrev = abbrev
+        self.line = line
+
+
+class CTATrainLocationsReader(DataSourceReader):
+    def partitions(self):
+        # one scan partition per train line — the reference's fan-out
+        # (write_train_lines.py:86-96) as task parallelism
+        return [_LinePartition(a, l) for a, l in TRAIN_LINES]
+
+    def read(self, partition: _LinePartition):
+        yield (partition.line, _fetch(partition.abbrev))
+
+
+class CTATrainLocationsDataSource(DataSource):
+    """Usage::
+
+        spark.dataSource.register(CTATrainLocationsDataSource)
+        spark.read.format("cta_train_locations").load()
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "cta_train_locations"
+
+    def schema(self) -> T.StructType:
+        return POLL_SCHEMA
+
+    def reader(self, schema: T.StructType) -> DataSourceReader:
+        return CTATrainLocationsReader()

@@ -1,0 +1,69 @@
+"""End-to-end streaming ingest (SURVEY §3.2) and the custom Python
+DataSource for the REST poll."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from cta_train_tracker_analytics_spark.operators.flatten import flatten_positions
+from cta_train_tracker_analytics_spark.schemas import CTA_RESPONSE_SCHEMA
+from cta_train_tracker_analytics_spark.sources import fixtures
+from cta_train_tracker_analytics_spark.sources.rest_api import CTATrainLocationsDataSource
+from cta_train_tracker_analytics_spark.streaming.ingest import ingest_stream, read_raw
+
+
+def _write_poll_file(path, docs_by_line):
+    with open(path, "w") as f:
+        for line, doc in docs_by_line:
+            f.write(json.dumps({"train_line": line, "body": json.dumps(doc)}) + "\n")
+
+
+def test_ingest_stream_end_to_end(spark, tmp_path):
+    """Poll files → parse → flatten → checkpointed JSONL append; re-drain is
+    exactly-once; new polls append."""
+    poll, out, cp = tmp_path / "poll", tmp_path / "raw", tmp_path / "cp"
+    poll.mkdir()
+    _write_poll_file(poll / "p1.json", [("Purple", fixtures.HAPPY_DOC), ("Red", fixtures.NO_TRAINS_DOC)])
+
+    kw = dict(
+        observed_date=F.lit(fixtures.OBSERVED_DATE),
+        observed_ts=F.lit(fixtures.OBSERVED_TS),
+    )
+    ingest_stream(spark, str(poll), str(out), str(cp), **kw)
+    back = read_raw(spark, str(out))
+    assert back.count() == 2  # happy doc: 2 trains; no-trains doc: 0
+    golden = back.filter(F.col("train_id") == "2025-06-25#Purple#110#5").collect()[0]
+    assert golden["next_station"] == "Belmont"
+    assert golden["is_approaching_station"] == "1"
+
+    # replay with the same checkpoint: exactly-once, nothing duplicated
+    ingest_stream(spark, str(poll), str(out), str(cp), **kw)
+    assert read_raw(spark, str(out)).count() == 2
+
+    # a new poll lands → only its rows append
+    _write_poll_file(poll / "p2.json", [("Purple", fixtures.HAPPY_DOC)])
+    ingest_stream(spark, str(poll), str(out), str(cp), **kw)
+    assert read_raw(spark, str(out)).count() == 4
+
+
+def test_rest_api_datasource(spark):
+    """The custom DataSource scans one partition per line and feeds the
+    standard parse→flatten chain."""
+    spark.dataSource.register(CTATrainLocationsDataSource)
+    polls = spark.read.format("cta_train_locations").load()
+    assert polls.count() == 7  # one row per train line
+    assert polls.rdd.getNumPartitions() == 7  # fan-out as task parallelism
+
+    parsed = polls.select(
+        F.from_json("body", CTA_RESPONSE_SCHEMA).getField("ctatt").alias("ctatt"),
+        "train_line",
+    )
+    flat = flatten_positions(
+        parsed,
+        observed_date=F.lit(fixtures.OBSERVED_DATE),
+        observed_ts=F.lit(fixtures.OBSERVED_TS),
+    )
+    assert flat.count() == 14  # 7 lines × 2 fixture trains
+    assert flat.filter(F.col("train_id") == "2025-06-25#Purple#110#5").count() == 1
