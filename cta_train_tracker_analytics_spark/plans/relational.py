@@ -499,6 +499,91 @@ def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_salted_skew",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for skewed keys: events has only 5
+    event_type values over the whole table — a direct groupBy funnels each
+    hot key into one reducer. Salting by a deterministic row attribute
+    spreads phase 1 over 8× partitions; phase 2 combines 5×8 partials.
+    Identical results (count/sum are associative), oracle-checked."""
+    ev = load(spark, sf_dir, "events")
+    salted = ev.withColumn("__salt", (F.col("event_id") % 8).cast("int"))
+    partial = salted.groupBy("event_type", "__salt").agg(
+        F.count(F.lit(1)).alias("pn"), F.sum("value").alias("pt")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").cast("bigint").alias("n"),
+        F.round(F.sum("pt"), 2).alias("total"),
+    )
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both sides written bucketed+sorted on the
+    join key, so the fact⋈fact join runs with ZERO exchange on the key —
+    the pre-shuffle is paid once at write time and amortized over every
+    subsequent join. This is the 100 TB answer to repeated big-big joins
+    (pinned by tests/test_plans.py: no hashpartitioning on the key)."""
+    import shutil
+    from pathlib import Path
+
+    scratch = Path("/tmp/cta_spark_engine_scratch") / Path(sf_dir).name / "bucketed"
+    for tbl in ("bkt_orders", "bkt_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    shutil.rmtree(scratch, ignore_errors=True)
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    (
+        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", str(scratch / "orders")).mode("overwrite")
+        .saveAsTable("bkt_orders")
+    )
+    (
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", str(scratch / "lineitem")).mode("overwrite")
+        .saveAsTable("bkt_lineitem")
+    )
+    # merge hint: at this SF Catalyst would broadcast the orders side, which
+    # defeats the point — the bucketed sort-merge path is what 100 TB runs.
+    o = spark.table("bkt_orders").hint("merge")
+    l = spark.table("bkt_lineitem")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query("agg_approx_distinct")
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch — the one-pass, mergeable,
+    fixed-memory scale path for agg_distinct_trains at 100 TB. Sketch
+    estimates are engine-specific, so this runs under the rows-only check
+    (exact-count parity is covered by agg_distinct_trains)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.approx_count_distinct("user_id", rsd=0.02).cast("bigint").alias("n_users_approx")
+    )
+
+
+@query(
     "sort_within_partitions",
     oracle="SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem",
 )

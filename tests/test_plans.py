@@ -77,6 +77,15 @@ def test_no_cartesian_in_llm_pipelines(spark):
         assert "BroadcastNestedLoopJoin" not in p, name
 
 
+def test_bucketed_join_has_no_exchange_on_key(spark):
+    """The whole point of bucketing: the o_orderkey⋈l_orderkey join must not
+    re-shuffle either side on the key."""
+    p = plan(spark, "join_bucketed_colocated")
+    assert "hashpartitioning(o_orderkey" not in p
+    assert "hashpartitioning(l_orderkey" not in p
+    assert "SortMergeJoin" in p
+
+
 def test_sim_search_broadcasts_queries_not_corpus(spark):
     p = plan(spark, "ext_sim_search")
     # the intended shape: tiny query side broadcast against one corpus scan
