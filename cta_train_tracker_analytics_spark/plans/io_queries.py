@@ -221,6 +221,43 @@ def snk_keyed_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest_state(ev, ["user_id"], "ts", tiebreak="event_id")
 
 
+@query(
+    "job_compact_day",
+    oracle="""
+    SELECT event_id, user_id, value FROM events
+    WHERE CAST(ts AS DATE) = DATE '2024-01-05'
+    """,
+)
+def job_compact_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §3.3 daily compaction job end-to-end (bucket_raw_data.py:76-117):
+    one day of raw JSONL → Hive-partitioned parquet via dynamic partition
+    overwrite → partition-pruned read-back of that day."""
+    import datetime as dt
+
+    from ..jobs.compact import compact_day
+    from ..sources.jsonl import date_path
+
+    day = dt.date(2024, 1, 5)
+    root = _scratch("job_compact_day", sf_dir)
+    raw, curated = f"{root}/raw", f"{root}/processed"
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    day_events = (
+        load(spark, sf_dir, "events")
+        .filter(F.to_date("ts") == F.lit(day))
+        .select("event_id", "user_id", "value")
+    )
+    write_jsonl(day_events, date_path(raw, day.year, day.month, day.day))
+    compact_day(spark, raw, curated, day, schema)
+    back = spark.read.parquet(curated).filter(F.col("load_date") == F.lit(day))
+    return back.select("event_id", "user_id", "value")
+
+
 # --------------------------------------------------------------------------
 # §2.2 projections / filters (fixture-driven, golden-row oracles)
 # --------------------------------------------------------------------------

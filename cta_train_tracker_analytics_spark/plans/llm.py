@@ -136,6 +136,45 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified_jaccard_pairs(cand, tok, threshold=0.7)
 
 
+@query("ext_dedup_minhash_mllib")
+def ext_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib flavor of MinHash near-dup (SURVEY §2.11's named primitive):
+    HashingTF token vectors → MinHashLSH.approxSimilarityJoin. Seeded, so
+    deterministic per Spark version — but the hash family is JVM-internal,
+    so this runs under the rows-only check; exact oracle parity is carried
+    by ext_dedup_minhash (the portable-hash implementation)."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    from ..functions.text import tokens as tokens_expr
+
+    # trigram shingle ARRAYS (same unit as ext_dedup_minhash — unigrams on a
+    # small-vocab corpus make 'similar' quadratic)
+    ts = tokens_expr(F.col("text"))
+    shingles = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(ts) - 3, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(ts, i + 1, 3)),
+        ),
+        lambda s: F.size(F.split(s, " ")) == 3,
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id"), shingles.alias("toks")
+    )
+    tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(docs).filter(F.size("toks") > 0)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.3, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("id_a"),
+            F.col("datasetB.doc_id").alias("id_b"),
+            F.round(1 - F.col("jaccard_dist"), 4).alias("jaccard"),
+        )
+    )
+
+
 @query(
     "ext_dedup_simhash",
     oracle=f"""

@@ -80,6 +80,38 @@ def flagship_region_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sql_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-06-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark SQL text API surface (TPC-H Q1 shape): temp views +
+    spark.sql — same Catalyst plan as the DataFrame path, proving both
+    front-ends hit identical semantics."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               CAST(count(*) AS BIGINT) AS count_order
+        FROM lineitem_v
+        WHERE l_shipdate <= TIMESTAMP_NTZ '2024-06-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
 # --------------------------------------------------------------------------
 # §2.3 joins
 # --------------------------------------------------------------------------

@@ -56,6 +56,9 @@ def get_spark(
         # cluster deploy tunes it consciously rather than by accident.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.ui.enabled", "false")
+        # keep catalog metadata out of the repo working dir (bucketed-table
+        # data always carries an explicit path; this covers the warehouse)
+        .config("spark.sql.warehouse.dir", "/tmp/cta_spark_warehouse")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
     )
     for k, v in (extra_conf or {}).items():
