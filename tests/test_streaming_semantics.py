@@ -1,0 +1,59 @@
+"""Watermark late-data semantics — the policy SURVEY §2.9 str_dedup_late
+formalizes: records arriving after the cutoff are dropped, duplicates
+within the watermark are deduped, and state does not regrow unboundedly.
+
+Uses a checkpointed FILE sink (resumable across drains, unlike the memory
+sink) and two availableNow drains to create a genuine multi-batch timeline.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+def _write(spark, rows, path, mode):
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    df.coalesce(1).write.mode(mode).parquet(path)
+
+
+def _drain(spark, src_dir, out_dir, cp_dir):
+    src = spark.readStream.schema("k string, ts timestamp").parquet(src_dir)
+    deduped = src.withWatermark("ts", "10 minutes").dropDuplicates(["k", "ts"])
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", cp_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_watermark_drops_late_rows_and_dups(spark, tmp_path):
+    src, out, cp = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "cp")
+    t = lambda h, m: dt.datetime(2025, 1, 1, h, m)
+
+    # batch 1: two events; watermark advances to 11:00 - 10min = 10:50
+    _write(spark, [Row(k="a", ts=t(10, 0)), Row(k="a", ts=t(11, 0))], src, "overwrite")
+    _drain(spark, src, out, cp)
+
+    # batch 2 against the same checkpoint:
+    #  - (a, 10:00)  duplicate AND below watermark → dropped
+    #  - (b, 10:05)  new but below watermark      → dropped (late-data policy)
+    #  - (a, 11:05)  on time                      → emitted
+    _write(
+        spark,
+        [Row(k="a", ts=t(10, 0)), Row(k="b", ts=t(10, 5)), Row(k="a", ts=t(11, 5))],
+        src,
+        "append",
+    )
+    _drain(spark, src, out, cp)
+
+    got = {
+        (r["k"], r["ts"]) for r in spark.read.parquet(out).collect()
+    }
+    assert got == {("a", t(10, 0)), ("a", t(11, 0)), ("a", t(11, 5))}
