@@ -84,6 +84,66 @@ def topk_cosine(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Coarse quantization: each vector → its nearest centroid (cosine,
+    ties broken by centroid id). Centroids broadcast; one corpus scan."""
+    c = F.broadcast(
+        centroids.select(F.col("cent_id"), F.col("c_vec"))
+    )
+    scored = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).crossJoin(
+        c
+    ).select(
+        "id", "vec", "cent_id", cosine(F.col("vec"), F.col("c_vec")).alias("cs")
+    )
+    w = Window.partitionBy("id").orderBy(F.col("cs").desc(), F.col("cent_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("id", "vec", F.col("cent_id").alias("cell"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: search only the query's centroid cell.
+
+    Scale path for similarity search: assignment is one broadcast pass, the
+    search join is an equi-join on the cell id — per-query work shrinks by
+    the cell count (nprobe=1 here; add neighboring cells for higher recall).
+    """
+    assigned = ivf_assign(spread(corpus), centroids, id_col, vec_col)
+    q_assigned = ivf_assign(queries, centroids, id_col, vec_col).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("q_vec"), "cell"
+    )
+    cand = q_assigned.join(assigned, "cell").select(
+        "query_id",
+        F.col("id").alias("vec_id"),
+        cosine(F.col("q_vec"), F.col("vec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("cos_sim", 4).alias("cos_sim"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
 def projection_planes(dims: int, planes: int = LSH_PLANES) -> list[list[float]]:
     """Deterministic integer-valued hyperplanes: coef[p][d] from the shared
     LCG — exactly representable doubles, reproducible in SQL."""

@@ -26,7 +26,7 @@ from ..operators.dedup import (
     verified_jaccard_pairs,
 )
 from ..operators.multimodal import attach_binary, decode_features
-from ..operators.similarity import lsh_bucketed_pairs, topk_cosine
+from ..operators.similarity import ivf_topk, lsh_bucketed_pairs, topk_cosine
 from .registry import query
 
 #: shared oracle CTE: distinct (id, tok) whitespace tokens per document.
@@ -311,6 +311,53 @@ def ext_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return topk_cosine(emb, queries, k=10)
+
+
+@query(
+    "ext_sim_search_ivf",
+    oracle="""
+    WITH cent AS (SELECT vec_id AS cent_id, embedding AS c FROM embeddings
+                  WHERE vec_id < 8),
+    terms0 AS (SELECT e.vec_id, cent.cent_id, unnest(e.embedding)::DOUBLE AS v,
+                      unnest(cent.c)::DOUBLE AS w
+               FROM embeddings e CROSS JOIN cent),
+    cos0 AS (SELECT vec_id, cent_id,
+                    sum(v * w) / (sqrt(sum(v * v)) * sqrt(sum(w * w))) AS cs
+             FROM terms0 GROUP BY vec_id, cent_id),
+    assign AS (SELECT vec_id, cent_id AS cell FROM cos0
+               QUALIFY row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cs DESC, cent_id) = 1),
+    q AS (SELECT a.vec_id AS query_id, a.cell, e.embedding AS qe
+          FROM assign a JOIN embeddings e USING (vec_id) WHERE a.vec_id < 5),
+    cand AS (SELECT q.query_id, q.qe, e2.vec_id, e2.embedding AS ce
+             FROM q JOIN assign a2 ON a2.cell = q.cell
+             JOIN embeddings e2 ON e2.vec_id = a2.vec_id),
+    terms AS (SELECT query_id, vec_id, unnest(qe)::DOUBLE AS qa,
+                     unnest(ce)::DOUBLE AS cb
+              FROM cand),
+    s AS (SELECT query_id, vec_id,
+                 sum(qa * cb) / (sqrt(sum(qa * qa)) * sqrt(sum(cb * cb))) AS cs
+          FROM terms GROUP BY query_id, vec_id)
+    SELECT query_id, vec_id, round(cs, 4) AS cos_sim,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, vec_id)
+                AS BIGINT) AS rnk
+    FROM s QUALIFY rnk <= 10
+    """,
+)
+def ext_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate nearest neighbor — the corpus is coarse-
+    quantized into 8 centroid cells (broadcast assignment pass), and each
+    query searches only its own cell via an equi-join on the cell id. The
+    scale path when the query set is too large to broadcast-scan the whole
+    corpus (nprobe=1; recall tunes by probing neighbor cells). Centroids
+    here are the first 8 vectors — deterministic; production k-means fits
+    them offline."""
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries, centroids, k=10)
 
 
 @query(

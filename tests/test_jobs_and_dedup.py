@@ -111,6 +111,29 @@ def test_topk_cosine_self_is_nearest(spark):
     assert top == {0: 0, 1: 1}
 
 
+def test_ivf_topk_searches_within_cell(spark):
+    """Two well-separated clusters: each query's neighbors come from its own
+    cell only."""
+    from cta_train_tracker_analytics_spark.operators.similarity import ivf_topk
+
+    rows = [
+        Row(vec_id=0, embedding=[10.0, 0.0, 0.1, 0.0]),   # cluster A centroid
+        Row(vec_id=1, embedding=[0.0, 10.0, 0.0, 0.1]),   # cluster B centroid
+        Row(vec_id=2, embedding=[9.0, 0.2, 0.0, 0.0]),    # A member
+        Row(vec_id=3, embedding=[0.1, 9.5, 0.0, 0.0]),    # B member
+        Row(vec_id=4, embedding=[8.0, 0.0, 0.3, 0.0]),    # A member
+    ]
+    emb = spark.createDataFrame(rows)
+    centroids = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
+    )
+    queries = emb.filter(F.col("vec_id") == 2)
+    out = ivf_topk(emb, queries, centroids, k=10).collect()
+    returned = {r["vec_id"] for r in out}
+    assert returned == {0, 2, 4}  # cluster A only; B's vectors never scanned
+    assert [r["vec_id"] for r in sorted(out, key=lambda r: r["rnk"])][0] == 2  # self first
+
+
 def test_lsh_bucketed_pairs_finds_identical_vectors(spark):
     rows = [
         Row(vec_id=1, embedding=[1.0, 2.0, 3.0, 4.0]),
