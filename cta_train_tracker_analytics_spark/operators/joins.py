@@ -36,14 +36,20 @@ from pyspark.sql import types as T
 __all__ = ["asof_join", "range_join"]
 
 
-def _epoch_us(col: Column) -> Column:
-    """Microseconds since epoch, timezone-independent for NTZ inputs.
+def _epoch_us(col: Column, dtype: T.DataType) -> Column:
+    """Microseconds since epoch, timezone-independent.
 
-    ``unix_micros(cast(x as timestamp))`` would shift by the session zone for
-    TIMESTAMP_NTZ columns; diffing two NTZ values does not.
+    Timestamp-family input → NTZ-to-NTZ diff (``unix_micros(cast(x as
+    timestamp))`` would shift with the session zone; diffing two NTZ values
+    does not). Integer input is interpreted as epoch SECONDS (the common
+    epoch-column convention) — numeric types cannot cast to TIMESTAMP_NTZ.
     """
+    if isinstance(dtype, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        return col.cast("bigint") * F.lit(1_000_000)
     ntz = col.cast("timestamp_ntz")
-    return F.timestamp_diff("MICROSECOND", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), ntz)
+    return F.timestamp_diff(
+        "MICROSECOND", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), ntz
+    )
 
 
 def asof_join(
@@ -119,8 +125,10 @@ def asof_join(
 
     out = carried.filter(F.col("__side") == left_side)
     if tolerance_seconds is not None:
+        ts_type = left.schema[left_ts].dataType
         in_tol = (
-            _epoch_us(F.col("__ts")) - _epoch_us(F.col("__r.__match_ts"))
+            _epoch_us(F.col("__ts"), ts_type)
+            - _epoch_us(F.col("__r.__match_ts"), right.schema[right_ts].dataType)
             <= F.lit(int(tolerance_seconds) * 1_000_000)
         )
         out = out.withColumn("__r", F.when(in_tol, F.col("__r")))
@@ -168,8 +176,13 @@ def range_join(
     by = list(by)
     w = int(bucket_seconds) * 1_000_000
 
+    # lo/hi are expressions over `intervals`; their time family is taken from
+    # point_ts's declared type (mixed families are unsupported).
+    ts_type = points.schema[point_ts].dataType
     iv0 = intervals.withColumn("__iv_id", F.monotonically_increasing_id())
-    iv = iv0.withColumn("__lo_e", _epoch_us(lo)).withColumn("__hi_e", _epoch_us(hi))
+    iv = iv0.withColumn("__lo_e", _epoch_us(lo, ts_type)).withColumn(
+        "__hi_e", _epoch_us(hi, ts_type)
+    )
     # Guard: refuse intervals so wide the bucket explode would blow up rows
     # (unbounded sequence() would multiply the interval side arbitrarily).
     max_buckets = 10_000
@@ -186,7 +199,7 @@ def range_join(
         "__bucket",
         F.explode(F.sequence(F.expr(f"__lo_e div {w}"), F.col("__hi_div"))),
     )
-    pt = points.withColumn("__pt_e", _epoch_us(F.col(point_ts))).withColumn(
+    pt = points.withColumn("__pt_e", _epoch_us(F.col(point_ts), ts_type)).withColumn(
         "__bucket", F.expr(f"__pt_e div {w}")
     )
 
