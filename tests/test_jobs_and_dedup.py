@@ -58,6 +58,37 @@ def test_compact_day_roundtrip(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(load_date" in pruned._jdf.queryExecution().executedPlan().toString() or pruned.count() == 2
 
 
+def test_retention_expires_old_partitions(spark, tmp_path):
+    """3-day lifecycle (main.tf:166-189): partitions/day-dirs older than the
+    window are dropped; newer ones survive and stay readable."""
+    from cta_train_tracker_analytics_spark.jobs.retention import (
+        expire_partitions,
+        expire_raw_days,
+    )
+
+    curated = tmp_path / "processed"
+    records = spark.createDataFrame([("x", "0")], SCHEMA)
+    for d in ["2025-06-20", "2025-06-24", "2025-06-25"]:
+        records.withColumn("load_date", F.lit(d).cast("date")).write.mode(
+            "append"
+        ).partitionBy("load_date").parquet(str(curated))
+    today = dt.date(2025, 6, 25)
+    dropped = expire_partitions(str(curated), keep_days=3, today=today)
+    assert dropped == ["load_date=2025-06-20"]
+    back = spark.read.parquet(str(curated))
+    assert {str(r[0]) for r in back.select("load_date").distinct().collect()} == {
+        "2025-06-24", "2025-06-25",
+    }
+
+    raw = tmp_path / "raw"
+    for day in ["2025/06/20", "2025/06/25"]:
+        p = raw / day
+        p.mkdir(parents=True)
+        (p / "f.json").write_text("{}\n")
+    assert expire_raw_days(str(raw), keep_days=3, today=today) == ["2025/06/20"]
+    assert (raw / "2025/06/25" / "f.json").exists()
+
+
 _DOCS = [
     (0, "the quick brown fox jumps over the lazy dog near the river bank"),
     (1, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 0
