@@ -39,8 +39,14 @@ __all__ = [
 
 
 def composite_key(*parts: Column | str, sep: str = "#") -> Column:
-    """``date#line#rn#trDr``-style key (get_train_status.py:113)."""
-    return F.concat_ws(sep, *[F.col(p) if isinstance(p, str) else p for p in parts])
+    """``date#line#rn#trDr``-style key (get_train_status.py:113).
+
+    NULL parts become empty segments with separators KEPT — bare concat_ws
+    drops null parts *and their separators*, silently shifting key arity
+    (``d#line`` vs ``d#line##``), which corrupts any downstream equi-join on
+    the key. Found by the flatten property fuzzer."""
+    cols = [F.col(p) if isinstance(p, str) else p for p in parts]
+    return F.concat_ws(sep, *[F.coalesce(c.cast("string"), F.lit("")) for c in cols])
 
 
 def fmt_date(col: Column) -> Column:

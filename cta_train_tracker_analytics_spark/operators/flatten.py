@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.scalars import composite_key
 from ..session import CHICAGO_TZ
 
 __all__ = ["flatten_positions", "require_trigger_params", "chicago_now"]
@@ -118,8 +119,7 @@ def flatten_positions(
     )
 
     return exploded.select(
-        F.concat_ws(
-            "#",
+        composite_key(
             observed_date,
             F.col("train_line"),
             F.col("train.rn"),
