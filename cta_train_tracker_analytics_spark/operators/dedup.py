@@ -106,7 +106,13 @@ def minhash_candidate_pairs(sig: DataFrame) -> DataFrame:
     """LSH banding: equal (band, band-signature) → candidate pair. The join
     key is the md5 of the band's ordered "ii:mh" strings (identical to the
     oracle's string_agg ORDER BY i), so buckets are equi-joinable strings.
-    Returns distinct (id_a, id_b), id_a < id_b."""
+    Returns distinct (id_a, id_b), id_a < id_b.
+
+    Scale note: a family of k EXACT duplicates shares every band → one
+    bucket of size k → k² candidate pairs. On corpora with massive dup
+    families, run ``exact_dedup`` first and LSH only the unique survivors —
+    the standard two-stage pipeline. AQE skew-join handles moderate
+    bucket skew."""
     rows_per_band = MINHASH_K // MINHASH_BANDS
     band_structs = []
     for band in range(MINHASH_BANDS):

@@ -24,7 +24,13 @@ from pyspark.sql import functions as F
 
 from ..data import load
 from ..operators.joins import asof_join, range_join
-from ..operators.windows import latest_state, rank_topk
+from ..operators.windows import (
+    lag_gap_seconds,
+    latest_state,
+    rank_topk,
+    rolling_range_frame,
+    running_agg,
+)
 from .registry import query
 
 _EPOCH = "1970-01-01 00:00:00"
@@ -425,9 +431,8 @@ def win_lag_headway(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Headway: microseconds since the key's previous event (SURVEY §2.5).
     NTZ-to-NTZ diff — timezone-independent epoch math."""
     ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return ev.withColumn(
-        "gap_us", _epoch_us(F.col("ts")) - _epoch_us(F.lag("ts").over(w))
+    return lag_gap_seconds(
+        ev, ["user_id"], "ts", gap_name="gap_us", tiebreak="event_id", unit="us"
     )
 
 
@@ -446,13 +451,11 @@ def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running count over the event order — 'running delay count over the
     service day' (SURVEY §2.5). Integer accumulation: exact, order-stable."""
     ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     flag = F.when(F.col("event_type") == "error", 1).otherwise(0)
-    return ev.withColumn("n_errors_so_far", F.sum(flag).over(w).cast("bigint")).drop(
+    out = running_agg(
+        ev, ["user_id"], "ts", flag, agg_name="n_errors_so_far", tiebreak="event_id"
+    )
+    return out.withColumn("n_errors_so_far", F.col("n_errors_so_far").cast("bigint")).drop(
         "event_type"
     )
 
@@ -498,12 +501,10 @@ def win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 15-minute event count per key — a true RANGE frame over epoch
     microseconds, so equal timestamps enter the frame together."""
     ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(_epoch_us(F.col("ts")))
-        .rangeBetween(-900 * 1_000_000, 0)
+    out = rolling_range_frame(
+        ev, ["user_id"], "ts", F.lit(1), preceding_seconds=900, agg_name="n_15m"
     )
-    return ev.withColumn("n_15m", F.count(F.lit(1)).over(w).cast("bigint")).drop("ts")
+    return out.withColumn("n_15m", F.col("n_15m").cast("bigint")).drop("ts")
 
 
 # --------------------------------------------------------------------------
