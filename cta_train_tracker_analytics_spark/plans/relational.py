@@ -33,15 +33,6 @@ from ..operators.windows import (
 )
 from .registry import query
 
-_EPOCH = "1970-01-01 00:00:00"
-
-
-def _epoch_us(col):
-    return F.timestamp_diff(
-        "MICROSECOND", F.lit(_EPOCH).cast("timestamp_ntz"), col.cast("timestamp_ntz")
-    )
-
-
 # --------------------------------------------------------------------------
 # flagship — scan + broadcast dim join + shuffled join + agg + having in one
 # --------------------------------------------------------------------------
