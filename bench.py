@@ -44,11 +44,16 @@ HEADLINE = [
     "win_frame_range",
     "sort_limit_topk",
     "set_union_all",
+    "agg_salted_skew",
+    "join_bucketed_colocated",
+    "sql_pricing_summary",
     "ext_dedup_exact",
     "ext_dedup_minhash",
+    "ext_dedup_embed",
     "ext_text_stats",
     "ext_quality_filter",
     "ext_sim_search",
+    "ext_sim_search_ivf",
     "ext_multimodal_cols",
 ]
 
