@@ -232,6 +232,43 @@ def ngram_candidate_pairs(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 8,
+    w: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme): hash every k-char
+    gram with the portable 60-bit hash, keep the minimum of each w-length
+    sliding window, distinct per document → (id, fp) rows. Sharing an fp
+    value is the blocking key for partial-overlap detection.
+
+    Plan shape: explode gram positions (each gram hashed exactly ONCE),
+    sliding-window min via a RANGE frame over the position — a nested
+    array `transform` would re-evaluate the whole hash array per window
+    (measured O(n·w) md5 blowup, 140s → ~2s on 50 docs)."""
+    text = F.lower(F.trim(F.col(text_col)))
+    base = spread(df, id_col).select(
+        F.col(id_col).alias("id"),
+        text.alias("__t"),
+        F.greatest(F.length(text) - (k - 1), F.lit(0)).alias("__ng"),
+    )
+    grams = base.select(
+        "id",
+        "__ng",
+        F.explode(F.sequence(F.lit(1), F.col("__ng"))).alias("pos"),
+        "__t",
+    ).select(
+        "id", "__ng", "pos", hash60(F.col("__t").substr(F.col("pos"), F.lit(k))).alias("h")
+    )
+    win = Window.partitionBy("id").orderBy("pos").rangeBetween(0, w - 1)
+    mins = grams.withColumn("fp", F.min("h").over(win)).filter(
+        F.col("pos") <= F.col("__ng") - (w - 1)
+    )
+    return mins.select("id", "fp").distinct()
+
+
 def latest_fingerprint_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Normalized-fingerprint dedup: groups by the whitespace/case-normalized
     md5 fingerprint, keeps the lowest id."""

@@ -16,7 +16,12 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..data import load
-from ..functions.text import bpe_ish_token_count, fingerprint, quality_features, token_count
+from ..functions.text import (
+    bpe_ish_token_count,
+    fingerprint,
+    quality_features,
+    token_count,
+)
 from ..operators.dedup import (
     doc_shingles,
     exact_dedup,
@@ -24,6 +29,7 @@ from ..operators.dedup import (
     minhash_signatures,
     simhash16,
     verified_jaccard_pairs,
+    winnow_fingerprints,
 )
 from ..operators.multimodal import attach_binary, decode_features
 from ..operators.similarity import ivf_topk, lsh_bucketed_pairs, topk_cosine
@@ -84,6 +90,51 @@ def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy(fingerprint(F.col("text")).alias("fp")).agg(
         F.min("doc_id").cast("bigint").alias("keep_doc_id"),
         F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+    )
+
+
+@query(
+    "ext_fingerprint_winnow",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id, lower(trim(text)) AS t,
+               greatest(length(lower(trim(text))) - 7, 0) AS ng
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id, ng,
+               list_transform(
+                   generate_series(1, ng),
+                   i -> ('0x' || substr(md5(substr(t, i, 8)), 1, 15))::BIGINT
+               ) AS gh
+        FROM g
+    ),
+    fp AS (
+        SELECT doc_id,
+               list_distinct(
+                   list_transform(
+                       generate_series(1, greatest(ng - 15, 0)),
+                       j -> list_min(gh[j:j + 15])
+                   )
+               ) AS fps
+        FROM h
+    )
+    SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+           CAST(list_min(fps) AS BIGINT) AS min_fp
+    FROM fp
+    """,
+)
+def ext_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprints: rolling k-gram hashes, min per
+    sliding window, distinct — the position-robust fingerprint set that
+    catches partial content overlap, unlike whole-document hashing.
+    Explode + RANGE-window plan so each gram hashes exactly once; sharing a
+    fingerprint value is the blocking key for overlap detection at scale."""
+    docs = load(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(docs, k=8, w=16)
+    return fps.groupBy(F.col("id").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fp"),
+        F.min("fp").cast("bigint").alias("min_fp"),
     )
 
 
