@@ -526,6 +526,37 @@ def ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ext_chunk_text",
+    oracle="""
+    WITH c AS (
+        SELECT doc_id,
+               generate_subscripts(generate_series(0, (length(text) - 1) // 150), 1) - 1
+                   AS chunk_id,
+               unnest(list_transform(
+                   generate_series(0, (length(text) - 1) // 150),
+                   i -> substr(text, i * 150 + 1, 200))) AS chunk
+        FROM documents
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, chunk FROM c
+    """,
+)
+def ext_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for training pipelines via a Spark 4 Python UDTF
+    (size 200 / stride 150 overlapping character windows) — lateral
+    correlated table function over the corpus. The UDTF is the seam where
+    tokenizer-aware chunkers mount; this arithmetic version stays
+    oracle-checkable."""
+    from ..functions.udtfs import ChunkText
+
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents_v")
+    spark.udtf.register("chunk_text", ChunkText)
+    return spark.sql(
+        "SELECT c.doc_id, c.chunk_id, c.chunk "
+        "FROM documents_v d, LATERAL chunk_text(d.doc_id, d.text) c"
+    )
+
+
+@query(
     "ext_multimodal_cols",
     oracle="""
     SELECT doc_id,
