@@ -50,6 +50,8 @@ HEADLINE = [
     "ext_dedup_exact",
     "ext_dedup_minhash",
     "ext_dedup_embed",
+    "ext_fingerprint_winnow",
+    "ext_chunk_text",
     "ext_text_stats",
     "ext_quality_filter",
     "ext_sim_search",
