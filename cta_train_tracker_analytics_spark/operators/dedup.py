@@ -11,7 +11,7 @@ quadratic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .util import spread
@@ -33,6 +33,8 @@ __all__ = [
     "simhash16",
     "ngram_candidate_pairs",
     "verified_jaccard_pairs",
+    "group_star_edges",
+    "connected_components",
 ]
 
 
@@ -267,6 +269,76 @@ def winnow_fingerprints(
         F.col("pos") <= F.col("__ng") - (w - 1)
     )
     return mins.select("id", "fp").distinct()
+
+
+def group_star_edges(df: DataFrame, key: Column, id_col: str = "doc_id") -> DataFrame:
+    """Star edges for one dedup signal: every doc links to the MIN id of its
+    signal group — (id, root) with id > root only. Linear in |docs|: a group
+    of k duplicates yields k−1 edges, never the k² pair blow-up of emitting
+    all within-group pairs. The star representation is exactly what the
+    connected-components pass below consumes."""
+    w = Window.partitionBy("__k")
+    return (
+        df.select(F.col(id_col).alias("id"), key.alias("__k"))
+        .withColumn("root", F.min("id").over(w))
+        .filter(F.col("id") != F.col("root"))
+        .select("id", "root")
+    )
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components by iterative min-label propagation:
+    label(v) ← min(label(v), min over neighbors' labels) until fixpoint.
+    Input: undirected edges (id, root); output (id, label) for every node
+    that appears in an edge — isolated nodes are their own component and can
+    be restored with a left join downstream.
+
+    Each iteration is one shuffled join + one hash aggregate, with
+    ``localCheckpoint`` truncating the plan lineage so iteration N's DAG does
+    not replay iterations 1..N−1 (unbounded lineage is the classic iterative-
+    Spark failure at scale). Convergence needs O(diameter) rounds; dedup
+    graphs built from star edges have tiny diameters (≤ 2 per signal, so a
+    handful of rounds even when signals chain). For adversarial long-path
+    graphs the doubling variant (large-star/small-star, Kiveris et al.) drops
+    rounds to O(log n) — same join shape, documented here as the scale-out
+    upgrade path."""
+    sym = edges.select(F.col("id").alias("src"), F.col("root").alias("dst")).union(
+        edges.select(F.col("root").alias("src"), F.col("id").alias("dst"))
+    )
+    sym = sym.distinct().localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+            .withColumnRenamed("src", "id")
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "id")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
 
 
 def latest_fingerprint_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -7,8 +7,8 @@ partition — the schema, partitioning, and batch plumbing here are the real
 thing; only the codec is stubbed.
 
 The decode stub is DETERMINISTIC (byte arithmetic), so the Spark-side
-pipeline is oracle-checkable end-to-end; a real deployment swaps
-``_decode_batch``'s body for PIL/ffmpeg calls — the container ships neither
+pipeline is oracle-checkable end-to-end; a real deployment swaps the
+closure's body for PIL/ffmpeg calls — the container ships neither
 (environment constraint), and ``decode_features(..., real_codec=True)``
 raises NotImplementedError to mark exactly that seam.
 """
@@ -53,27 +53,16 @@ def attach_binary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Deterministic stand-in for a codec: features from raw bytes."""
-    data = pdf["data"]
-    n_bytes = data.map(len).astype("int64")
-    first = data.map(lambda b: b[0] if len(b) else 0).astype("int64")
-    return pd.DataFrame(
-        {
-            "doc_id": pdf["doc_id"].astype("int64"),
-            "n_bytes": n_bytes,
-            "first_byte": first,
-            "width": (n_bytes % 640).astype("int64"),
-            "height": (n_bytes % 480).astype("int64"),
-        }
-    )
-
-
 def decode_features(media: DataFrame, real_codec: bool = False) -> DataFrame:
     """mapInPandas decode: binary → feature rows, one Arrow batch at a time.
 
     ``real_codec=True`` is the seam where PIL/torchaudio/ffmpeg would mount;
-    unavailable in this environment by design."""
+    unavailable in this environment by design.
+
+    The batch function is a self-contained closure on purpose: cloudpickle
+    ships it BY VALUE to executor Python workers, so the engine package does
+    not need to be importable on the worker side (the external driver may
+    run from any cwd, without this repo on the workers' PYTHONPATH)."""
     if real_codec:
         raise NotImplementedError(
             "real media codecs are not installed in this environment; "
@@ -81,7 +70,20 @@ def decode_features(media: DataFrame, real_codec: bool = False) -> DataFrame:
         )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
         for pdf in batches:
-            yield _decode_batch(pdf)
+            data = pdf["data"]
+            n_bytes = data.map(len).astype("int64")
+            first = data.map(lambda b: b[0] if len(b) else 0).astype("int64")
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_bytes": n_bytes,
+                    "first_byte": first,
+                    "width": (n_bytes % 640).astype("int64"),
+                    "height": (n_bytes % 480).astype("int64"),
+                }
+            )
 
     return media.select("doc_id", "data").mapInPandas(gen, FEATURE_SCHEMA)

@@ -11,7 +11,7 @@ approximate LSH pipelines hash-match exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -22,9 +22,12 @@ from ..functions.text import (
     quality_features,
     token_count,
 )
+from ..functions.text import hash60, token_count
 from ..operators.dedup import (
+    connected_components,
     doc_shingles,
     exact_dedup,
+    group_star_edges,
     minhash_candidate_pairs,
     minhash_signatures,
     simhash16,
@@ -553,6 +556,194 @@ def ext_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT c.doc_id, c.chunk_id, c.chunk "
         "FROM documents_v d, LATERAL chunk_text(d.doc_id, d.text) c"
+    )
+
+
+@query(
+    "ext_dedup_cluster",
+    oracle=f"""
+    WITH RECURSIVE {_TOK_CTE},
+    h AS (SELECT id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM tok),
+    perbit AS (SELECT id, j, sum(CASE WHEN (hv >> j) % 2 = 1 THEN 1 ELSE -1 END) AS s
+               FROM h CROSS JOIN generate_series(0, 15) g(j) GROUP BY id, j),
+    sh AS (SELECT id,
+                  sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+           FROM perbit GROUP BY id),
+    fp AS (SELECT doc_id AS id,
+                  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+           FROM documents),
+    e1 AS (SELECT id, min(id) OVER (PARTITION BY fp) AS root FROM fp),
+    e2 AS (SELECT id, min(id) OVER (PARTITION BY simhash) AS root FROM sh),
+    edges AS (SELECT id, root FROM e1 WHERE id <> root
+              UNION SELECT id, root FROM e2 WHERE id <> root),
+    sym AS (SELECT id AS src, root AS dst FROM edges
+            UNION SELECT root AS src, id AS dst FROM edges),
+    reach(id, r) AS (SELECT src, src FROM sym
+                     UNION
+                     SELECT s.src, reach.r FROM sym s JOIN reach ON reach.id = s.dst),
+    comp AS (SELECT id, min(r) AS label FROM reach GROUP BY id),
+    lab AS (SELECT d.doc_id, coalesce(c.label, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+    FROM lab
+    """,
+)
+def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER canonicalization — the step real dedup pipelines run
+    after pair discovery: union the per-signal duplicate graphs (normalized
+    fingerprint ∪ 16-bit SimHash here), take connected components, and assign
+    every document the component's min doc_id as its cluster id. Edges are
+    linear star edges (doc → group min), never within-group pairs; components
+    run as iterative min-label propagation with checkpointed lineage
+    (operators/dedup.py:connected_components — large-star/small-star is the
+    O(log n)-round upgrade at adversarial diameters)."""
+    docs = load(spark, sf_dir, "documents")
+    fp_edges = group_star_edges(docs, fingerprint(F.col("text")))
+    sh_edges = group_star_edges(simhash16(docs), F.col("simhash"), id_col="id")
+    labels = connected_components(fp_edges.union(sh_edges))
+    lab = (
+        docs.select("doc_id")
+        .join(labels.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    w = Window.partitionBy("cluster_id")
+    return lab.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
+    )
+
+
+@query(
+    "ext_sample_hash",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5('sample:' || doc_id), 1, 15))::BIGINT % 100
+                   AS bucket
+        FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+           CAST(bucket AS BIGINT) AS bucket
+    FROM b
+    WHERE bucket < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+    """,
+)
+def ext_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based stratified sampling — the reproducible
+    alternative to seeded `sample()`: keep a doc iff its stable content-key
+    hash bucket falls under the stratum's rate (10% of the majority 'en'
+    stratum, 50% of the tail languages → a rebalanced training mix).
+    Map-only and shuffle-free; the same rows survive on every run, every
+    cluster size, every engine — which is what makes training sets
+    auditable."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = hash60(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))) % 100
+    rate = F.when(F.col("lang") == "en", 10).otherwise(50)
+    return (
+        docs.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "lang",
+            bucket.cast("bigint").alias("bucket"),
+        )
+        .filter(F.col("bucket") < rate)
+    )
+
+
+#: portable PII patterns — identical semantics in Java regex and RE2.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+@query(
+    "ext_pii_redact",
+    oracle=f"""
+    WITH enriched AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id || '@example.com or 555-010-' ||
+                   lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                              '{_PHONE_RE}', '[PHONE]', 'g')) AS redacted_md5
+    FROM enriched
+    """,
+)
+def ext_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training corpora: detect + redact email addresses
+    and phone numbers with portable regexes, emit per-doc match counts and
+    the md5 of the redacted text (so the oracle verifies the full redacted
+    content without shipping it). The synthetic corpus carries no PII, so a
+    deterministic contact line derived from doc_id is appended first —
+    every row exercises both patterns. Map-only; at 100 TB this is a pure
+    codegen stage with zero shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    enriched = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-010-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(enriched, _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.regexp_count(enriched, F.lit(_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(enriched, F.lit(_PHONE_RE)).cast("bigint").alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+@query(
+    "snk_training_shards",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('shard:' || doc_id), 1, 15))::BIGINT % 8 AS shard,
+               len(string_split_regex(lower(trim(text)), '\\s+')) AS n_toks
+        FROM documents
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(max(doc_id) AS BIGINT) AS max_doc_id
+    FROM s GROUP BY shard
+    """,
+)
+def snk_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard writer: every doc lands in
+    hash(doc_id) % 8 — a stable pseudo-random shuffle that decorrelates
+    adjacent docs (the training-data analog of `ORDER BY hash`), written as
+    Hive-partitioned parquet and read back for verification. At scale:
+    `repartition(n, shard)` aligns Spark partitions with output shards so
+    each file is written by exactly one task — no small-file explosion, no
+    driver collect."""
+    from .io_queries import _scratch
+
+    docs = load(spark, sf_dir, "documents")
+    shard = hash60(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))) % 8
+    sharded = docs.select(
+        "doc_id", "text", shard.cast("bigint").alias("shard")
+    ).repartition(8, "shard")
+    path = _scratch("snk_training_shards", sf_dir)
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy(F.col("shard").cast("bigint").alias("shard")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("bigint").alias("n_tokens"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        F.max("doc_id").cast("bigint").alias("max_doc_id"),
     )
 
 

@@ -254,17 +254,28 @@ _STATE = T.StructType(
 )
 
 
-def _running_state(
-    key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    n, mx = state.get if state.exists else (0, None)
-    for pdf in pdfs:
-        n += len(pdf)
-        if len(pdf):
-            m = float(pdf["value"].max())
-            mx = m if mx is None else max(mx, m)
-    state.update((n, mx))
-    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "max_value": [mx]})
+def _make_running_state():
+    """Build the applyInPandasWithState function as a CLOSURE so cloudpickle
+    serializes it by value — executor Python workers never need this package
+    on their PYTHONPATH (the external driver may run from any cwd)."""
+
+    def running_state(
+        key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        n, mx = state.get if state.exists else (0, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                m = float(pdf["value"].max())
+                mx = m if mx is None else max(mx, m)
+        state.update((n, mx))
+        yield _pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+        )
+
+    return running_state
 
 
 _TWS_OUT = T.StructType(
@@ -367,7 +378,7 @@ def str_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).select("user_id", "value")
     src = parquet_stream(spark, ev, src_dir)
     result = src.groupBy("user_id").applyInPandasWithState(
-        _running_state,
+        _make_running_state(),
         outputStructType=_STATE_OUT,
         stateStructType=_STATE,
         outputMode="update",

@@ -173,3 +173,33 @@ def test_lsh_bucketed_pairs_finds_identical_vectors(spark):
     ]
     out = lsh_bucketed_pairs(spark.createDataFrame(rows), dims=4, threshold=0.9).collect()
     assert [(r["id_a"], r["id_b"], r["cos_sim"]) for r in out] == [(1, 2, 1.0)]
+
+
+def test_connected_components_chains_across_signals(spark):
+    """Transitivity: A~B via one signal, B~C via another → one cluster.
+    Star edges (doc → group min) are enough for the closure to find it."""
+    from cta_train_tracker_analytics_spark.operators.dedup import (
+        connected_components,
+        group_star_edges,
+    )
+
+    # signal 1 groups {1,2} and {3,4}; signal 2 groups {2,3} → all one component
+    df = spark.createDataFrame(
+        [Row(doc_id=i, s1=a, s2=b) for i, a, b in [
+            (1, "x", "p"), (2, "x", "q"), (3, "y", "q"), (4, "y", "r"),
+            (5, "z", "s"),  # isolated: unique in both signals
+        ]]
+    )
+    edges = group_star_edges(df, F.col("s1")).union(group_star_edges(df, F.col("s2")))
+    labels = {r["id"]: r["label"] for r in connected_components(edges).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1}  # 5 has no edges → not in output
+
+
+def test_group_star_edges_linear_not_quadratic(spark):
+    """A k-duplicate group emits k-1 edges, not k*(k-1)/2 pairs."""
+    from cta_train_tracker_analytics_spark.operators.dedup import group_star_edges
+
+    df = spark.createDataFrame([Row(doc_id=i, k="same") for i in range(10)])
+    edges = group_star_edges(df, F.col("k")).collect()
+    assert len(edges) == 9
+    assert {r["root"] for r in edges} == {0}
