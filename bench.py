@@ -81,6 +81,10 @@ def main() -> None:
         # query's operators; min measures engine capability, not JIT noise.
         best, n = None, 0
         for _ in range(2):
+            # Each call builds (and may persist) its own DataFrames; clear the
+            # cache between runs so abandoned persists from earlier calls
+            # don't pile up and tax later queries with eviction/GC pressure.
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()
             elapsed = time.perf_counter() - t0
