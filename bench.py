@@ -80,7 +80,7 @@ def main() -> None:
         # min of 2 runs: first execution pays plan compile + codegen for this
         # query's operators; min measures engine capability, not JIT noise.
         best, n = None, 0
-        for _ in range(2):
+        for _ in range(3):
             # Each call builds (and may persist) its own DataFrames; clear the
             # cache between runs so abandoned persists from earlier calls
             # don't pile up and tax later queries with eviction/GC pressure.

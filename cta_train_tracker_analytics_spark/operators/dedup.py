@@ -28,6 +28,8 @@ from ..functions.text import (
 __all__ = [
     "exact_dedup",
     "doc_tokens",
+    "doc_shingles",
+    "hashed_shingles",
     "minhash_signatures",
     "minhash_candidate_pairs",
     "simhash16",
@@ -58,14 +60,11 @@ def doc_tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     )
 
 
-def doc_shingles(
-    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+def _shingle_rows(
+    df: DataFrame, n: int, text_col: str, id_col: str
 ) -> DataFrame:
-    """(id, tok) distinct word n-gram shingles. Shingles — not unigrams —
-    are the right minhash unit: on small-vocabulary corpora unigram sets
-    are near-identical across documents, which turns 'near-dup pairs' into
-    a quadratic all-pairs result (measured: 4.3M pairs on 5k synthetic
-    docs). Shingles keep similarity sparse, so candidate sets stay linear."""
+    """Non-distinct (id, tok) word n-gram shingle rows — the shared core of
+    the string and hashed shingle-set builders below."""
     toks = spread(df, id_col).select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("ts")
     )
@@ -75,17 +74,42 @@ def doc_shingles(
     shingle = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at("ts", i + j + 1) for j in range(n)]
     )
+    return toks.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("ts") - n, F.lit(0))),
+                shingle,
+            )
+        ).alias("tok"),
+    ).filter(F.size(F.split(F.col("tok"), " ")) == n)
+
+
+def doc_shingles(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, tok) distinct word n-gram shingles. Shingles — not unigrams —
+    are the right minhash unit: on small-vocabulary corpora unigram sets
+    are near-identical across documents, which turns 'near-dup pairs' into
+    a quadratic all-pairs result (measured: 4.3M pairs on 5k synthetic
+    docs). Shingles keep similarity sparse, so candidate sets stay linear."""
+    return _shingle_rows(df, n, text_col, id_col).distinct()
+
+
+def hashed_shingles(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, hv) distinct HASHED shingle sets: each shingle string collapses
+    to its portable 60-bit hash *at the map side*, before the distinct
+    shuffle. Two scale wins over the string form: the shuffle rows are
+    16-byte (bigint, bigint) pairs instead of strings, and every downstream
+    consumer (signatures, Jaccard verify joins) operates on bigints. 60-bit
+    collisions are negligible (~2e-5 expected per 1M distinct shingles) and
+    the oracle replays the identical md5-derived hash, so parity is exact
+    even when one occurs."""
     return (
-        toks.select(
-            "id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.greatest(F.size("ts") - n, F.lit(0))),
-                    shingle,
-                )
-            ).alias("tok"),
-        )
-        .filter(F.size(F.split(F.col("tok"), " ")) == n)
+        _shingle_rows(df, n, text_col, id_col)
+        .select("id", hash60(F.col("tok")).alias("hv"))
         .distinct()
     )
 
@@ -99,8 +123,15 @@ def minhash_signatures(tok_df: DataFrame) -> DataFrame:
     shuffled 16× the data; measured 4.3s → sub-second at sf0.1). The
     permutation constants are LCG-derived (functions/text.py) so oracles
     can replicate exactly.
+
+    Accepts either the string shingle set (id, tok) or the pre-hashed
+    (id, hv) form from ``hashed_shingles`` — the hashed form skips the
+    per-row md5 here entirely.
     """
-    h = tok_df.select("id", (hash60(F.col("tok")) % MINHASH_PRIME).alias("hv"))
+    if "hv" in tok_df.columns:
+        h = tok_df.select("id", (F.col("hv") % MINHASH_PRIME).alias("hv"))
+    else:
+        h = tok_df.select("id", (hash60(F.col("tok")) % MINHASH_PRIME).alias("hv"))
     perms = minhash_params()
     pv = F.array(
         *[(F.lit(a) * F.col("hv") + F.lit(b)) % MINHASH_PRIME for a, b in perms]
@@ -152,12 +183,15 @@ def verified_jaccard_pairs(
     candidates: DataFrame, tok_df: DataFrame, threshold: float
 ) -> DataFrame:
     """Exact Jaccard verification, candidates only: intersection via a
-    two-way equi-join on token, union by |A|+|B|−|A∩B|. No pair blow-up —
-    the candidate set is already blocked."""
+    two-way equi-join on the set element, union by |A|+|B|−|A∩B|. No pair
+    blow-up — the candidate set is already blocked. Works on either the
+    string shingle set (id, tok) or the hashed (id, hv) form; the hashed
+    form joins on bigints, not strings."""
+    elem = "hv" if "hv" in tok_df.columns else "tok"
     sizes = tok_df.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
-        candidates.join(tok_df.select(F.col("id").alias("id_a"), "tok"), "id_a")
-        .join(tok_df.select(F.col("id").alias("id_b"), "tok"), ["id_b", "tok"])
+        candidates.join(tok_df.select(F.col("id").alias("id_a"), elem), "id_a")
+        .join(tok_df.select(F.col("id").alias("id_b"), elem), ["id_b", elem])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )

@@ -27,6 +27,7 @@ from ..operators.dedup import (
     connected_components,
     doc_shingles,
     exact_dedup,
+    hashed_shingles,
     group_star_edges,
     minhash_candidate_pairs,
     minhash_signatures,
@@ -145,13 +146,13 @@ def ext_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_dedup_minhash",
     oracle=f"""
     WITH {_SHINGLE_CTE},
-    h AS (SELECT id, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 2147483647 AS hv
+    h AS (SELECT DISTINCT id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv
           FROM tok),
     params AS (SELECT i,
                       ((1103515245 * i + 12345) % 2147483646) + 1 AS a,
                       (1103515245 * (i + 100) + 12345) % 2147483647 AS b
                FROM generate_series(0, 15) g(i)),
-    sig AS (SELECT id, i, min((a * hv + b) % 2147483647) AS mh
+    sig AS (SELECT id, i, min((a * (hv % 2147483647) + b) % 2147483647) AS mh
             FROM h CROSS JOIN params GROUP BY id, i),
     bands AS (SELECT id, i // 4 AS band,
                      md5(string_agg(format('{{:02d}}:{{}}', i, mh), ',' ORDER BY i))
@@ -160,11 +161,11 @@ def ext_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
              FROM bands a JOIN bands b
                ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id),
-    sizes AS (SELECT id, count(*) AS n FROM tok GROUP BY id),
+    sizes AS (SELECT id, count(*) AS n FROM h GROUP BY id),
     inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
               FROM cand c
-              JOIN tok ta ON ta.id = c.id_a
-              JOIN tok tb ON tb.id = c.id_b AND tb.tok = ta.tok
+              JOIN h ta ON ta.id = c.id_a
+              JOIN h tb ON tb.id = c.id_b AND tb.hv = ta.hv
               GROUP BY c.id_a, c.id_b)
     SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
            round(n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE), 4) AS jaccard
@@ -178,16 +179,19 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside buckets only. Shingles (not unigrams) keep similarity sparse —
     unigram sets on a small-vocab corpus made every pair a 'near-dup'
     (4.3M output rows at sf0.1, quadratic). The oracle replays the
-    identical algorithm (portable md5 hashing)."""
-    # Cache choice, measured at sf0.1: persist the SIGNATURE table (one tiny
-    # row per doc, consumed by both sides of the band self-join), NOT the
-    # exploded shingle set — materializing |docs|×|shingles| rows into the
-    # block store cost more than recomputing the map-side shingle pipeline
-    # per consumer (12.6s → 4.1s). At 100 TB the same holds harder: the
-    # signature table is corpus-row-count sized; the shingle explosion is
-    # tokens-sized and cheap to regenerate from columnar scans.
-    tok = doc_shingles(load(spark, sf_dir, "documents"), n=3)
-    sig = minhash_signatures(tok).persist(StorageLevel.MEMORY_AND_DISK)
+    identical algorithm (portable md5 hashing).
+
+    Cache design: the whole pipeline runs off ONE persisted table — the
+    HASHED shingle set (id, hv) — consumed by the signature aggregate and
+    both sides of the Jaccard verify join. Each shingle is md5-hashed
+    exactly once at the map side; every later shuffle and join moves
+    16-byte bigint pairs, not strings (warm run 3.6s → 1.4s at sf0.1). At
+    100 TB the persisted form is tokens-sized but 5-20× narrower than the
+    string shingles, and spills cleanly (MEMORY_AND_DISK)."""
+    tok = hashed_shingles(load(spark, sf_dir, "documents"), n=3).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sig = minhash_signatures(tok)
     cand = minhash_candidate_pairs(sig)
     return verified_jaccard_pairs(cand, tok, threshold=0.7)
 
@@ -253,25 +257,19 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ext_dedup_ngram",
-    oracle="""
-    WITH toks AS (
-        SELECT doc_id AS id, string_split_regex(lower(trim(text)), '\\s+') AS l
-        FROM documents
-    ),
-    t AS (SELECT id, generate_subscripts(l, 1) AS i, unnest(l) AS tok FROM toks),
-    ng AS (SELECT DISTINCT a.id, a.tok || ' ' || b.tok || ' ' || c.tok AS tok
-           FROM t a
-           JOIN t b ON b.id = a.id AND b.i = a.i + 1
-           JOIN t c ON c.id = a.id AND c.i = a.i + 2),
-    rare AS (SELECT tok FROM ng GROUP BY tok HAVING count(*) BETWEEN 2 AND 5),
-    blocked AS (SELECT ng.id, ng.tok FROM ng JOIN rare USING (tok)),
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    ng AS (SELECT DISTINCT id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv
+           FROM tok),
+    rare AS (SELECT hv FROM ng GROUP BY hv HAVING count(*) BETWEEN 2 AND 5),
+    blocked AS (SELECT ng.id, ng.hv FROM ng JOIN rare USING (hv)),
     cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-             FROM blocked a JOIN blocked b ON a.tok = b.tok AND a.id < b.id),
+             FROM blocked a JOIN blocked b ON a.hv = b.hv AND a.id < b.id),
     sizes AS (SELECT id, count(*) AS n FROM ng GROUP BY id),
     inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
               FROM cand c
               JOIN ng ta ON ta.id = c.id_a
-              JOIN ng tb ON tb.id = c.id_b AND tb.tok = ta.tok
+              JOIN ng tb ON tb.id = c.id_b AND tb.hv = ta.hv
               GROUP BY c.id_a, c.id_b)
     SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
            round(n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE), 4) AS jaccard
@@ -281,18 +279,20 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ext_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-trigram Jaccard near-dup, blocked by *rare* n-grams (document
-    frequency 2..5): common n-grams — the quadratic ones — never join."""
+    frequency 2..5): common n-grams — the quadratic ones — never join.
+    Runs entirely on the HASHED shingle set: one md5 per shingle at the map
+    side, bigint joins everywhere after (same layout as ext_dedup_minhash)."""
     docs = load(spark, sf_dir, "documents")
-    ng = doc_shingles(docs, n=3).persist(StorageLevel.MEMORY_AND_DISK)
+    ng = hashed_shingles(docs, n=3).persist(StorageLevel.MEMORY_AND_DISK)
     rare = (
-        ng.groupBy("tok")
+        ng.groupBy("hv")
         .agg(F.count(F.lit(1)).alias("dfreq"))
         .filter(F.col("dfreq").between(2, 5))
     )
-    blocked = ng.join(rare.select("tok"), "tok")
+    blocked = ng.join(rare.select("hv"), "hv")
     a, b = blocked.alias("a"), blocked.alias("b")
     cand = (
-        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")))
+        a.join(b, (F.col("a.hv") == F.col("b.hv")) & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )

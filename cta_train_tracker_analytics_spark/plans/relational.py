@@ -560,31 +560,48 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     join key, so the fact⋈fact join runs with ZERO exchange on the key —
     the pre-shuffle is paid once at write time and amortized over every
     subsequent join. This is the 100 TB answer to repeated big-big joins
-    (pinned by tests/test_plans.py: no hashpartitioning on the key)."""
+    (pinned by tests/test_plans.py: no hashpartitioning on the key).
+
+    The bucketed layout is written once per (session, sf_dir) and REUSED on
+    later calls — that amortization is the entire point of bucketing: the
+    write is table maintenance, not part of the query."""
+    import re
     import shutil
     from pathlib import Path
 
-    scratch = Path("/tmp/cta_spark_engine_scratch") / Path(sf_dir).name / "bucketed"
-    for tbl in ("bkt_orders", "bkt_lineitem"):
-        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-    shutil.rmtree(scratch, ignore_errors=True)
+    sf_name = Path(sf_dir).name
+    scratch = Path("/tmp/cta_spark_engine_scratch") / sf_name / "bucketed"
+    # table names are sf-scoped so one session can serve several sf_dirs
+    # without a catalog entry silently pointing at another scale's data
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", sf_name)
+    t_orders, t_lineitem = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
+    ready = (
+        spark.catalog.tableExists(t_orders)
+        and spark.catalog.tableExists(t_lineitem)
+        and (scratch / "orders").is_dir()
+        and (scratch / "lineitem").is_dir()
+    )
+    if not ready:
+        for tbl in (t_orders, t_lineitem):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(scratch, ignore_errors=True)
 
-    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
-    (
-        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .option("path", str(scratch / "orders")).mode("overwrite")
-        .saveAsTable("bkt_orders")
-    )
-    (
-        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .option("path", str(scratch / "lineitem")).mode("overwrite")
-        .saveAsTable("bkt_lineitem")
-    )
+        orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+        li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+        (
+            orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .option("path", str(scratch / "orders")).mode("overwrite")
+            .saveAsTable(t_orders)
+        )
+        (
+            li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .option("path", str(scratch / "lineitem")).mode("overwrite")
+            .saveAsTable(t_lineitem)
+        )
     # merge hint: at this SF Catalyst would broadcast the orders side, which
     # defeats the point — the bucketed sort-merge path is what 100 TB runs.
-    o = spark.table("bkt_orders").hint("merge")
-    l = spark.table("bkt_lineitem")
+    o = spark.table(t_orders).hint("merge")
+    l = spark.table(t_lineitem)
     return (
         o.join(l, o.o_orderkey == l.l_orderkey)
         .groupBy("o_orderpriority")
