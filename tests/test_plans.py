@@ -93,6 +93,24 @@ def test_sim_search_broadcasts_queries_not_corpus(spark):
     assert "CartesianProduct" not in p
 
 
+def test_ivf_assignment_aggregates_not_sorts(spark):
+    """Centroid assignment must be the max_by partial aggregate, not a rank
+    window: the aggregate collapses the centroid expansion map-side, while
+    a window would shuffle AND sort |corpus|×k scored rows. Exactly one
+    window is allowed in the whole plan — the final per-query top-k."""
+    p = optimized(spark, "ext_sim_search_ivf")
+    assert "max_by" in p
+    assert p.count("Window [") == 1
+
+
+def test_self_join_pipelines_pin_shared_inputs(spark):
+    """minhash and LSH-embed consume one DataFrame on both sides of a
+    self-join; the persisted pin (InMemoryTableScan) is what stops every
+    downstream action from replaying the hash/projection pipeline twice."""
+    for name in ["ext_dedup_minhash", "ext_dedup_embed"]:
+        assert "InMemoryTableScan" in plan(spark, name), name
+
+
 def test_whole_stage_codegen_on_scalar_path(spark):
     """§2.10 policy: scalar queries stay JVM-side — whole-stage codegen,
     no Python row UDFs (BatchEvalPython) in any registered scalar plan."""
