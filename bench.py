@@ -49,6 +49,7 @@ HEADLINE = [
     "sql_pricing_summary",
     "ext_dedup_exact",
     "ext_dedup_minhash",
+    "ext_decontaminate",
     "ext_dedup_embed",
     "ext_fingerprint_winnow",
     "ext_chunk_text",

@@ -200,6 +200,62 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified_jaccard_pairs(cand, tok, threshold=0.7)
 
 
+@query(
+    "ext_decontaminate",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    h AS (SELECT DISTINCT id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv
+          FROM tok),
+    bench AS (SELECT id, hv FROM h WHERE id < 50),
+    corpus AS (SELECT id, hv FROM h WHERE id >= 50),
+    bsizes AS (SELECT id, count(*) AS n FROM bench GROUP BY id),
+    hits AS (SELECT c.id AS corpus_id, b.id AS bench_id, count(*) AS n_shared
+             FROM corpus c JOIN bench b ON b.hv = c.hv
+             GROUP BY c.id, b.id)
+    SELECT CAST(corpus_id AS BIGINT) AS corpus_id,
+           CAST(bench_id AS BIGINT) AS bench_id,
+           CAST(n_shared AS BIGINT) AS n_shared,
+           round(n_shared / CAST(bs.n AS DOUBLE), 4) AS bench_frac
+    FROM hits JOIN bsizes bs ON bs.id = bench_id
+    WHERE n_shared >= 2
+    """,
+)
+def ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the train/test overlap check every
+    training pipeline runs before releasing a corpus: flag corpus documents
+    that share word-trigram shingles with a held-out benchmark set (here:
+    doc_id < 50 stands in for the benchmark). Reports the shared-shingle
+    count and the fraction of the benchmark doc covered.
+
+    Scale shape: the benchmark side is tiny by construction (benchmarks are
+    thousands of docs, corpora are billions), so its hashed shingle set is
+    explicitly broadcast — the corpus side streams through one map-side
+    hash join; no shuffle of corpus shingles, no all-pairs stage. The
+    shared hashed_shingles builder means each corpus shingle is md5-hashed
+    once and joined as a bigint. The hashed set is pinned — the benchmark
+    split, its size aggregate, and the corpus probe all read it."""
+    sh = hashed_shingles(load(spark, sf_dir, "documents"), n=3).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    bench = sh.filter(F.col("id") < 50)
+    corpus = sh.filter(F.col("id") >= 50)
+    bsizes = bench.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    hits = (
+        corpus.join(F.broadcast(bench.withColumnRenamed("id", "bench_id")), "hv")
+        .groupBy(F.col("id").alias("corpus_id"), "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+    return hits.join(
+        F.broadcast(bsizes.withColumnRenamed("id", "bench_id")), "bench_id"
+    ).select(
+        F.col("corpus_id").cast("bigint"),
+        F.col("bench_id").cast("bigint"),
+        F.col("n_shared").cast("bigint"),
+        F.round(F.col("n_shared") / F.col("n").cast("double"), 4).alias("bench_frac"),
+    )
+
+
 @query("ext_dedup_minhash_mllib")
 def ext_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib flavor of MinHash near-dup (SURVEY §2.11's named primitive):
