@@ -111,6 +111,16 @@ def test_self_join_pipelines_pin_shared_inputs(spark):
         assert "InMemoryTableScan" in plan(spark, name), name
 
 
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """The benchmark shingle set is small by construction; the corpus must
+    stream through a broadcast hash join — a sort-merge join here would
+    shuffle every corpus shingle."""
+    p = plan(spark, "ext_decontaminate")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "InMemoryTableScan" in p  # the pinned shingle set
+
+
 def test_whole_stage_codegen_on_scalar_path(spark):
     """§2.10 policy: scalar queries stay JVM-side — whole-stage codegen,
     no Python row UDFs (BatchEvalPython) in any registered scalar plan."""
