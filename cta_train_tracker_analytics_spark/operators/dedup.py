@@ -68,11 +68,17 @@ def _shingle_rows(
     toks = spread(df, id_col).select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("ts")
     )
-    # element_at per position instead of slice(): no per-shingle sub-array
-    # allocation inside the interpreted higher-order transform (~25% faster
-    # on measurement, byte-identical output).
+    # try_element_at per position instead of slice(): no per-shingle
+    # sub-array allocation inside the interpreted higher-order transform
+    # (~25% faster on measurement, byte-identical output). Must be the
+    # try_ variant: under Spark 4's default ANSI mode a plain element_at
+    # past the array end throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT, so a
+    # single document shorter than n tokens would kill the whole job.
+    # try_element_at yields NULL out of bounds, concat_ws skips nulls, and
+    # the size==n filter below drops the short shingle — identical to the
+    # old slice() behavior.
     shingle = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at("ts", i + j + 1) for j in range(n)]
+        " ", *[F.try_element_at("ts", i + j + 1) for j in range(n)]
     )
     return toks.select(
         "id",
@@ -249,14 +255,17 @@ def ngram_candidate_pairs(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("ts")
     )
     # n-gram via sliding window over the token array — pure higher-order fns;
-    # element_at per position avoids slice()'s per-shingle array allocation.
+    # try_element_at per position avoids slice()'s per-shingle array
+    # allocation AND survives docs shorter than n tokens under ANSI mode
+    # (plain element_at would throw INVALID_ARRAY_INDEX_IN_ELEMENT_AT;
+    # try_ yields NULL, concat_ws skips it, size==n filter drops the rest).
     ngrams = toks.select(
         "id",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.greatest(F.size("ts") - n, F.lit(0))),
                 lambda i: F.concat_ws(
-                    " ", *[F.element_at("ts", i + j + 1) for j in range(n)]
+                    " ", *[F.try_element_at("ts", i + j + 1) for j in range(n)]
                 ),
             )
         ).alias("ng"),

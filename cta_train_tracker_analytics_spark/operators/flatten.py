@@ -109,7 +109,11 @@ def flatten_positions(
             F.raise_error(F.lit("No route object found in API response")),
         ).otherwise(route)
 
-    first_route = F.element_at(route, 1)  # route[0], ref :106
+    # route[0], ref :106 — try_element_at, not element_at: under ANSI mode
+    # element_at(empty_array, 1) throws, but the lenient path
+    # (require_route=False) must map an empty route to zero rows (the 204
+    # no-op, ref :107,124-129). try_ yields NULL → explode emits nothing.
+    first_route = F.try_element_at(route, F.lit(1))
 
     exploded = (
         responses.withColumn("__route", first_route)
