@@ -78,14 +78,19 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        # min of 2 runs: first execution pays plan compile + codegen for this
-        # query's operators; min measures engine capability, not JIT noise.
+        # min of 3 runs: the first execution pays plan compile + codegen for
+        # this query's operators; min measures engine capability, not JIT
+        # noise.
         best, n = None, 0
         for _ in range(3):
-            # Each call builds (and may persist) its own DataFrames; clear the
-            # cache between runs so abandoned persists from earlier calls
-            # don't pile up and tax later queries with eviction/GC pressure.
+            # Each call builds its own DataFrames; clear the cache between
+            # runs so abandoned persists can't pile up, and force a JVM GC so
+            # the ContextCleaner actually releases dead broadcast/checkpoint
+            # blocks — with a 32g heap the JVM may not GC for many queries,
+            # letting block-manager memory fill and tax later queries with
+            # eviction pressure (the r4 driver-bench failure mode).
             spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()
             elapsed = time.perf_counter() - t0

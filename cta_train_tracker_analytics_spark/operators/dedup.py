@@ -65,30 +65,26 @@ def _shingle_rows(
 ) -> DataFrame:
     """Non-distinct (id, tok) word n-gram shingle rows — the shared core of
     the string and hashed shingle-set builders below."""
+    # Docs shorter than n tokens produce no shingles; filtering them FIRST
+    # makes every element_at position provably in-bounds (i ∈ [0, size−n],
+    # j < n ⇒ i+j+1 ∈ [1, size]), so the plain ANSI-safe element_at applies
+    # — no try_ null handling, no per-shingle split()-arity post-filter.
+    # element_at per position instead of slice(): no per-shingle sub-array
+    # allocation inside the interpreted higher-order transform (~25% faster
+    # on measurement, byte-identical output: tokens are whitespace-free, so
+    # with all positions in bounds every shingle has exactly n tokens).
     toks = spread(df, id_col).select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("ts")
-    )
-    # try_element_at per position instead of slice(): no per-shingle
-    # sub-array allocation inside the interpreted higher-order transform
-    # (~25% faster on measurement, byte-identical output). Must be the
-    # try_ variant: under Spark 4's default ANSI mode a plain element_at
-    # past the array end throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT, so a
-    # single document shorter than n tokens would kill the whole job.
-    # try_element_at yields NULL out of bounds, concat_ws skips nulls, and
-    # the size==n filter below drops the short shingle — identical to the
-    # old slice() behavior.
+    ).filter(F.size("ts") >= n)
     shingle = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.try_element_at("ts", i + j + 1) for j in range(n)]
+        " ", *[F.element_at("ts", i + j + 1) for j in range(n)]
     )
     return toks.select(
         "id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size("ts") - n, F.lit(0))),
-                shingle,
-            )
+            F.transform(F.sequence(F.lit(0), F.size("ts") - n), shingle)
         ).alias("tok"),
-    ).filter(F.size(F.split(F.col("tok"), " ")) == n)
+    )
 
 
 def doc_shingles(
@@ -251,26 +247,13 @@ def ngram_candidate_pairs(
     """Blocking by *rare* word n-grams: docs sharing an n-gram whose document
     frequency ≤ ``max_df`` become candidates. The df cap is the scale lever —
     common n-grams (the quadratic ones) never join."""
-    toks = spread(df, id_col).select(
-        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("ts")
+    # Shared sliding-window shingle builder (see _shingle_rows: short docs
+    # pre-filtered so every element_at position is in bounds under ANSI).
+    ngrams = (
+        _shingle_rows(df, n, text_col, id_col)
+        .select("id", F.col("tok").alias("ng"))
+        .distinct()
     )
-    # n-gram via sliding window over the token array — pure higher-order fns;
-    # try_element_at per position avoids slice()'s per-shingle array
-    # allocation AND survives docs shorter than n tokens under ANSI mode
-    # (plain element_at would throw INVALID_ARRAY_INDEX_IN_ELEMENT_AT;
-    # try_ yields NULL, concat_ws skips it, size==n filter drops the rest).
-    ngrams = toks.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size("ts") - n, F.lit(0))),
-                lambda i: F.concat_ws(
-                    " ", *[F.try_element_at("ts", i + j + 1) for j in range(n)]
-                ),
-            )
-        ).alias("ng"),
-    ).filter(F.length("ng") > 0)
-    ngrams = ngrams.filter(F.size(F.split(F.col("ng"), " ")) == n).distinct()
     rare = (
         ngrams.groupBy("ng")
         .agg(F.count(F.lit(1)).alias("dfreq"))
@@ -354,6 +337,8 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     graphs the doubling variant (large-star/small-star, Kiveris et al.) drops
     rounds to O(log n) — same join shape, documented here as the scale-out
     upgrade path."""
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     sym = edges.select(F.col("id").alias("src"), F.col("root").alias("dst")).union(
         edges.select(F.col("root").alias("src"), F.col("id").alias("dst"))
     )
@@ -390,6 +375,18 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Exhausting the iteration budget without a fixpoint means the
+        # labels are NOT component ids yet — returning them silently would
+        # hand the caller wrong clusters. Fail loudly; callers with
+        # genuinely deep graphs should raise max_iter or switch to the
+        # O(log n)-round large-star/small-star variant.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            f"({changed} labels still changing); the graph's diameter exceeds "
+            "the iteration budget — raise max_iter or use the "
+            "large-star/small-star variant."
+        )
     return labels
 
 

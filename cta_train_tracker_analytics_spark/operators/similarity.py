@@ -17,7 +17,6 @@ bit-for-bit before rounding.
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -102,41 +101,50 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Coarse quantization: each vector → its nearest centroid (cosine,
-    ties broken by centroid id). Centroids broadcast; one corpus scan.
+    ties broken by centroid id). **Zero-shuffle, map-only**: the centroid
+    table is collapsed to a SINGLE broadcast row holding a cent_id-sorted
+    array of (cent_id, c_vec, c_nrm) structs, and the argmax runs per
+    corpus row — `transform` scores every centroid (one fold each), then
+    `array_position(cs, array_max(cs))` picks the first (= lowest cent_id)
+    maximum, matching the rank-window total order (cs DESC, cent_id ASC).
 
-    The argmax is a ``max_by`` AGGREGATE, not a rank window: after the
-    broadcast cross join every centroid row for a vector sits in the same
-    partition, so the partial aggregate collapses the k-way expansion back
-    to one row per vector map-side — the shuffle moves |corpus| rows, and
-    nothing is sorted. A row_number window would shuffle AND sort all
-    |corpus|×k scored rows first; at 100 TB that sort is pure waste."""
-    c = F.broadcast(
+    Earlier shapes shuffled: a crossJoin row expansion + `max_by` aggregate
+    moves |corpus| rows (with their vectors as payload) through a shuffle.
+    At 100 TB that is a full-corpus shuffle purely to undo the k-way
+    expansion; computing the argmax over an in-row array needs no expansion
+    and no shuffle at all — assignment stays inside the scan stage."""
+    cents = F.broadcast(
         centroids.select(
-            F.col("cent_id"), F.col("c_vec"), norm(F.col("c_vec")).alias("c_nrm")
-        )
+            F.struct(
+                F.col("cent_id"),
+                F.col("c_vec"),
+                norm(F.col("c_vec")).alias("c_nrm"),
+            ).alias("c")
+        ).agg(F.array_sort(F.collect_list("c")).alias("cents"))
     )
-    # one norm fold per vector/centroid, not per (vector, centroid) pair
-    scored = df.select(
+    # one norm fold per vector, one dot fold per (vector, centroid)
+    scored = df.crossJoin(cents).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         norm(F.col(vec_col)).alias("v_nrm"),
-    ).crossJoin(c).select(
+        F.col("cents"),
+    ).select(
         "id",
         "vec",
         "v_nrm",
-        "cent_id",
-        (dot(F.col("vec"), F.col("c_vec")) / (F.col("v_nrm") * F.col("c_nrm"))).alias(
-            "cs"
-        ),
+        "cents",
+        F.transform(
+            "cents",
+            lambda c: dot(F.col("vec"), c["c_vec"]) / (F.col("v_nrm") * c["c_nrm"]),
+        ).alias("cs_arr"),
     )
-    # max_by comparator: highest cosine, then lowest centroid id — the same
-    # total order the rank window used, so assignments are bit-identical.
-    return scored.groupBy("id").agg(
-        F.any_value("vec").alias("vec"),
-        F.any_value("v_nrm").alias("v_nrm"),
-        F.max_by(
-            "cent_id", F.struct(F.col("cs"), (-F.col("cent_id")).alias("neg"))
-        ).alias("cell"),
+    return scored.select(
+        "id",
+        "vec",
+        "v_nrm",
+        F.element_at(
+            "cents", F.array_position(F.col("cs_arr"), F.array_max("cs_arr")).cast("int")
+        )["cent_id"].alias("cell"),
     )
 
 
@@ -150,16 +158,21 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF-style ANN: search only the query's centroid cell.
 
-    Scale path for similarity search: assignment is one broadcast pass, the
-    search join is an equi-join on the cell id — per-query work shrinks by
-    the cell count (nprobe=1 here; add neighboring cells for higher recall).
+    Scale path for similarity search: assignment is a zero-shuffle map over
+    the corpus (centroids broadcast, see ``ivf_assign``), and the search
+    join broadcasts the assigned QUERY side — the corpus streams through a
+    map-side hash join on the cell id, so the only shuffle in the whole
+    pipeline is the per-query top-k window over the matched candidates
+    (nprobe=1 here; add neighboring cells for higher recall).
     """
     assigned = ivf_assign(spread(corpus), centroids, id_col, vec_col)
-    q_assigned = ivf_assign(queries, centroids, id_col, vec_col).select(
-        F.col("id").alias("query_id"),
-        F.col("vec").alias("q_vec"),
-        F.col("v_nrm").alias("q_nrm"),
-        "cell",
+    q_assigned = F.broadcast(
+        ivf_assign(queries, centroids, id_col, vec_col).select(
+            F.col("id").alias("query_id"),
+            F.col("vec").alias("q_vec"),
+            F.col("v_nrm").alias("q_nrm"),
+            "cell",
+        )
     )
     # norms ride along from the assignment pass — zero extra folds here
     cand = q_assigned.join(assigned, "cell").select(
@@ -206,12 +219,18 @@ def lsh_bucketed_pairs(
     join is an equi-join on the bucket id. Recall is tunable by planes count
     (fewer planes → bigger buckets → higher recall/cost).
 
-    The bucketed projection (id, vec, norm, bucket) is persisted: the pair
-    join consumes it on BOTH sides, and without the pin each side replays
-    the ``planes``×dims projection folds — the most expensive expression in
-    the pipeline (measured 1.22s → 0.82s at sf0.1). The pinned row is the
-    vector plus three scalars, so the pin is corpus-sized, spillable, and
-    strictly cheaper than recomputing the folds."""
+    The bucketed projection (id, vec, norm, bucket) is materialized once
+    via ``localCheckpoint(eager=True)``: the pair join consumes it on BOTH
+    sides, and without the pin each side replays the ``planes``×dims
+    projection folds — the most expensive expression in the pipeline
+    (measured 1.22s → 0.82s at sf0.1). localCheckpoint over ``persist``:
+    blocks live in the block manager (MEMORY_AND_DISK, spillable) but are
+    reclaimed by the ContextCleaner as soon as the returned DataFrame is
+    garbage-collected — no catalog cache entry leaks out of the operator
+    into a long-lived session. The trade: lineage is truncated, so losing
+    an executor mid-query fails the query instead of recomputing (local
+    mode and static-executor clusters are unaffected; under dynamic
+    allocation prefer a caller-managed ``persist``)."""
     coefs = projection_planes(dims, planes)
     plane_cols = [
         dot(F.col(vec_col), F.array(*[F.lit(c) for c in row])).alias(f"__p{p}")
@@ -230,7 +249,7 @@ def lsh_bucketed_pairs(
     # norm folded once per vector here, reused on both sides of the pair join
     bucketed = with_bucket.select(
         "id", "vec", "nrm", bucket.cast("int").alias("bucket")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=True)
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     pairs = a.join(

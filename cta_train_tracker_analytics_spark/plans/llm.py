@@ -13,16 +13,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from ..data import load
 from ..functions.text import (
     bpe_ish_token_count,
     fingerprint,
+    hash60,
     quality_features,
     token_count,
 )
-from ..functions.text import hash60, token_count
 from ..operators.dedup import (
     connected_components,
     doc_shingles,
@@ -181,21 +180,24 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (4.3M output rows at sf0.1, quadratic). The oracle replays the
     identical algorithm (portable md5 hashing).
 
-    Cache design: TWO persisted tables. The HASHED shingle set (id, hv)
-    feeds the signature aggregate and both sides of the Jaccard verify
-    join; each shingle is md5-hashed exactly once at the map side, and
-    every later shuffle and join moves 16-byte bigint pairs, not strings
-    (warm run 3.6s → 1.4s at sf0.1). The SIGNATURE table (one short array
-    row per doc) is persisted too: the band self-join and the verify stage
-    each re-traverse it, and without the pin every downstream action
-    replays the 16-permutation aggregate (measured 10.4s → 2.0s at sf0.1
-    when both pins are in place). At 100 TB the shingle pin is
-    tokens-sized but 5-20× narrower than strings; the signature pin is
-    corpus-row-count-sized — both spill cleanly (MEMORY_AND_DISK)."""
-    tok = hashed_shingles(load(spark, sf_dir, "documents"), n=3).persist(
-        StorageLevel.MEMORY_AND_DISK
+    Cache design: TWO pinned tables, both via ``localCheckpoint`` (blocks
+    are ContextCleaner-reclaimed when the result DataFrame dies — nothing
+    leaks into a long-lived session's cache; see lsh_bucketed_pairs for the
+    lineage trade-off). The HASHED shingle set (id, hv) feeds the signature
+    aggregate and both sides of the Jaccard verify join; each shingle is
+    md5-hashed exactly once at the map side, and every later shuffle and
+    join moves 16-byte bigint pairs, not strings (warm run 3.6s → 1.4s at
+    sf0.1). The SIGNATURE table (one short array row per doc) is pinned
+    too: the band self-join and the verify stage each re-traverse it, and
+    without the pin every downstream action replays the 16-permutation
+    aggregate (measured 10.4s → 2.0s at sf0.1 when both pins are in
+    place). At 100 TB the shingle pin is tokens-sized but 5-20× narrower
+    than strings; the signature pin is corpus-row-count-sized — both spill
+    cleanly (MEMORY_AND_DISK blocks)."""
+    tok = hashed_shingles(load(spark, sf_dir, "documents"), n=3).localCheckpoint(
+        eager=True
     )
-    sig = minhash_signatures(tok).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = minhash_signatures(tok).localCheckpoint(eager=True)
     cand = minhash_candidate_pairs(sig)
     return verified_jaccard_pairs(cand, tok, threshold=0.7)
 
@@ -234,8 +236,8 @@ def ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared hashed_shingles builder means each corpus shingle is md5-hashed
     once and joined as a bigint. The hashed set is pinned — the benchmark
     split, its size aggregate, and the corpus probe all read it."""
-    sh = hashed_shingles(load(spark, sf_dir, "documents"), n=3).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sh = hashed_shingles(load(spark, sf_dir, "documents"), n=3).localCheckpoint(
+        eager=True
     )
     bench = sh.filter(F.col("id") < 50)
     corpus = sh.filter(F.col("id") >= 50)
@@ -343,7 +345,7 @@ def ext_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Runs entirely on the HASHED shingle set: one md5 per shingle at the map
     side, bigint joins everywhere after (same layout as ext_dedup_minhash)."""
     docs = load(spark, sf_dir, "documents")
-    ng = hashed_shingles(docs, n=3).persist(StorageLevel.MEMORY_AND_DISK)
+    ng = hashed_shingles(docs, n=3).localCheckpoint(eager=True)
     rare = (
         ng.groupBy("hv")
         .agg(F.count(F.lit(1)).alias("dfreq"))

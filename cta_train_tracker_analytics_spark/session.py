@@ -59,6 +59,12 @@ def get_spark(
         # keep catalog metadata out of the repo working dir (bucketed-table
         # data always carries an explicit path; this covers the warehouse)
         .config("spark.sql.warehouse.dir", "/tmp/cta_spark_warehouse")
+        # Long-lived sessions accumulate dead broadcast/checkpoint blocks
+        # until a JVM GC lets the ContextCleaner see the weak refs die; with
+        # a large heap that can take hours. Periodic GC bounds block-manager
+        # growth (default is 30min — far too lazy for a query-per-second
+        # analytics session).
+        .config("spark.cleaner.periodicGC.interval", "1min")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
     )
     for k, v in (extra_conf or {}).items():

@@ -93,22 +93,30 @@ def test_sim_search_broadcasts_queries_not_corpus(spark):
     assert "CartesianProduct" not in p
 
 
-def test_ivf_assignment_aggregates_not_sorts(spark):
-    """Centroid assignment must be the max_by partial aggregate, not a rank
-    window: the aggregate collapses the centroid expansion map-side, while
-    a window would shuffle AND sort |corpus|×k scored rows. Exactly one
-    window is allowed in the whole plan — the final per-query top-k."""
+def test_ivf_assignment_is_map_only(spark):
+    """Centroid assignment must be a zero-shuffle map: centroids collapse
+    to ONE broadcast row carrying a sorted struct array, and the per-vector
+    argmax runs inside the scan stage (transform + array_position). The
+    corpus must never be hash-partitioned by vector id (the old max_by
+    aggregate shuffled |corpus| rows, vectors as payload, purely to undo
+    the centroid crossJoin expansion). Exactly one window is allowed in
+    the whole plan — the final per-query top-k."""
     p = optimized(spark, "ext_sim_search_ivf")
-    assert "max_by" in p
+    assert "array_position" in p
+    assert "hashpartitioning(id" not in p  # no corpus shuffle for assignment
     assert p.count("Window [") == 1
 
 
 def test_self_join_pipelines_pin_shared_inputs(spark):
     """minhash and LSH-embed consume one DataFrame on both sides of a
-    self-join; the persisted pin (InMemoryTableScan) is what stops every
-    downstream action from replaying the hash/projection pipeline twice."""
+    self-join; the localCheckpoint pin (Scan ExistingRDD in the plan) is
+    what stops every downstream action from replaying the hash/projection
+    pipeline twice — and, unlike persist, it leaves no catalog cache entry
+    behind once the result DataFrame is dropped."""
     for name in ["ext_dedup_minhash", "ext_dedup_embed"]:
-        assert "InMemoryTableScan" in plan(spark, name), name
+        p = plan(spark, name)
+        assert "Scan ExistingRDD" in p, name
+        assert "InMemoryTableScan" not in p, name
 
 
 def test_decontaminate_broadcasts_benchmark_side(spark):
@@ -118,7 +126,7 @@ def test_decontaminate_broadcasts_benchmark_side(spark):
     p = plan(spark, "ext_decontaminate")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
-    assert "InMemoryTableScan" in p  # the pinned shingle set
+    assert "Scan ExistingRDD" in p  # the localCheckpoint-pinned shingle set
 
 
 def test_whole_stage_codegen_on_scalar_path(spark):
