@@ -575,11 +575,23 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without a catalog entry silently pointing at another scale's data
     tag = re.sub(r"[^A-Za-z0-9_]", "_", sf_name)
     t_orders, t_lineitem = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
+    # Freshness guard: the reuse cache must notice a REGENERATED source
+    # (same path, new bytes) — mtime+size of the source parquet files are
+    # fingerprinted at write time and compared before any reuse, so stale
+    # bucketed tables can never serve answers for replaced data.
+    src_fp = "|".join(
+        f"{t}:{st.st_mtime_ns}:{st.st_size}"
+        for t in ("orders", "lineitem")
+        for st in (Path(sf_dir, f"{t}.parquet").stat(),)
+    )
+    marker = scratch / "SOURCE_FINGERPRINT"
     ready = (
         spark.catalog.tableExists(t_orders)
         and spark.catalog.tableExists(t_lineitem)
         and (scratch / "orders").is_dir()
         and (scratch / "lineitem").is_dir()
+        and marker.is_file()
+        and marker.read_text() == src_fp
     )
     if not ready:
         for tbl in (t_orders, t_lineitem):
@@ -598,6 +610,7 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("path", str(scratch / "lineitem")).mode("overwrite")
             .saveAsTable(t_lineitem)
         )
+        marker.write_text(src_fp)
     # merge hint: at this SF Catalyst would broadcast the orders side, which
     # defeats the point — the bucketed sort-merge path is what 100 TB runs.
     o = spark.table(t_orders).hint("merge")

@@ -203,3 +203,76 @@ def test_group_star_edges_linear_not_quadratic(spark):
     edges = group_star_edges(df, F.col("k")).collect()
     assert len(edges) == 9
     assert {r["root"] for r in edges} == {0}
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """A path graph of diameter > max_iter cannot reach fixpoint; the
+    operator must FAIL loudly rather than return half-propagated labels
+    (they would silently mislabel clusters downstream)."""
+    import pytest
+
+    from cta_train_tracker_analytics_spark.operators.dedup import connected_components
+
+    path_edges = spark.createDataFrame(
+        [Row(id=i + 1, root=i) for i in range(12)]  # 0-1-2-...-12, diameter 12
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(path_edges, max_iter=2)
+    # with budget >= diameter the same graph converges to the min label
+    labels = {r["id"]: r["label"] for r in connected_components(path_edges).collect()}
+    assert set(labels.values()) == {0}
+
+
+def test_connected_components_rejects_zero_iteration_budget(spark):
+    import pytest
+
+    from cta_train_tracker_analytics_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame([Row(id=1, root=0)])
+    with pytest.raises(ValueError):
+        connected_components(edges, max_iter=0)
+
+
+def test_shingles_on_short_docs(spark):
+    """Docs shorter than n tokens yield NO shingles (and must not throw
+    under ANSI mode — the builder pre-filters them so plain element_at is
+    provably in-bounds); docs of exactly n tokens yield one shingle."""
+    from cta_train_tracker_analytics_spark.operators.dedup import (
+        doc_shingles,
+        hashed_shingles,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, ""),                       # trims to empty → 1 empty token
+            (1, "one"),
+            (2, "two words"),
+            (3, "exactly three tokens"),
+            (4, "four whitespace separated tokens"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r["id"], r["tok"]) for r in doc_shingles(df, n=3).collect()}
+    assert out == {
+        (3, "exactly three tokens"),
+        (4, "four whitespace separated"),
+        (4, "whitespace separated tokens"),
+    }
+    hashed = hashed_shingles(df, n=3)
+    assert hashed.count() == 3
+    assert {r["id"] for r in hashed.select("id").distinct().collect()} == {3, 4}
+
+
+def test_llm_query_paths_leave_no_cache_entries(spark):
+    """Pin-lifecycle discipline (ADVICE r4): the minhash/decontaminate/
+    ngram/embed pipelines materialize shared intermediates, but a query
+    call must not leak catalog cache entries into a long-lived session —
+    the pins are localCheckpoints whose blocks die with the result
+    DataFrame, not persists that outlive it."""
+    from cta_train_tracker_analytics_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    for name in ["ext_dedup_minhash", "ext_decontaminate", "ext_dedup_ngram", "ext_dedup_embed"]:
+        qs[name](spark, "/root/testdata/sf0.001").count()
+        assert cache_mgr.isEmpty(), f"{name} left persisted entries in the cache"

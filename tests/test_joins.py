@@ -135,3 +135,58 @@ def test_range_join_width_guard(spark, interval_sides):
     with pytest.raises(Exception, match="buckets"):
         range_join(points, wide, by=["k"], point_ts="pts",
                    lo=F.col("lo"), hi=F.col("hi"), bucket_seconds=1).collect()
+
+
+def test_bucketed_reuse_invalidates_on_source_regeneration(spark, tmp_path):
+    """The bucketed-table reuse cache fingerprints the SOURCE parquet
+    (mtime+size) at write time: replacing the source at the same path must
+    trigger a rebuild, never serve answers from the stale bucketed copy."""
+    import os
+    import shutil
+    import time
+    from pathlib import Path
+
+    from cta_train_tracker_analytics_spark.plans.relational import join_bucketed_colocated
+
+    src = Path("/root/testdata/sf0.001")
+    sf_dir = tmp_path / "sf_regen"
+    sf_dir.mkdir()
+    for t in ("orders", "lineitem"):
+        shutil.copy(src / f"{t}.parquet", sf_dir / f"{t}.parquet")
+    n1 = join_bucketed_colocated(spark, str(sf_dir)).count()
+    marker = (
+        Path("/tmp/cta_spark_engine_scratch") / sf_dir.name / "bucketed" / "SOURCE_FINGERPRINT"
+    )
+    fp1 = marker.read_text()
+    # second call with untouched sources: reuse (marker unchanged)
+    join_bucketed_colocated(spark, str(sf_dir)).count()
+    assert marker.read_text() == fp1
+    # regenerate the source in place: same path, new mtime
+    now = time.time_ns()
+    os.utime(sf_dir / "orders.parquet", ns=(now + 10**9, now + 10**9))
+    n2 = join_bucketed_colocated(spark, str(sf_dir)).count()
+    assert n2 == n1
+    assert marker.read_text() != fp1, "stale bucketed tables served a regenerated source"
+
+
+def test_approx_distinct_tracks_exact_counts(spark):
+    """agg_approx_distinct runs under the driver's rows-only check, so the
+    estimate quality is asserted HERE: every per-day HLL estimate must sit
+    within 5x the configured rsd (2%) of the exact distinct count."""
+    from pyspark.sql import functions as F
+
+    from cta_train_tracker_analytics_spark.data import load
+    from cta_train_tracker_analytics_spark.plans.relational import agg_approx_distinct
+
+    sf = "/root/testdata/sf0.01"
+    approx = {r["d"]: r["n_users_approx"] for r in agg_approx_distinct(spark, sf).collect()}
+    exact = {
+        r["d"]: r["n"]
+        for r in load(spark, sf, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for d, n in exact.items():
+        assert abs(approx[d] - n) <= max(5, 0.1 * n), (d, approx[d], n)

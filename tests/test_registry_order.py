@@ -1,0 +1,38 @@
+"""Registry iteration order is load-bearing: the driver verifies queries
+in ``all_queries()`` order under a ~50-query per-round budget, so the head
+of the order decides which operators get fresh CORRECTNESS rows. The order
+is pinned as DATA (``registry._PRIORITY``) — these tests fail if a
+refactor or an import-sorting lint pass scrambles it (ADVICE r4)."""
+
+from __future__ import annotations
+
+from cta_train_tracker_analytics_spark.plans import registry
+
+
+def test_priority_names_lead_iteration_order():
+    names = list(registry.all_queries())
+    assert names[: len(registry._PRIORITY)] == registry._PRIORITY
+
+
+def test_priority_names_all_registered():
+    names = set(registry.all_queries())
+    missing = [n for n in registry._PRIORITY if n not in names]
+    assert missing == []
+
+
+def test_oracles_follow_same_order():
+    """all_oracles() must present the same relative order (it is the dict
+    the driver actually zips with queries)."""
+    qnames = [n for n in registry.all_queries() if n in registry.all_oracles()]
+    assert list(registry.all_oracles()) == qnames
+
+
+def test_cheap_modules_precede_expensive_in_tail():
+    """Past the pinned head, scalar/relational/streaming queries must still
+    precede the I/O round-trips and LLM pipelines, so a budget truncation
+    drops the expensive tail first."""
+    names = list(registry.all_queries())[len(registry._PRIORITY):]
+    first_scalar = names.index("f_concat_ws")
+    first_io = names.index("src_rest_api")
+    first_llm = names.index("ext_dedup_exact")
+    assert first_scalar < first_io < first_llm
