@@ -230,31 +230,37 @@ def ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     count and the fraction of the benchmark doc covered.
 
     Scale shape: the benchmark side is tiny by construction (benchmarks are
-    thousands of docs, corpora are billions), so its hashed shingle set is
-    explicitly broadcast — the corpus side streams through one map-side
-    hash join; no shuffle of corpus shingles, no all-pairs stage. The
-    shared hashed_shingles builder means each corpus shingle is md5-hashed
-    once and joined as a bigint. The hashed set is pinned — the benchmark
-    split, its size aggregate, and the corpus probe all read it."""
-    sh = hashed_shingles(load(spark, sf_dir, "documents"), n=3).localCheckpoint(
-        eager=True
+    thousands of docs, corpora are billions), so the benchmark docs are
+    filtered BEFORE shingling — the doc_id predicate pushes into the
+    parquet scan, and the benchmark shingle set is built from ~50 docs,
+    never by materializing and filtering the full corpus shingle set. The
+    per-doc shingle count rides along on the benchmark rows (a window over
+    the tiny set), so ONE broadcast serves both the probe join and the
+    coverage fraction — no pin, no second join. The corpus shingles stream
+    through the single map-side hash join: at 100 TB nothing corpus-sized
+    is ever materialized, shuffled, or pair-joined. The shared
+    hashed_shingles builder means each corpus shingle is md5-hashed once
+    and joined as a bigint."""
+    docs = load(spark, sf_dir, "documents")
+    bench = hashed_shingles(docs.filter(F.col("doc_id") < 50), n=3).select(
+        F.col("id").alias("bench_id"),
+        "hv",
+        F.count(F.lit(1)).over(Window.partitionBy("id")).alias("n"),
     )
-    bench = sh.filter(F.col("id") < 50)
-    corpus = sh.filter(F.col("id") >= 50)
-    bsizes = bench.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    hits = (
-        corpus.join(F.broadcast(bench.withColumnRenamed("id", "bench_id")), "hv")
+    corpus = hashed_shingles(docs.filter(F.col("doc_id") >= 50), n=3)
+    return (
+        corpus.join(F.broadcast(bench), "hv")
         .groupBy(F.col("id").alias("corpus_id"), "bench_id")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .agg(F.count(F.lit(1)).alias("n_shared"), F.any_value("n").alias("n"))
         .filter(F.col("n_shared") >= 2)
-    )
-    return hits.join(
-        F.broadcast(bsizes.withColumnRenamed("id", "bench_id")), "bench_id"
-    ).select(
-        F.col("corpus_id").cast("bigint"),
-        F.col("bench_id").cast("bigint"),
-        F.col("n_shared").cast("bigint"),
-        F.round(F.col("n_shared") / F.col("n").cast("double"), 4).alias("bench_frac"),
+        .select(
+            F.col("corpus_id").cast("bigint"),
+            F.col("bench_id").cast("bigint"),
+            F.col("n_shared").cast("bigint"),
+            F.round(F.col("n_shared") / F.col("n").cast("double"), 4).alias(
+                "bench_frac"
+            ),
+        )
     )
 
 

@@ -126,7 +126,10 @@ def test_decontaminate_broadcasts_benchmark_side(spark):
     p = plan(spark, "ext_decontaminate")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
-    assert "Scan ExistingRDD" in p  # the localCheckpoint-pinned shingle set
+    # benchmark docs are filtered BEFORE shingling: the doc_id predicate
+    # must reach both parquet scans (bench side and corpus side)
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,50)]" in p
+    assert "PushedFilters: [IsNotNull(doc_id), GreaterThanOrEqual(doc_id,50)]" in p
 
 
 def test_whole_stage_codegen_on_scalar_path(spark):
