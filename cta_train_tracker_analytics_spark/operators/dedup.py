@@ -37,6 +37,7 @@ __all__ = [
     "verified_jaccard_pairs",
     "group_star_edges",
     "connected_components",
+    "connected_components_alternating",
 ]
 
 
@@ -388,6 +389,86 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
             "large-star/small-star variant."
         )
     return labels
+
+
+def connected_components_alternating(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components by ALTERNATING large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the O(log n)-round scale path where plain min-label
+    propagation (``connected_components``) needs O(diameter) rounds.
+
+    Each round is two grouped aggregations + joins over canonical (u, v)
+    edge pairs (u > v), with ``localCheckpoint`` truncating lineage:
+
+    - **large-star(u)**: over the symmetric neighborhood, every neighbor
+      LARGER than u re-links to m = min(N(u) ∪ {u}) — tall trees flatten.
+    - **small-star(u)**: over the directed (u → smaller v) view, every
+      neighbor (and u itself) links to m = min(N(u) ∪ {u}) — stars merge.
+
+    Star graphs (every node → its component min) are fixpoints of both
+    steps, so convergence is detected by edge-set equality; the fixpoint
+    edge set IS the labeling. Output matches ``connected_components``:
+    (id, label) for every node that appears in an edge, label = component
+    min (roots label themselves). Raises on non-convergence rather than
+    returning a half-contracted graph."""
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    e = (
+        edges.select(
+            F.greatest("id", "root").alias("u"), F.least("id", "root").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("u").alias("id"))
+        .union(e.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        sym = e.select(F.col("u").alias("c"), F.col("v").alias("n")).union(
+            e.select(F.col("v").alias("c"), F.col("u").alias("n"))
+        )
+        mins = (
+            sym.groupBy("c")
+            .agg(F.min("n").alias("mn"))
+            .select("c", F.least("c", "mn").alias("m"))
+        )
+        large = (
+            sym.join(mins, "c")
+            .filter(F.col("n") > F.col("c"))
+            .select(F.col("n").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mins2, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .union(mins2.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            small.join(e, ["u", "v"], "left_anti").count()
+            + e.join(small, ["u", "v"], "left_anti").count()
+        )
+        e = small
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_alternating did not converge in {max_iter} "
+            f"rounds ({changed} edge changes in the last round); raise max_iter."
+        )
+    # fixpoint edges are (node → component min); component minima label
+    # themselves (they never appear on the u side of a star edge)
+    return nodes.join(
+        e.select(F.col("u").alias("id"), F.col("v").alias("__lbl")), "id", "left"
+    ).select("id", F.coalesce(F.col("__lbl"), F.col("id")).alias("label"))
 
 
 def latest_fingerprint_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

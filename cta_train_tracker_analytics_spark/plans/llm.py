@@ -24,6 +24,7 @@ from ..functions.text import (
 )
 from ..operators.dedup import (
     connected_components,
+    connected_components_alternating,
     doc_shingles,
     exact_dedup,
     hashed_shingles,
@@ -629,9 +630,12 @@ def ext_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ext_dedup_cluster",
-    oracle=f"""
+#: shared oracle for both connected-components cluster queries: the label
+#: semantics (min doc_id per component over fingerprint ∪ simhash edges)
+#: are identical regardless of which CC algorithm computes them, so the
+#: O(diameter) min-label and the O(log n) large-star/small-star variants
+#: verify against the SAME recursive-CTE reachability oracle.
+_CLUSTER_ORACLE = f"""
     WITH RECURSIVE {_TOK_CTE},
     h AS (SELECT id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM tok),
     perbit AS (SELECT id, j, sum(CASE WHEN (hv >> j) % 2 = 1 THEN 1 ELSE -1 END) AS s
@@ -658,21 +662,12 @@ def ext_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(cluster_id AS BIGINT) AS cluster_id,
            CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
     FROM lab
-    """,
-)
-def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup CLUSTER canonicalization — the step real dedup pipelines run
-    after pair discovery: union the per-signal duplicate graphs (normalized
-    fingerprint ∪ 16-bit SimHash here), take connected components, and assign
-    every document the component's min doc_id as its cluster id. Edges are
-    linear star edges (doc → group min), never within-group pairs; components
-    run as iterative min-label propagation with checkpointed lineage
-    (operators/dedup.py:connected_components — large-star/small-star is the
-    O(log n)-round upgrade at adversarial diameters)."""
-    docs = load(spark, sf_dir, "documents")
-    fp_edges = group_star_edges(docs, fingerprint(F.col("text")))
-    sh_edges = group_star_edges(simhash16(docs), F.col("simhash"), id_col="id")
-    labels = connected_components(fp_edges.union(sh_edges))
+    """
+
+
+def _cluster_labels_to_result(docs: DataFrame, labels: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size) from CC labels: isolated docs are
+    their own singleton cluster (left join + coalesce)."""
     lab = (
         docs.select("doc_id")
         .join(labels.withColumnRenamed("id", "doc_id"), "doc_id", "left")
@@ -687,6 +682,42 @@ def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_id").cast("bigint").alias("cluster_id"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
     )
+
+
+@query("ext_dedup_cluster", oracle=_CLUSTER_ORACLE)
+def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER canonicalization — the step real dedup pipelines run
+    after pair discovery: union the per-signal duplicate graphs (normalized
+    fingerprint ∪ 16-bit SimHash here), take connected components, and assign
+    every document the component's min doc_id as its cluster id. Edges are
+    linear star edges (doc → group min), never within-group pairs; components
+    run as iterative min-label propagation with checkpointed lineage
+    (operators/dedup.py:connected_components — large-star/small-star is the
+    O(log n)-round upgrade at adversarial diameters)."""
+    docs = load(spark, sf_dir, "documents")
+    fp_edges = group_star_edges(docs, fingerprint(F.col("text")))
+    sh_edges = group_star_edges(simhash16(docs), F.col("simhash"), id_col="id")
+    labels = connected_components(fp_edges.union(sh_edges))
+    return _cluster_labels_to_result(docs, labels)
+
+
+@query("ext_dedup_cluster_lsss", oracle=_CLUSTER_ORACLE)
+def ext_dedup_cluster_lsss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME cluster canonicalization computed by the O(log n)-round
+    large-star/small-star alternation (Kiveris et al., SoCC'14;
+    operators/dedup.py:connected_components_alternating) instead of
+    O(diameter) min-label propagation. On dedup graphs (star edges, tiny
+    diameters) both take a handful of rounds; on adversarial long-chain
+    graphs — duplicate families linked through transitive signal chains —
+    alternation converges exponentially faster, which is what makes CC
+    viable on a 100 TB corpus's edge set. Verified against the identical
+    reachability oracle as ext_dedup_cluster: the labels must agree
+    bit-for-bit."""
+    docs = load(spark, sf_dir, "documents")
+    fp_edges = group_star_edges(docs, fingerprint(F.col("text")))
+    sh_edges = group_star_edges(simhash16(docs), F.col("simhash"), id_col="id")
+    labels = connected_components_alternating(fp_edges.union(sh_edges))
+    return _cluster_labels_to_result(docs, labels)
 
 
 @query(

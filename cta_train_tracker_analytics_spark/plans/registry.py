@@ -57,6 +57,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 _PRIORITY = [
     "str_session_window",
     "str_stateful",
+    "ext_dedup_cluster_lsss",
     "ext_dedup_minhash",
     "ext_decontaminate",
     "ext_dedup_ngram",

@@ -276,3 +276,54 @@ def test_llm_query_paths_leave_no_cache_entries(spark):
     for name in ["ext_dedup_minhash", "ext_decontaminate", "ext_dedup_ngram", "ext_dedup_embed"]:
         qs[name](spark, "/root/testdata/sf0.001").count()
         assert cache_mgr.isEmpty(), f"{name} left persisted entries in the cache"
+
+
+def test_alternating_cc_matches_min_label_propagation(spark):
+    """large-star/small-star must produce the exact labels min-label
+    propagation produces (component min), including chained signals."""
+    from cta_train_tracker_analytics_spark.operators.dedup import (
+        connected_components,
+        connected_components_alternating,
+        group_star_edges,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, s1=a, s2=b) for i, a, b in [
+            (1, "x", "p"), (2, "x", "q"), (3, "y", "q"), (4, "y", "r"),
+            (5, "z", "s"), (6, "w", "s"), (7, "w", "t"),
+        ]]
+    )
+    edges = group_star_edges(df, F.col("s1")).union(group_star_edges(df, F.col("s2")))
+    plain = {r["id"]: r["label"] for r in connected_components(edges).collect()}
+    alt = {r["id"]: r["label"] for r in connected_components_alternating(edges).collect()}
+    assert alt == plain
+    assert alt == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5}
+
+
+def test_alternating_cc_converges_in_log_rounds_on_deep_path(spark):
+    """The scale property: a path graph of diameter 24 converges within 6
+    alternating rounds (O(log n)), where min-label propagation needs ~24.
+    All labels collapse to the path minimum."""
+    from cta_train_tracker_analytics_spark.operators.dedup import (
+        connected_components_alternating,
+    )
+
+    path_edges = spark.createDataFrame([Row(id=i + 1, root=i) for i in range(24)])
+    labels = {
+        r["id"]: r["label"]
+        for r in connected_components_alternating(path_edges, max_iter=6).collect()
+    }
+    assert set(labels.values()) == {0}
+    assert len(labels) == 25
+
+
+def test_alternating_cc_raises_on_exhausted_budget(spark):
+    import pytest
+
+    from cta_train_tracker_analytics_spark.operators.dedup import (
+        connected_components_alternating,
+    )
+
+    path_edges = spark.createDataFrame([Row(id=i + 1, root=i) for i in range(24)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_alternating(path_edges, max_iter=1)
