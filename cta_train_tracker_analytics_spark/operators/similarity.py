@@ -23,7 +23,17 @@ from pyspark.sql import functions as F
 from ..functions.text import lcg
 from .util import spread
 
-__all__ = ["dot", "norm", "cosine", "topk_cosine", "projection_planes", "lsh_bucketed_pairs"]
+__all__ = [
+    "dot",
+    "norm",
+    "cosine",
+    "topk_cosine",
+    "ivf_assign",
+    "ivf_assign_multi",
+    "ivf_topk",
+    "projection_planes",
+    "lsh_bucketed_pairs",
+]
 
 #: hyperplane count for sign-LSH (bucket id = 8 sign bits).
 LSH_PLANES = 8
@@ -148,11 +158,73 @@ def ivf_assign(
     )
 
 
+def ivf_assign_multi(
+    df: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-``nprobe`` nearest centroid cells per vector (cosine desc,
+    cent_id asc on ties) — the QUERY-side assignment for multi-probe IVF.
+    Still zero-shuffle map-only: scores land in an in-row struct array,
+    ``array_sort`` on (−cos, cent_id) orders them, ``slice`` keeps the
+    first nprobe, and ``explode`` emits one row per probed cell. Output:
+    (id, vec, v_nrm, probe, cell) with probe = 1..nprobe."""
+    cents = F.broadcast(
+        centroids.select(
+            F.struct(
+                F.col("cent_id"),
+                F.col("c_vec"),
+                norm(F.col("c_vec")).alias("c_nrm"),
+            ).alias("c")
+        ).agg(F.array_sort(F.collect_list("c")).alias("cents"))
+    )
+    scored = df.crossJoin(cents).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("v_nrm"),
+        F.col("cents"),
+    ).select(
+        "id",
+        "vec",
+        "v_nrm",
+        F.slice(
+            F.array_sort(
+                F.transform(
+                    "cents",
+                    lambda c: F.struct(
+                        (
+                            -(dot(F.col("vec"), c["c_vec"]) / (F.col("v_nrm") * c["c_nrm"]))
+                        ).alias("ncs"),
+                        c["cent_id"].alias("cent_id"),
+                    ),
+                )
+            ),
+            1,
+            nprobe,
+        ).alias("probes"),
+    )
+    return scored.select(
+        "id",
+        "vec",
+        "v_nrm",
+        (F.posexplode("probes")),
+    ).select(
+        "id",
+        "vec",
+        "v_nrm",
+        (F.col("pos") + 1).alias("probe"),
+        F.col("col.cent_id").alias("cell"),
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     centroids: DataFrame,
     k: int = 10,
+    nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -162,12 +234,21 @@ def ivf_topk(
     the corpus (centroids broadcast, see ``ivf_assign``), and the search
     join broadcasts the assigned QUERY side — the corpus streams through a
     map-side hash join on the cell id, so the only shuffle in the whole
-    pipeline is the per-query top-k window over the matched candidates
-    (nprobe=1 here; add neighboring cells for higher recall).
+    pipeline is the per-query top-k window over the matched candidates.
+
+    ``nprobe`` is the recall knob: each query probes its nprobe nearest
+    cells (corpus vectors stay in exactly one cell, so probed cells are
+    disjoint and no candidate dedup is needed). The probe expansion is
+    query-side only — nprobe× more broadcast rows, the corpus-side plan is
+    unchanged.
     """
     assigned = ivf_assign(spread(corpus), centroids, id_col, vec_col)
+    if nprobe == 1:
+        q = ivf_assign(queries, centroids, id_col, vec_col)
+    else:
+        q = ivf_assign_multi(queries, centroids, nprobe, id_col, vec_col)
     q_assigned = F.broadcast(
-        ivf_assign(queries, centroids, id_col, vec_col).select(
+        q.select(
             F.col("id").alias("query_id"),
             F.col("vec").alias("q_vec"),
             F.col("v_nrm").alias("q_nrm"),

@@ -17,6 +17,13 @@ def spread(df: DataFrame, *key_cols: str) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= max(2, target // 2):
+    try:
+        # JVM-side partition count: skips df.rdd's Java→Python conversion
+        # plan (serializer setup per call). Never executes a job here —
+        # spread() is only applied to scan-rooted frames (no AQE stages).
+        n = df._jdf.queryExecution().toRdd().getNumPartitions()
+    except Exception:  # pragma: no cover - e.g. Spark Connect
+        n = df.rdd.getNumPartitions()
+    if n >= max(2, target // 2):
         return df
     return df.repartition(target, *key_cols) if key_cols else df.repartition(target)

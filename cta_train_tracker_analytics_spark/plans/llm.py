@@ -486,6 +486,57 @@ def ext_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ext_sim_search_ivf_nprobe",
+    oracle="""
+    WITH cent AS (SELECT vec_id AS cent_id, embedding AS c FROM embeddings
+                  WHERE vec_id < 8),
+    terms0 AS (SELECT e.vec_id, cent.cent_id, unnest(e.embedding)::DOUBLE AS v,
+                      unnest(cent.c)::DOUBLE AS w
+               FROM embeddings e CROSS JOIN cent),
+    cos0 AS (SELECT vec_id, cent_id,
+                    sum(v * w) / (sqrt(sum(v * v)) * sqrt(sum(w * w))) AS cs
+             FROM terms0 GROUP BY vec_id, cent_id),
+    assign AS (SELECT vec_id, cent_id AS cell FROM cos0
+               QUALIFY row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cs DESC, cent_id) = 1),
+    qcells AS (SELECT vec_id AS query_id, cent_id AS cell FROM cos0
+               WHERE vec_id < 5
+               QUALIFY row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cs DESC, cent_id) <= 2),
+    q AS (SELECT qc.query_id, qc.cell, e.embedding AS qe
+          FROM qcells qc JOIN embeddings e ON e.vec_id = qc.query_id),
+    cand AS (SELECT q.query_id, q.qe, e2.vec_id, e2.embedding AS ce
+             FROM q JOIN assign a2 ON a2.cell = q.cell
+             JOIN embeddings e2 ON e2.vec_id = a2.vec_id),
+    terms AS (SELECT query_id, vec_id, unnest(qe)::DOUBLE AS qa,
+                     unnest(ce)::DOUBLE AS cb
+              FROM cand),
+    s AS (SELECT query_id, vec_id,
+                 sum(qa * cb) / (sqrt(sum(qa * qa)) * sqrt(sum(cb * cb))) AS cs
+          FROM terms GROUP BY query_id, vec_id)
+    SELECT query_id, vec_id, round(cs, 4) AS cos_sim,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, vec_id)
+                AS BIGINT) AS rnk
+    FROM s QUALIFY rnk <= 10
+    """,
+)
+def ext_sim_search_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF ANN (nprobe=2): each query searches its TWO nearest
+    centroid cells — the standard recall knob when single-cell probing
+    misses neighbors that straddle a cell boundary. The probe expansion is
+    computed map-side on the broadcast query side (in-row struct-array
+    sort + slice, operators/similarity.py:ivf_assign_multi); the
+    corpus-side plan is identical to ext_sim_search_ivf — still zero
+    corpus shuffle, still one equi-join on the cell id."""
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries, centroids, k=10, nprobe=2)
+
+
+@query(
     "ext_text_stats",
     oracle="""
     SELECT doc_id,

@@ -63,6 +63,7 @@ _PRIORITY = [
     "ext_dedup_ngram",
     "ext_dedup_embed",
     "ext_sim_search_ivf",
+    "ext_sim_search_ivf_nprobe",
     "ext_sim_search",
     "ext_dedup_cluster",
     "ext_dedup_minhash_mllib",

@@ -327,3 +327,33 @@ def test_alternating_cc_raises_on_exhausted_budget(spark):
     path_edges = spark.createDataFrame([Row(id=i + 1, root=i) for i in range(24)])
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components_alternating(path_edges, max_iter=1)
+
+
+def test_ivf_nprobe_expands_candidates_monotonically(spark):
+    """Multi-probe recall property: with nprobe=2 every query's k-th best
+    cosine is >= its nprobe=1 k-th best (the candidate set is a strict
+    superset — probed cells are disjoint, corpus vectors live in exactly
+    one cell)."""
+    from cta_train_tracker_analytics_spark.data import load
+    from cta_train_tracker_analytics_spark.operators.similarity import ivf_topk
+
+    sf = "/root/testdata/sf0.001"
+    emb = load(spark, sf, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    r1 = ivf_topk(emb, queries, centroids, k=5, nprobe=1).collect()
+    r2 = ivf_topk(emb, queries, centroids, k=5, nprobe=2).collect()
+    worst1 = {}
+    for r in r1:
+        worst1[r["query_id"]] = min(worst1.get(r["query_id"], 1e9), r["cos_sim"])
+    worst2 = {}
+    for r in r2:
+        worst2[r["query_id"]] = min(worst2.get(r["query_id"], 1e9), r["cos_sim"])
+    assert set(worst2) == set(worst1)
+    for qid in worst1:
+        assert worst2[qid] >= worst1[qid], qid
+    # self-match survives probing: each query's top hit is itself
+    top2 = {r["query_id"]: r["vec_id"] for r in r2 if r["rnk"] == 1}
+    assert top2 == {q: q for q in top2}
