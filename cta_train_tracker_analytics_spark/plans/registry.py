@@ -57,6 +57,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 _PRIORITY = [
     "str_session_window",
     "str_stateful",
+    "str_stream_join",
+    "join_salted_skew",
     "ext_dedup_cluster_lsss",
     "ext_dedup_minhash",
     "ext_decontaminate",

@@ -547,6 +547,49 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_salted_skew",
+    oracle="""
+    SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(e.value * t.weight), 2) AS weighted
+    FROM events e
+    JOIN (VALUES ('click', 1.0), ('view', 0.5), ('purchase', 5.0),
+                 ('error', 2.0), ('signup', 3.0)) t(event_type, weight)
+      ON t.event_type = e.event_type
+    GROUP BY e.event_type
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted SHUFFLE join for skewed keys — the companion to
+    agg_salted_skew: events has only 5 event_type values, so a plain
+    shuffled join funnels each hot key through one reducer. The dim side
+    is replicated 8× with an explicit salt column and the fact side salts
+    deterministically by event_id, so the exchange partitions on the
+    COMPOSITE (event_type, __salt) key and every hot key spreads over 8
+    reducers (pinned by tests/test_plans.py). The shuffle_hash hint keeps
+    the shuffled path local[32] would otherwise broadcast away — at 100 TB
+    the dim side of a skewed join is often too big to broadcast, which is
+    exactly when salting (or AQE skew-join, also enabled engine-wide)
+    earns its keep. Results are identical to the unsalted join."""
+    ev = load(spark, sf_dir, "events")
+    dim = spark.sql(
+        "SELECT event_type, weight FROM VALUES"
+        " ('click', 1.0D), ('view', 0.5D), ('purchase', 5.0D),"
+        " ('error', 2.0D), ('signup', 3.0D) AS t(event_type, weight)"
+    )
+    salts = spark.range(8).select(F.col("id").cast("int").alias("__salt"))
+    salted_dim = dim.crossJoin(salts)
+    salted_ev = ev.withColumn("__salt", (F.col("event_id") % 8).cast("int"))
+    return (
+        salted_ev.join(salted_dim.hint("shuffle_hash"), ["event_type", "__salt"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum(F.col("value") * F.col("weight")), 2).alias("weighted"),
+        )
+    )
+
+
+@query(
     "join_bucketed_colocated",
     oracle="""
     SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,

@@ -386,3 +386,60 @@ def str_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_to_memory(result, "update", cp)
     return out
+
+
+@query(
+    "str_stream_join",
+    oracle="""
+    SELECT c.user_id,
+           CAST(c.event_id AS BIGINT) AS click_id,
+           CAST(p.event_id AS BIGINT) AS purchase_id,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS lag_s
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def str_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time range + watermarks (SURVEY
+    §2.9 family): purchases join the same user's clicks from the preceding
+    30 minutes. Both sides carry a 1-hour watermark and the join condition
+    bounds event time on both sides, so the state store retains only one
+    watermark-window of each stream — the requirement for an unbounded
+    stream-stream join to run forever at scale. Drained with availableNow
+    over bounded copies, the emitted pairs equal the batch interval join
+    (the oracle); the NTZ↔TZ casts are a wall-clock identity."""
+    click_dir, purchase_dir, cp = _dirs(
+        "str_stream_join", sf_dir, "clicks", "purchases", "cp"
+    )
+    ev = _events(spark, sf_dir)
+    clicks = parquet_stream(
+        spark, ev.filter(F.col("event_type") == "click"), click_dir
+    ).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").cast("timestamp").alias("c_ts"),
+    ).withWatermark("c_ts", "1 hour")
+    purchases = parquet_stream(
+        spark, ev.filter(F.col("event_type") == "purchase"), purchase_dir
+    ).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").cast("timestamp").alias("p_ts"),
+    ).withWatermark("p_ts", "1 hour")
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    out = run_to_memory(joined, "append", cp)
+    return out.select(
+        F.col("c_user").alias("user_id"),
+        F.col("click_id").cast("bigint"),
+        F.col("purchase_id").cast("bigint"),
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts"))
+        .cast("bigint")
+        .alias("lag_s"),
+    )

@@ -144,3 +144,16 @@ def test_whole_stage_codegen_on_scalar_path(spark):
     # percentile() plans ObjectHashAggregate (no codegen) — still JVM-side:
     # the policy is zero Python row UDFs anywhere in the scalar surface
     assert "BatchEvalPython" not in plan(spark, "f_math_std")
+
+
+def test_salted_join_spreads_hot_keys(spark):
+    """The salted join must shuffle on the COMPOSITE (event_type, __salt)
+    key — that spread IS the skew mitigation — and must not collapse to a
+    broadcast (the pattern exists precisely for dims too big to
+    broadcast)."""
+    import re
+
+    p = plan(spark, "join_salted_skew")
+    assert re.search(r"hashpartitioning\(event_type#\d+, __salt#\d+", p)
+    assert "ShuffledHashJoin [event_type" in p
+    assert "BroadcastHashJoin" not in p
