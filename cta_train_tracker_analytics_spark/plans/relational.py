@@ -668,6 +668,34 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_approx_quantile",
+    oracle="""
+    SELECT event_type,
+           quantile_disc(value, 0.5) AS p50,
+           quantile_disc(value, 0.9) AS p90,
+           quantile_disc(value, 0.99) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile sketch (Greenwald-Khanna via percentile_approx) — the
+    one-pass, mergeable, bounded-memory quantile path at 100 TB, where an
+    exact percentile needs a per-group sort. Partial sketches merge
+    map-side like any aggregate. At driver-verification scale the accuracy
+    parameter (10000) exceeds every group's cardinality, so the sketch
+    degenerates to the exact discrete quantile and hash-matches DuckDB's
+    quantile_disc; at larger scale it is approximate by design (rank error
+    ≤ n/accuracy — the bound tests/test_joins.py pins)."""
+    ev = load(spark, sf_dir, "events")
+    q = F.percentile_approx(
+        "value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(10000)
+    )
+    return ev.groupBy("event_type").agg(
+        q.getItem(0).alias("p50"), q.getItem(1).alias("p90"), q.getItem(2).alias("p99")
+    )
+
+
 @query("agg_approx_distinct")
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-count sketch — the one-pass, mergeable,

@@ -190,3 +190,33 @@ def test_approx_distinct_tracks_exact_counts(spark):
     assert set(approx) == set(exact)
     for d, n in exact.items():
         assert abs(approx[d] - n) <= max(5, 0.1 * n), (d, approx[d], n)
+
+
+def test_approx_quantile_rank_error_bound(spark):
+    """Sketch-quality bound for agg_approx_quantile at a scale where the
+    sketch is genuinely approximate (accuracy < group size would be the
+    100 TB regime; here we force it with a tiny accuracy): the estimated
+    quantile's true rank must sit within n/accuracy of the target rank."""
+    from pyspark.sql import functions as F
+
+    from cta_train_tracker_analytics_spark.data import load
+
+    sf = "/root/testdata/sf0.01"
+    ev = load(spark, sf, "events")
+    acc = 100  # << group sizes (~2000), so the GK sketch actually compresses
+    est = {
+        r["event_type"]: r["p90"]
+        for r in ev.groupBy("event_type")
+        .agg(F.percentile_approx("value", F.lit(0.9), F.lit(acc)).alias("p90"))
+        .collect()
+    }
+    rows = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    ).collect()
+    sizes = {r["event_type"]: r["n"] for r in rows}
+    for et, v in est.items():
+        n = sizes[et]
+        true_rank = (
+            ev.filter((F.col("event_type") == et) & (F.col("value") <= v)).count()
+        )
+        assert abs(true_rank - 0.9 * n) <= n / acc + 1, (et, true_rank, 0.9 * n)
