@@ -208,6 +208,38 @@ def snk_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "snk_parquet_sorted",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+    WHERE l_orderkey BETWEEN 1000 AND 2000
+    """,
+)
+def snk_parquet_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-clustered Parquet publish: repartitionByRange + sortWithin
+    Partitions on the filter key before writing, with small row groups, so
+    every row group's min/max statistics cover a narrow key band. The
+    read-back filter then SKIPS almost every row group — at 100 TB this
+    write-side clustering is the difference between scanning a table and
+    scanning a few megabytes (pinned by tests/test_plans.py: the key
+    predicate reaches the scan as PushedFilters, where parquet evaluates
+    it against row-group stats). The write costs one range shuffle, paid
+    once, amortized over every keyed read."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    path = _scratch("snk_parquet_sorted", sf_dir)
+    (
+        li.repartitionByRange(8, "l_orderkey")
+        .sortWithinPartitions("l_orderkey", "l_linenumber")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 1 << 20)
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.filter(F.col("l_orderkey").between(1000, 2000))
+
+
+@query(
     "snk_keyed_store",
     oracle="""
     SELECT user_id, ts, value, event_id FROM events

@@ -669,6 +669,36 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_pivot",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS d,
+           CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+           CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+           CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+           CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+    FROM events GROUP BY CAST(ts AS DATE)
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): daily counts per event_type as columns. The
+    pivot values are passed EXPLICITLY — without them Spark runs an extra
+    distinct-collect job over the full table just to learn the column set,
+    which at 100 TB is a whole scan spent on schema discovery. With
+    explicit values the plan is a single partial+final aggregate, exactly
+    like any grouped count."""
+    ev = load(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy(F.to_date("ts").alias("d"))
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, kinds)
+    )
+    return out.select("d", *[F.col(k).cast("bigint").alias(k) for k in kinds])
+
+
+@query(
     "agg_approx_quantile",
     oracle="""
     SELECT event_type,

@@ -157,3 +157,22 @@ def test_salted_join_spreads_hot_keys(spark):
     assert re.search(r"hashpartitioning\(event_type#\d+, __salt#\d+", p)
     assert "ShuffledHashJoin [event_type" in p
     assert "BroadcastHashJoin" not in p
+
+
+def test_sorted_sink_pushes_key_filter_to_scan(spark):
+    """The read-back of the key-clustered publish must push the key range
+    into the parquet scan (row-group min/max skipping), not filter
+    post-scan only."""
+    p = plan(spark, "snk_parquet_sorted")
+    assert "GreaterThanOrEqual(l_orderkey,1000)" in p
+    assert "LessThanOrEqual(l_orderkey,2000)" in p
+
+
+def test_pivot_with_explicit_values_is_single_aggregate(spark):
+    """Explicit pivot values must keep the plan a single scan feeding the
+    (key, pivot-col) pre-aggregate + pivotfirst pair — no extra scan/job
+    to discover the column set, and no join shape."""
+    p = plan(spark, "agg_pivot")
+    assert p.count("FileScan") == 1
+    assert "pivotfirst" in p
+    assert "Join" not in p
