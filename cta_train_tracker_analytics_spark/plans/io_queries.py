@@ -290,6 +290,38 @@ def job_compact_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select("event_id", "user_id", "value")
 
 
+@query(
+    "job_retention",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS load_date, CAST(count(*) AS BIGINT) AS n
+    FROM events
+    WHERE CAST(ts AS DATE) >= DATE '2024-01-13'
+    GROUP BY CAST(ts AS DATE)
+    """,
+)
+def job_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §3.3 retention job end-to-end (the reference's 3-day S3
+    lifecycle expiration, main.tf:166-189): publish the events table as
+    load_date= Hive partitions, expire everything older than the cutoff
+    with the partition-drop maintenance job, read the survivors back with
+    partition discovery. Retention is filesystem metadata work — whole
+    partition directories drop, no row-level rewrite, which is why the
+    curated zone partitions by load_date in the first place."""
+    import datetime as dt
+
+    from ..jobs.retention import expire_partitions
+
+    ev = load(spark, sf_dir, "events").withColumn("load_date", F.to_date("ts"))
+    root = _scratch("job_retention", sf_dir)
+    ev.write.mode("overwrite").partitionBy("load_date").parquet(root)
+    # events span 2024-01-01..2024-01-30; keep the trailing 18 days
+    expire_partitions(root, keep_days=18, today=dt.date(2024, 1, 31))
+    back = spark.read.parquet(root)
+    return back.groupBy(F.col("load_date").cast("date").alias("load_date")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+
 # --------------------------------------------------------------------------
 # §2.2 projections / filters (fixture-driven, golden-row oracles)
 # --------------------------------------------------------------------------

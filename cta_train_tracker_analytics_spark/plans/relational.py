@@ -669,6 +669,35 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_custom_pandas_udaf",
+    oracle="""
+    WITH q AS (SELECT user_id, quantile_cont(value, 0.25) AS q1,
+                      quantile_cont(value, 0.75) AS q3
+               FROM events GROUP BY user_id)
+    SELECT e.user_id, round(quantile_cont(e.value, 0.5), 4) AS iq_median
+    FROM events e JOIN q USING (user_id)
+    WHERE e.value >= q.q1 AND e.value <= q.q3
+    GROUP BY e.user_id
+    """,
+)
+def agg_custom_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate through the Arrow-batched grouped-agg pandas UDF
+    seam (functions/udafs.py): per-user interquartile median — two native
+    passes (percentiles, then a filtered re-aggregate through a self-join,
+    exactly what the oracle does) collapse to one vectorized pass per
+    group. The group key is bounded-cardinality by design; each group's
+    values arrive as a single Arrow batch. The only Python-boxed aggregate
+    in the engine, and the documented template for the robust-stats /
+    custom-sketch aggregates built-ins can't express."""
+    from ..functions.udafs import interquartile_median
+
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.round(interquartile_median("value"), 4).alias("iq_median")
+    )
+
+
+@query(
     "agg_pivot",
     oracle="""
     SELECT CAST(ts AS DATE) AS d,
