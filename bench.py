@@ -45,7 +45,11 @@ HEADLINE = [
     "sort_limit_topk",
     "set_union_all",
     "agg_salted_skew",
+    "join_salted_skew",
     "join_bucketed_colocated",
+    "agg_pivot",
+    "agg_approx_quantile",
+    "agg_custom_pandas_udaf",
     "sql_pricing_summary",
     "ext_dedup_exact",
     "ext_dedup_minhash",
@@ -57,8 +61,13 @@ HEADLINE = [
     "ext_quality_filter",
     "ext_sim_search",
     "ext_sim_search_ivf",
+    "ext_sim_search_ivf_nprobe",
     "ext_multimodal_cols",
 ]
+# NOTE: the headline set GREW in round 5 (salted join, pivot, quantile and
+# pandas-UDAF aggregates, multi-probe IVF) — compare totals across rounds
+# only after aligning on the shared query subset; per-query timings are the
+# stable signal.
 
 
 def main() -> None:
