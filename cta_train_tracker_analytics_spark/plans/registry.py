@@ -47,25 +47,33 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: list is DATA, not an import-order side effect (an import-sorting lint
 #: fix can no longer scramble it; pinned by tests/test_registry_order.py).
 #:
-#: Round-5 priority: the two streaming ops that have never received a
-#: driver CORRECTNESS row, then every query whose implementation changed
-#: since its last driver hash — this round's shingle-builder rewrite
-#: (minhash/decontaminate/ngram), IVF assignment rewrite, localCheckpoint
-#: pins (embed), connected-components guard (cluster), and round 4's
-#: flatten-family change (flatten/nav/arr/explode/filter_nonempty, stamped
-#: in r3 before the change).
+#: Round-6 priority: no driver CORRECTNESS run landed for round 5, so the
+#: eleven queries that have never received a driver row (the two streaming
+#: ops starved since r3 plus the nine round-5 additions) go first, followed
+#: by every query whose implementation changed after its last driver hash —
+#: the r4/r5 shingle-builder and IVF-assignment rewrites
+#: (minhash/decontaminate/ngram/ivf), localCheckpoint pins (embed),
+#: connected-components guard (cluster), and the r4 flatten-family change
+#: (stamped r3, before the change).
 _PRIORITY = [
+    # never driver-verified
     "str_session_window",
     "str_stateful",
     "str_stream_join",
     "join_salted_skew",
     "ext_dedup_cluster_lsss",
+    "ext_sim_search_ivf_nprobe",
+    "agg_custom_pandas_udaf",
+    "agg_pivot",
+    "agg_approx_quantile",
+    "snk_parquet_sorted",
+    "job_retention",
+    # changed since last driver hash
     "ext_dedup_minhash",
     "ext_decontaminate",
     "ext_dedup_ngram",
     "ext_dedup_embed",
     "ext_sim_search_ivf",
-    "ext_sim_search_ivf_nprobe",
     "ext_sim_search",
     "ext_dedup_cluster",
     "ext_dedup_minhash_mllib",
