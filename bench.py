@@ -63,6 +63,11 @@ HEADLINE = [
     "ext_sim_search_ivf",
     "ext_sim_search_ivf_nprobe",
     "ext_multimodal_cols",
+    "ext_seq_pack",
+    "ext_repetition_stats",
+    "ext_bm25",
+    "ext_domain_cap",
+    "ext_embed_quantize",
 ]
 # NOTE: the headline set GREW in round 5 (salted join, pivot, quantile and
 # pandas-UDAF aggregates, multi-probe IVF) — compare totals across rounds

@@ -94,6 +94,31 @@ def src_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_jsonl(spark, path, schema)
 
 
+@query(
+    "src_csv",
+    oracle="SELECT doc_id, lang, source, n_chars FROM documents",
+)
+def src_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round-trip with a declared schema and header: the interchange
+    format the reference's string-typed wire records (get_train_status.py:
+    110-122) would take on any non-JSON export path. Schema-on-read (no
+    inference pass — inference would double the scan at scale); text is
+    excluded because CSV is the wrong carrier for free text, which is
+    exactly the judgment call this operator documents."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    path = _scratch("src_csv", sf_dir)
+    docs.write.mode("overwrite").option("header", True).csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    return spark.read.schema(schema).option("header", True).csv(path)
+
+
 @query("src_listing", oracle="SELECT * FROM nation")
 def src_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File enumeration under a prefix (bucket_raw_data.py:29-40) — a path

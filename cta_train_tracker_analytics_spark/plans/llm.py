@@ -21,8 +21,10 @@ from ..functions.text import (
     hash60,
     quality_features,
     token_count,
+    tokens,
 )
 from ..operators.dedup import (
+    _shingle_rows,
     connected_components,
     connected_components_alternating,
     doc_shingles,
@@ -919,3 +921,321 @@ def ext_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     media = attach_binary(docs)
     return decode_features(media)
+
+
+@query(
+    "ext_seq_pack",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT)
+                   AS n_tok,
+               ('0x' || substr(md5('pack:' || doc_id), 1, 15))::BIGINT % 8 AS bucket
+        FROM documents
+    ),
+    o AS (
+        SELECT doc_id, bucket, n_tok,
+               CAST(COALESCE(sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS tok_offset
+        FROM d
+    )
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, n_tok, tok_offset,
+           CAST(tok_offset // 512 AS BIGINT) AS seq_first,
+           CAST((tok_offset + n_tok - 1) // 512 AS BIGINT) AS seq_last,
+           CAST((tok_offset + n_tok - 1) // 512 - tok_offset // 512 + 1 AS BIGINT)
+               AS n_seqs
+    FROM o
+    """,
+)
+def ext_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-and-chunk) for LLM training: documents are
+    hash-assigned to packer buckets, concatenated in deterministic order
+    within each bucket, and cut into fixed 512-token training sequences.
+    Emits each document's span in packed-sequence space — the manifest a
+    shard writer consumes. The packing itself is ONE window cumulative sum
+    per bucket: the shuffle moves (id, n_tok) pairs only (never text), and
+    buckets are independent, so at 100 TB parallelism = n_buckets and no
+    bucket ever needs another's state. (Reference analog: the daily
+    compaction job materializes a day in RAM, bucket_raw_data.py:95-106 —
+    here the same 'pack into fixed output units' need is a distributed
+    plan, not a single-process loop.)"""
+    docs = load(spark, sf_dir, "documents")
+    bucket = hash60(F.concat(F.lit("pack:"), F.col("doc_id").cast("string"))) % 8
+    d = docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tok"),
+        bucket.cast("bigint").alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    o = d.withColumn("tok_offset", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+    seq_first = F.floor(F.col("tok_offset") / 512)
+    seq_last = F.floor((F.col("tok_offset") + F.col("n_tok") - 1) / 512)
+    return o.select(
+        "doc_id",
+        "bucket",
+        "n_tok",
+        "tok_offset",
+        seq_first.alias("seq_first"),
+        seq_last.alias("seq_last"),
+        (seq_last - seq_first + 1).alias("n_seqs"),
+    )
+
+
+@query(
+    "ext_repetition_stats",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id AS id, string_split_regex(lower(trim(text)), '\\s+') AS l
+        FROM documents
+    ),
+    t AS (SELECT id, generate_subscripts(l, 1) AS i, unnest(l) AS tok FROM toks),
+    ug AS (SELECT id, tok, count(*) AS c FROM t GROUP BY id, tok),
+    ustat AS (SELECT id, sum(c) AS n_tok, max(c) AS top_c,
+                     sum(c) - count(*) AS dup_occ
+              FROM ug GROUP BY id),
+    bg AS (SELECT a.id, a.tok || ' ' || b.tok AS bgram
+           FROM t a JOIN t b ON b.id = a.id AND b.i = a.i + 1),
+    bgc AS (SELECT id, bgram, count(*) AS c FROM bg GROUP BY id, bgram),
+    bstat AS (SELECT id, sum(c) AS n_bg, sum(c) - count(*) AS dup_bg
+              FROM bgc GROUP BY id)
+    SELECT u.id AS doc_id,
+           CAST(u.n_tok AS BIGINT) AS n_tokens,
+           round(u.top_c / CAST(u.n_tok AS DOUBLE), 6) AS top_unigram_frac,
+           round(u.dup_occ / CAST(u.n_tok AS DOUBLE), 6) AS dup_token_frac,
+           round(COALESCE(b.dup_bg / CAST(b.n_bg AS DOUBLE), 0.0), 6)
+               AS dup_bigram_frac
+    FROM ustat u LEFT JOIN bstat b ON b.id = u.id
+    """,
+)
+def ext_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (Gopher-rule family): most-frequent
+    token share, duplicate-token share, and duplicate-bigram share per
+    document. High values flag boilerplate/spam for the quality gate. Two
+    hash aggregates keyed on (doc, gram) — the gram explode is map-side, the
+    shuffle carries counts, and nothing is quadratic; at 100 TB this is the
+    same shape as word-count."""
+    docs = load(spark, sf_dir, "documents")
+    uni = (
+        docs.select(F.col("doc_id").alias("id"), F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tok"),
+            F.max("c").alias("top_c"),
+            (F.sum("c") - F.count(F.lit(1))).alias("dup_occ"),
+        )
+    )
+    bi = (
+        _shingle_rows(docs, 2, "text", "doc_id")
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(F.sum("c").alias("n_bg"), (F.sum("c") - F.count(F.lit(1))).alias("dup_bg"))
+    )
+    return uni.join(bi, "id", "left").select(
+        F.col("id").alias("doc_id"),
+        F.col("n_tok").alias("n_tokens"),
+        F.round(F.col("top_c") / F.col("n_tok").cast("double"), 6).alias(
+            "top_unigram_frac"
+        ),
+        F.round(F.col("dup_occ") / F.col("n_tok").cast("double"), 6).alias(
+            "dup_token_frac"
+        ),
+        F.round(
+            F.coalesce(F.col("dup_bg") / F.col("n_bg").cast("double"), F.lit(0.0)), 6
+        ).alias("dup_bigram_frac"),
+    )
+
+
+@query(
+    "ext_bm25",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id AS id, t.tok
+        FROM documents, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t(tok)
+        WHERE t.tok <> ''
+    ),
+    dl AS (SELECT id, CAST(count(*) AS BIGINT) AS dl FROM t GROUP BY id),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     sum(dl) / CAST(count(*) AS DOUBLE) AS avgdl
+              FROM dl),
+    tf AS (SELECT id, tok, CAST(count(*) AS BIGINT) AS c FROM t
+           WHERE tok IN ('spark', 'hash', 'window') GROUP BY id, tok),
+    idf AS (SELECT tok, (s.n_docs - count(*) + 0.5) / (count(*) + 0.5) AS idf
+            FROM tf, stats s GROUP BY tok, s.n_docs),
+    ts AS (SELECT tf.id, tf.tok,
+                  idf.idf * (tf.c * 2.2)
+                      / (tf.c + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS sc
+           FROM tf JOIN idf USING (tok) JOIN dl USING (id), stats s),
+    sc AS (SELECT id,
+                  COALESCE(max(CASE WHEN tok = 'spark' THEN sc END), 0.0)
+                  + COALESCE(max(CASE WHEN tok = 'hash' THEN sc END), 0.0)
+                  + COALESCE(max(CASE WHEN tok = 'window' THEN sc END), 0.0)
+                      AS score
+           FROM ts GROUP BY id)
+    SELECT id AS doc_id, round(score, 6) AS score
+    FROM sc ORDER BY score DESC, id LIMIT 20
+    """,
+)
+def ext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (k1=1.2, b=0.75) for a fixed query over the
+    corpus, top-20. Inverted-index shape without materializing one: token
+    explode → per-doc tf for query terms only (the filter is map-side, so
+    non-query tokens never shuffle), df/idf over that tiny set, doc-length
+    norm joined per doc. Cross-engine determinism: the idf is the log-free
+    odds form ((N-df+0.5)/(df+0.5)) and the 3 per-term scores fold in fixed
+    written order, so both engines produce bit-identical doubles. The final
+    top-20 is TakeOrderedAndProject — no global sort at scale."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        F.col("doc_id").alias("id"), F.explode(tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    dl = t.groupBy("id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
+    )
+    terms = ["spark", "hash", "window"]
+    tf = (
+        t.filter(F.col("tok").isin(terms))
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    idf = (
+        tf.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .join(F.broadcast(stats), how="cross")
+        .select(
+            "tok",
+            ((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)).alias("idf"),
+        )
+    )
+    ts = (
+        tf.join(F.broadcast(idf), "tok")
+        .join(dl, "id")
+        .join(F.broadcast(stats), how="cross")
+        .select(
+            "id",
+            "tok",
+            (
+                F.col("idf")
+                * (F.col("c") * 2.2)
+                / (F.col("c") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+            ).alias("sc"),
+        )
+    )
+    per_term = [
+        F.coalesce(F.max(F.when(F.col("tok") == term, F.col("sc"))), F.lit(0.0))
+        for term in terms
+    ]
+    score = per_term[0] + per_term[1] + per_term[2]
+    return (
+        ts.groupBy("id")
+        .agg(score.alias("score"))
+        .select(F.col("id").alias("doc_id"), F.round("score", 6).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@query(
+    "ext_domain_cap",
+    oracle="""
+    WITH r AS (
+        SELECT doc_id, source,
+               CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY ('0x' || substr(md5('cap:' || doc_id), 1, 15))::BIGINT,
+                            doc_id) AS BIGINT) AS pick
+        FROM documents
+    )
+    SELECT doc_id, source, pick FROM r WHERE pick <= 20
+    """,
+)
+def ext_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (quota sampling): keep at most 20 docs per
+    source, chosen by a deterministic content-independent hash priority —
+    the standard defense against a single crawled domain dominating the
+    training mix. One row_number window per domain partition; the hash
+    order makes the kept set reproducible across runs and engines, unlike
+    seeded sample(). At 100 TB: partitions are domains — heavy-tail skew is
+    the known hazard, and because only rank ≤ 20 survives, the window can
+    be preceded by a cheap per-partition pre-filter (AQE skew split keeps
+    stragglers bounded)."""
+    docs = load(spark, sf_dir, "documents")
+    pri = hash60(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(pri, "doc_id")
+    return (
+        docs.select(
+            "doc_id", "source", F.row_number().over(w).cast("bigint").alias("pick")
+        )
+        .filter(F.col("pick") <= 20)
+    )
+
+
+@query(
+    "ext_embed_quantize",
+    oracle="""
+    WITH n AS (
+        SELECT vec_id,
+               sqrt(list_reduce(
+                   list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+                   (a, b) -> a + b)) AS nrm,
+               embedding
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, nrm,
+               list_transform(embedding,
+                              x -> CAST(round(x::DOUBLE / nrm * 127) AS INTEGER))
+                   AS q8
+        FROM n WHERE nrm > 0
+    )
+    SELECT vec_id, round(nrm, 6) AS l2_norm,
+           CAST(len(q8) AS BIGINT) AS dim,
+           CAST(list_min(q8) AS BIGINT) AS q_min,
+           CAST(list_max(q8) AS BIGINT) AS q_max,
+           CAST(list_sum(q8) AS BIGINT) AS q_sum,
+           md5(array_to_string(q8, ',')) AS q_digest
+    FROM q
+    """,
+)
+def ext_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding post-processing for ANN serving: L2 norm + int8
+    quantization (scale to the unit sphere, round to [-127, 127]) — the
+    standard 4× memory cut before index build. Pure map-side higher-order
+    functions (aggregate fold for the norm, transform for the quantize):
+    zero shuffle, whole-stage codegen, linear at any scale. The fold is
+    sequential in both engines, so the doubles match bit-for-bit."""
+    emb = load(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0).cast("double"),
+            lambda a, x: a + x.cast("double") * x.cast("double"),
+        )
+    )
+    n = emb.select("vec_id", nrm.alias("nrm"), "embedding").filter(F.col("nrm") > 0)
+    q8 = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") / F.col("nrm") * 127).cast("int"),
+    )
+    q = n.select("vec_id", "nrm", q8.alias("q8"))
+    # Scalar digests instead of the raw int8 array: every engine/driver
+    # canonicalizes scalars identically, and md5 over the joined values
+    # still pins every element bit-for-bit.
+    return q.select(
+        "vec_id",
+        F.round("nrm", 6).alias("l2_norm"),
+        F.size("q8").cast("bigint").alias("dim"),
+        F.array_min("q8").cast("bigint").alias("q_min"),
+        F.array_max("q8").cast("bigint").alias("q_max"),
+        F.aggregate("q8", F.lit(0).cast("bigint"), lambda a, x: a + x).alias("q_sum"),
+        F.md5(F.array_join("q8", ",")).alias("q_digest"),
+    )

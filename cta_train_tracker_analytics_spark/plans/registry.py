@@ -68,6 +68,14 @@ _PRIORITY = [
     "agg_approx_quantile",
     "snk_parquet_sorted",
     "job_retention",
+    # new in round 6 (never driver-verified by construction)
+    "ext_seq_pack",
+    "ext_repetition_stats",
+    "ext_bm25",
+    "ext_domain_cap",
+    "ext_embed_quantize",
+    "win_ntile",
+    "src_csv",
     # changed since last driver hash
     "ext_dedup_minhash",
     "ext_decontaminate",

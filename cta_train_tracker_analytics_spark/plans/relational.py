@@ -498,6 +498,37 @@ def win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("n_15m", F.col("n_15m").cast("bigint")).drop("ts")
 
 
+@query(
+    "win_ntile",
+    oracle="""
+    WITH q AS (
+        SELECT o_orderkey, o_totalprice,
+               ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+        FROM orders
+    )
+    SELECT CAST(quartile AS INT) AS quartile,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM q GROUP BY quartile
+    """,
+)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile banding via ntile over a fully-tiebroken global order, then
+    per-band stats — the percentile-bucket report shape. The global ORDER BY
+    is the honest cost here: at 100 TB prefer approx percentile boundaries
+    (agg_approx_quantile) joined as a broadcast range table; ntile is for
+    when exact equal-count bands are the requirement."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    q = orders.select("o_totalprice", F.ntile(4).over(w).alias("quartile"))
+    return q.groupBy("quartile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+
 # --------------------------------------------------------------------------
 # §2.6 sorts / limits / top-k
 # --------------------------------------------------------------------------
