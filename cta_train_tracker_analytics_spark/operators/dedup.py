@@ -191,10 +191,21 @@ def verified_jaccard_pairs(
     string shingle set (id, tok) or the hashed (id, hv) form; the hashed
     form joins on bigints, not strings."""
     elem = "hv" if "hv" in tok_df.columns else "tok"
-    sizes = tok_df.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    # Restrict the set table to ids that appear in ANY candidate pair
+    # before the pair joins: the verify stage then scales with the
+    # candidate set (LSH keeps it linear), not the corpus — at 100 TB the
+    # full (id, elem) table never re-shuffles for verification. AQE turns
+    # these semi-joins into broadcasts when the candidate id list is small.
+    cand_ids = (
+        candidates.select(F.col("id_a").alias("id"))
+        .union(candidates.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    tok_c = tok_df.join(cand_ids, "id", "left_semi")
+    sizes = tok_c.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
-        candidates.join(tok_df.select(F.col("id").alias("id_a"), elem), "id_a")
-        .join(tok_df.select(F.col("id").alias("id_b"), elem), ["id_b", elem])
+        candidates.join(tok_c.select(F.col("id").alias("id_a"), elem), "id_a")
+        .join(tok_c.select(F.col("id").alias("id_b"), elem), ["id_b", elem])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
