@@ -68,6 +68,7 @@ HEADLINE = [
     "ext_bm25",
     "ext_domain_cap",
     "ext_embed_quantize",
+    "ext_kmeans_update",
 ]
 # NOTE: the headline set GREW in round 5 (salted join, pivot, quantile and
 # pandas-UDAF aggregates, multi-probe IVF) — compare totals across rounds

@@ -265,6 +265,21 @@ def snk_parquet_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "snk_orc",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def snk_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip — the second columnar interchange format a lakehouse
+    deploy meets (Hive-era tables). Same predicate-pushdown/column-pruning
+    machinery as the parquet path (native Spark reader, zlib stripes);
+    schema carries through the file footer, so read-back declares nothing."""
+    docs = load(spark, sf_dir, "documents")
+    path = _scratch("snk_orc", sf_dir)
+    docs.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
+
+
+@query(
     "snk_keyed_store",
     oracle="""
     SELECT user_id, ts, value, event_id FROM events

@@ -38,7 +38,7 @@ from ..operators.dedup import (
     winnow_fingerprints,
 )
 from ..operators.multimodal import attach_binary, decode_features
-from ..operators.similarity import ivf_topk, lsh_bucketed_pairs, topk_cosine
+from ..operators.similarity import ivf_assign, ivf_topk, lsh_bucketed_pairs, topk_cosine
 from .registry import query
 
 #: shared oracle CTE: distinct (id, tok) whitespace tokens per document.
@@ -1085,60 +1085,58 @@ def ext_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranked retrieval (k1=1.2, b=0.75) for a fixed query over the
-    corpus, top-20. Inverted-index shape without materializing one: token
-    explode → per-doc tf for query terms only (the filter is map-side, so
-    non-query tokens never shuffle), df/idf over that tiny set, doc-length
-    norm joined per doc. Cross-engine determinism: the idf is the log-free
-    odds form ((N-df+0.5)/(df+0.5)) and the 3 per-term scores fold in fixed
-    written order, so both engines produce bit-identical doubles. The final
-    top-20 is TakeOrderedAndProject — no global sort at scale."""
+    corpus, top-20. Inverted-index shape without materializing one, in ONE
+    corpus pass: a single token explode feeds a per-doc conditional
+    aggregate carrying doc length AND each query term's tf, so the corpus
+    is scanned once and the only full shuffle moves one narrow row per doc
+    (the naive dl/tf/df-as-separate-DataFrames plan re-scanned and
+    re-exploded the corpus four times — Catalyst does not CSE across
+    DataFrame branches). Corpus-level stats (N, avgdl, per-term df) reduce
+    from that per-doc table to a single broadcast row. Cross-engine
+    determinism: the idf is the log-free odds form ((N-df+0.5)/(df+0.5))
+    and the 3 per-term scores fold in fixed written order, so both engines
+    produce bit-identical doubles. The final top-20 is
+    TakeOrderedAndProject — no global sort at scale."""
     docs = load(spark, sf_dir, "documents")
+    terms = ["spark", "hash", "window"]
     t = docs.select(
         F.col("doc_id").alias("id"), F.explode(tokens(F.col("text"))).alias("tok")
     ).filter(F.col("tok") != "")
-    dl = t.groupBy("id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
-    stats = dl.agg(
+    # Pinned (localCheckpoint, ContextCleaner-reclaimed): per_doc feeds
+    # BOTH the corpus-stats reduction and the scoring pass — without the
+    # pin each consumer re-scans and re-explodes the corpus.
+    per_doc = t.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dl"),
+        *[
+            F.sum(F.when(F.col("tok") == term, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"c_{term}")
+            for term in terms
+        ],
+    ).localCheckpoint(eager=True)
+    stats = per_doc.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         (F.sum("dl") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
+        *[
+            F.sum((F.col(f"c_{term}") > 0).cast("bigint")).alias(f"df_{term}")
+            for term in terms
+        ],
     )
-    terms = ["spark", "hash", "window"]
-    tf = (
-        t.filter(F.col("tok").isin(terms))
-        .groupBy("id", "tok")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    )
-    idf = (
-        tf.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .join(F.broadcast(stats), how="cross")
-        .select(
-            "tok",
-            ((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)).alias("idf"),
+    scored = per_doc.filter(
+        sum(F.col(f"c_{term}") for term in terms) > 0
+    ).join(F.broadcast(stats), how="cross")
+
+    def term_score(term: str):
+        c = F.col(f"c_{term}")
+        idf = (F.col("n_docs") - F.col(f"df_{term}") + 0.5) / (
+            F.col(f"df_{term}") + 0.5
         )
-    )
-    ts = (
-        tf.join(F.broadcast(idf), "tok")
-        .join(dl, "id")
-        .join(F.broadcast(stats), how="cross")
-        .select(
-            "id",
-            "tok",
-            (
-                F.col("idf")
-                * (F.col("c") * 2.2)
-                / (F.col("c") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
-            ).alias("sc"),
-        )
-    )
-    per_term = [
-        F.coalesce(F.max(F.when(F.col("tok") == term, F.col("sc"))), F.lit(0.0))
-        for term in terms
-    ]
-    score = per_term[0] + per_term[1] + per_term[2]
+        norm = c + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+        return F.when(c > 0, idf * (c * 2.2) / norm).otherwise(0.0)
+
+    score = term_score(terms[0]) + term_score(terms[1]) + term_score(terms[2])
     return (
-        ts.groupBy("id")
-        .agg(score.alias("score"))
-        .select(F.col("id").alias("doc_id"), F.round("score", 6).alias("score"))
+        scored.select(F.col("id").alias("doc_id"), F.round(score, 6).alias("score"))
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(20)
     )
@@ -1238,4 +1236,128 @@ def ext_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("q8").cast("bigint").alias("q_max"),
         F.aggregate("q8", F.lit(0).cast("bigint"), lambda a, x: a + x).alias("q_sum"),
         F.md5(F.array_join("q8", ",")).alias("q_digest"),
+    )
+
+
+@query(
+    "ext_kmeans_update",
+    oracle="""
+    WITH cent AS (SELECT vec_id AS cent_id, embedding AS c FROM embeddings
+                  WHERE vec_id < 8),
+    terms0 AS (SELECT e.vec_id, cent.cent_id, unnest(e.embedding)::DOUBLE AS v,
+                      unnest(cent.c)::DOUBLE AS w
+               FROM embeddings e CROSS JOIN cent),
+    cos0 AS (SELECT vec_id, cent_id,
+                    sum(v * w) / (sqrt(sum(v * v)) * sqrt(sum(w * w))) AS cs
+             FROM terms0 GROUP BY vec_id, cent_id),
+    assign AS (SELECT vec_id, cent_id AS cell FROM cos0
+               QUALIFY row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cs DESC, cent_id) = 1),
+    t AS (SELECT a.cell,
+                 CAST(generate_subscripts(e.embedding, 1) - 1 AS INT) AS pos,
+                 CAST(round(unnest(e.embedding)::DOUBLE * 1000000) AS BIGINT) AS qv
+          FROM assign a JOIN embeddings e USING (vec_id))
+    SELECT CAST(cell AS BIGINT) AS cell, pos,
+           CAST(count(*) AS BIGINT) AS n_members,
+           round(sum(qv) / (count(*) * 1000000.0), 6) AS coord
+    FROM t GROUP BY cell, pos
+    """,
+)
+def ext_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration (the k-means centroid UPDATE step) over the
+    embedding corpus: assign every vector to its nearest centroid (the
+    zero-shuffle broadcast argmax from ivf_assign), then recompute each
+    centroid as the member mean, per dimension.
+
+    Determinism: float sums are order-sensitive under distributed
+    aggregation, so coordinates are quantized to integers (×1e6, round)
+    BEFORE summing — integer sums are exact in any order, and the single
+    final division is reproducible bit-for-bit in both engines.
+
+    Scale shape: posexplode emits n×d (cell, pos, qv) rows, but the hash
+    aggregate's map-side partial combine collapses them to k×d rows PER
+    PARTITION before the shuffle — the shuffle moves O(partitions × k × d),
+    independent of corpus size. Iterating to convergence = re-running this
+    query with the returned centroids; each iteration is one scan + one
+    bounded shuffle."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
+    )
+    assigned = ivf_assign(emb, cents)
+    t = assigned.select("cell", F.posexplode("vec").alias("pos", "v")).select(
+        "cell",
+        F.col("pos").cast("int").alias("pos"),
+        F.round(F.col("v").cast("double") * 1000000).cast("bigint").alias("qv"),
+    )
+    return t.groupBy("cell", "pos").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.round(F.sum("qv") / (F.count(F.lit(1)) * F.lit(1000000.0)), 6).alias("coord"),
+    ).select(F.col("cell").cast("bigint").alias("cell"), "pos", "n_members", "coord")
+
+
+@query(
+    "ext_vocab_topk",
+    oracle="""
+    WITH t AS (
+        SELECT t.tok
+        FROM documents, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t(tok)
+        WHERE t.tok <> ''
+    ),
+    c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY tok)
+    SELECT tok, n FROM c ORDER BY n DESC, tok LIMIT 100
+    """,
+)
+def ext_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary induction: global token frequencies, top-100 — the first
+    pass of any tokenizer build (BPE seeding, stopword lists, frequency
+    cutoffs). Word-count shape with map-side partial aggregation, then
+    TakeOrderedAndProject for the cut — the full vocabulary never sorts
+    globally, so at 100 TB the cost is one shuffle of the distinct-token
+    partials."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(F.explode(tokens(F.col("text"))).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    return (
+        t.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(100)
+    )
+
+
+@query(
+    "ext_mix_weights",
+    oracle="""
+    WITH s AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split_regex(lower(trim(text)), '\\s+')))
+                    AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(n_tokens) AS t FROM s)
+    SELECT source, n_docs, n_tokens,
+           round(n_tokens / CAST(t AS DOUBLE), 6) AS weight
+    FROM s, tot
+    """,
+)
+def ext_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture weights: per-source document and token counts plus each
+    source's share of the total token budget — the table a training
+    sampler consumes to hit a target mixture. One aggregate over sources +
+    a broadcast of the single-row total; token counts are exact integers so
+    the shares are deterministic."""
+    docs = load(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    tot = s.agg(F.sum("n_tokens").alias("t"))
+    return s.join(F.broadcast(tot), how="cross").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("t").cast("double"), 6).alias("weight"),
     )

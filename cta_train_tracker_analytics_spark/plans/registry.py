@@ -76,6 +76,11 @@ _PRIORITY = [
     "ext_embed_quantize",
     "win_ntile",
     "src_csv",
+    "ext_kmeans_update",
+    "str_sliding_10min",
+    "ext_vocab_topk",
+    "ext_mix_weights",
+    "snk_orc",
     # changed since last driver hash
     "ext_dedup_minhash",
     "ext_decontaminate",

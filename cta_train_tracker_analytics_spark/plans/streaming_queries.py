@@ -179,6 +179,37 @@ def str_redelivery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "str_sliding_10min",
+    oracle="""
+    WITH w AS (
+        SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+                       time_bucket(INTERVAL '5 minutes', ts)
+                           - INTERVAL '5 minutes']) AS w_start,
+               value
+        FROM events
+    )
+    SELECT w_start, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total
+    FROM w GROUP BY w_start
+    """,
+)
+def str_sliding_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) window aggregation: 10-minute windows every 5
+    minutes, so each event lands in exactly two overlapping windows — the
+    smoothing the per-minute poll cadence (main.tf:49) needs for headway
+    trend reporting. Spark expands the event into its member windows
+    map-side; state is per-(window, key) like any tumbling agg. Complete
+    mode emits all windows at drain."""
+    src_dir, cp = _dirs("str_sliding_10min", sf_dir, "src", "cp")
+    src = parquet_stream(spark, _events(spark, sf_dir), src_dir)
+    agg = src.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+    )
+    out = run_to_memory(agg, "complete", cp)
+    return out.select(F.col("w.start").alias("w_start"), "n", "total")
+
+
+@query(
     "str_dedup_late",
     oracle="SELECT DISTINCT user_id, ts FROM events",
 )

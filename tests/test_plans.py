@@ -176,3 +176,45 @@ def test_pivot_with_explicit_values_is_single_aggregate(spark):
     assert p.count("FileScan") == 1
     assert "pivotfirst" in p
     assert "Join" not in p
+
+
+def test_bm25_scans_corpus_once(spark):
+    """ext_bm25 is a single-pass plan: the corpus is scanned/exploded once
+    into the pinned per-doc aggregate; the action-time plan reads the pin,
+    never documents.parquet (stats pass + scoring pass share it)."""
+    p = plan(spark, "ext_bm25")
+    assert "documents.parquet" not in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_kmeans_update_shuffles_partials_only(spark):
+    """ext_kmeans_update: centroids broadcast (no SMJ), and the (cell, pos)
+    aggregate partial-combines map-side so the shuffle moves k×d partials
+    per partition, not n×d exploded rows. (toString order: final agg,
+    then the Exchange, then the partial agg below it.)"""
+    p = plan(spark, "ext_kmeans_update")
+    assert "SortMergeJoin" not in p
+    assert "BroadcastExchange" in p
+    post_exchange = p.split("Exchange hashpartitioning(cell")[1]
+    assert "partial_sum" in post_exchange
+
+
+def test_seq_pack_single_shuffle(spark):
+    """ext_seq_pack: exactly one exchange (the bucket partitioning for the
+    window); the cumulative sum must not introduce a second shuffle."""
+    p = plan(spark, "ext_seq_pack")
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_embed_quantize_is_map_only(spark):
+    """ext_embed_quantize: no exchange anywhere — norm + quantize are
+    per-row higher-order folds."""
+    p = plan(spark, "ext_embed_quantize")
+    assert "Exchange" not in p
+
+
+def test_vocab_topk_takes_ordered(spark):
+    """ext_vocab_topk: the top-100 cut is TakeOrderedAndProject, never a
+    global sort of the vocabulary."""
+    p = plan(spark, "ext_vocab_topk")
+    assert "TakeOrderedAndProject" in p
