@@ -69,6 +69,7 @@ HEADLINE = [
     "ext_domain_cap",
     "ext_embed_quantize",
     "ext_kmeans_update",
+    "job_prep_training_corpus",
 ]
 # NOTE: the headline set GREW in round 5 (salted join, pivot, quantile and
 # pandas-UDAF aggregates, multi-probe IVF) — compare totals across rounds

@@ -1361,3 +1361,79 @@ def ext_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.round(F.col("n_tokens") / F.col("t").cast("double"), 6).alias("weight"),
     )
+
+
+@query(
+    "job_prep_training_corpus",
+    oracle="""
+    WITH q AS (
+        SELECT doc_id, text FROM documents
+        WHERE len(string_split_regex(lower(trim(text)), '\\s+')) BETWEEN 5 AND 500
+          AND len(regexp_extract_all(text, '[A-Za-z]'))
+              / CAST(length(text) AS DOUBLE) >= 0.5
+          AND len(regexp_extract_all(text, '[0-9]'))
+              / CAST(length(text) AS DOUBLE) <= 0.3
+    ),
+    base AS (
+        SELECT doc_id, text FROM q
+        QUALIFY doc_id = min(doc_id) OVER (PARTITION BY sha256(text))
+    ),
+    toks AS (SELECT doc_id AS id, string_split_regex(lower(trim(text)), '\\s+') AS l
+             FROM base),
+    t AS (SELECT id, generate_subscripts(l, 1) AS i, unnest(l) AS tok FROM toks),
+    tok AS (SELECT DISTINCT a.id, a.tok || ' ' || b.tok || ' ' || c.tok AS tok
+            FROM t a
+            JOIN t b ON b.id = a.id AND b.i = a.i + 1
+            JOIN t c ON c.id = a.id AND c.i = a.i + 2),
+    h AS (SELECT DISTINCT id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv
+          FROM tok),
+    params AS (SELECT i,
+                      ((1103515245 * i + 12345) % 2147483646) + 1 AS a,
+                      (1103515245 * (i + 100) + 12345) % 2147483647 AS b
+               FROM generate_series(0, 15) g(i)),
+    sig AS (SELECT id, i, min((a * (hv % 2147483647) + b) % 2147483647) AS mh
+            FROM h CROSS JOIN params GROUP BY id, i),
+    bands AS (SELECT id, i // 4 AS band,
+                     md5(string_agg(format('{:02d}:{}', i, mh), ',' ORDER BY i))
+                     AS band_hash
+              FROM sig GROUP BY id, i // 4),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id),
+    sizes AS (SELECT id, count(*) AS n FROM h GROUP BY id),
+    inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+              FROM cand c
+              JOIN h ta ON ta.id = c.id_a
+              JOIN h tb ON tb.id = c.id_b AND tb.hv = ta.hv
+              GROUP BY c.id_a, c.id_b),
+    drops AS (SELECT DISTINCT id_b AS doc_id
+              FROM inter JOIN sizes sa ON sa.id = id_a
+                         JOIN sizes sb ON sb.id = id_b
+              WHERE n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= 0.7),
+    clean AS (SELECT * FROM base
+              WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+    s AS (SELECT doc_id,
+                 ('0x' || substr(md5('shard:' || doc_id), 1, 15))::BIGINT % 8
+                     AS shard,
+                 len(string_split_regex(lower(trim(text)), '\\s+')) AS n_toks
+          FROM clean)
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(max(doc_id) AS BIGINT) AS max_doc_id
+    FROM s GROUP BY shard
+    """,
+)
+def job_prep_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-prep pipeline (jobs/prep_corpus.py): quality
+    gate → exact dedup → MinHash-LSH near-dup removal → shard manifest,
+    composed from the engine's own operator building blocks. The oracle
+    replays every stage in DuckDB — including the full LSH chain on the
+    SURVIVOR set — so the composition semantics (not just each stage) are
+    hash-pinned. Scale: each stage keeps its operator's shape (map-only
+    gate, one hash-partition window, banded equi-join, bounded anti-join,
+    one final aggregate); the corpus is never collected or all-paired."""
+    from ..jobs.prep_corpus import prep_training_corpus
+
+    return prep_training_corpus(load(spark, sf_dir, "documents"))

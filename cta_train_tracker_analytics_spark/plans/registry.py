@@ -81,6 +81,7 @@ _PRIORITY = [
     "ext_vocab_topk",
     "ext_mix_weights",
     "snk_orc",
+    "job_prep_training_corpus",
     # changed since last driver hash
     "ext_dedup_minhash",
     "ext_decontaminate",
