@@ -55,9 +55,11 @@ def drop_near_dups(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
     """MinHash-LSH near-dup removal on the surviving set: drop the larger
     id of every verified pair. Anti-join against the drop set — the drop
     set is LSH-bounded (linear), so the anti-join hashes a small side."""
-    tok = hashed_shingles(docs, n=3).localCheckpoint(eager=True)
+    tok = hashed_shingles(docs, n=3, distinct=False).localCheckpoint(eager=True)
     sig = minhash_signatures(tok).localCheckpoint(eager=True)
-    pairs = verified_jaccard_pairs(minhash_candidate_pairs(sig), tok, threshold)
+    pairs = verified_jaccard_pairs(
+        minhash_candidate_pairs(sig), tok, threshold, distinct_sets=True
+    )
     drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     return docs.join(drops, "doc_id", "left_anti")
 

@@ -35,6 +35,7 @@ __all__ = [
     "simhash16",
     "ngram_candidate_pairs",
     "verified_jaccard_pairs",
+    "verified_containment_pairs",
     "group_star_edges",
     "connected_components",
     "connected_components_alternating",
@@ -100,21 +101,31 @@ def doc_shingles(
 
 
 def hashed_shingles(
-    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    distinct: bool = True,
 ) -> DataFrame:
-    """(id, hv) distinct HASHED shingle sets: each shingle string collapses
-    to its portable 60-bit hash *at the map side*, before the distinct
-    shuffle. Two scale wins over the string form: the shuffle rows are
-    16-byte (bigint, bigint) pairs instead of strings, and every downstream
-    consumer (signatures, Jaccard verify joins) operates on bigints. 60-bit
+    """(id, hv) HASHED shingle sets: each shingle string collapses to its
+    portable 60-bit hash *at the map side*, before any shuffle. Two scale
+    wins over the string form: the shuffle rows are 16-byte (bigint,
+    bigint) pairs instead of strings, and every downstream consumer
+    (signatures, Jaccard verify joins) operates on bigints. 60-bit
     collisions are negligible (~2e-5 expected per 1M distinct shingles) and
     the oracle replays the identical md5-derived hash, so parity is exact
-    even when one occurs."""
-    return (
-        _shingle_rows(df, n, text_col, id_col)
-        .select("id", hash60(F.col("tok")).alias("hv"))
-        .distinct()
+    even when one occurs.
+
+    ``distinct=False`` skips the corpus-wide dedup exchange and returns raw
+    occurrence rows — correct whenever the consumer is duplicate-insensitive
+    (minhash MIN aggregation) or distincts a restricted subset itself
+    (``verified_jaccard_pairs(distinct_sets=True)``). On a 100 TB corpus
+    that exchange is a full shuffle of the token stream; skipping it is the
+    difference between one map-side pass and two corpus-wide stages."""
+    rows = _shingle_rows(df, n, text_col, id_col).select(
+        "id", hash60(F.col("tok")).alias("hv")
     )
+    return rows.distinct() if distinct else rows
 
 
 def minhash_signatures(tok_df: DataFrame) -> DataFrame:
@@ -183,13 +194,68 @@ def minhash_candidate_pairs(sig: DataFrame) -> DataFrame:
 
 
 def verified_jaccard_pairs(
-    candidates: DataFrame, tok_df: DataFrame, threshold: float
+    candidates: DataFrame,
+    tok_df: DataFrame,
+    threshold: float,
+    distinct_sets: bool = False,
 ) -> DataFrame:
     """Exact Jaccard verification, candidates only: intersection via a
     two-way equi-join on the set element, union by |A|+|B|−|A∩B|. No pair
     blow-up — the candidate set is already blocked. Works on either the
     string shingle set (id, tok) or the hashed (id, hv) form; the hashed
-    form joins on bigints, not strings."""
+    form joins on bigints, not strings.
+
+    ``distinct_sets=True`` declares that ``tok_df`` carries raw occurrence
+    rows (``hashed_shingles(distinct=False)``): the dedup to set semantics
+    then runs AFTER the candidate-id restriction, over the small verify
+    working set instead of the whole corpus."""
+    out = _pair_overlap(candidates, tok_df, distinct_sets).withColumn(
+        "jaccard",
+        F.round(
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+            4,
+        ),
+    )
+    return out.filter(F.col("jaccard") >= threshold).select(
+        F.col("id_a").cast("bigint"),
+        F.col("id_b").cast("bigint"),
+        "jaccard",
+    )
+
+
+def verified_containment_pairs(
+    candidates: DataFrame,
+    tok_df: DataFrame,
+    threshold: float,
+    distinct_sets: bool = False,
+) -> DataFrame:
+    """Exact CONTAINMENT verification, candidates only: score =
+    |A∩B| / min(|A|, |B|) — the asymmetric complement to Jaccard that
+    catches sub-document copies (a short doc embedded in a long one keeps
+    high containment while its Jaccard collapses toward |A|/|B|). Same
+    candidate-restricted plan shape as ``verified_jaccard_pairs``."""
+    out = _pair_overlap(candidates, tok_df, distinct_sets).withColumn(
+        "containment",
+        F.round(
+            F.col("n_inter") / F.least("n_a", "n_b").cast("double"),
+            4,
+        ),
+    )
+    return out.filter(F.col("containment") >= threshold).select(
+        F.col("id_a").cast("bigint"),
+        F.col("id_b").cast("bigint"),
+        "containment",
+    )
+
+
+def _pair_overlap(
+    candidates: DataFrame, tok_df: DataFrame, distinct_sets: bool
+) -> DataFrame:
+    """(id_a, id_b, n_inter, n_a, n_b) for each candidate pair — the shared
+    core of the set-overlap verifiers. Works on either the string shingle
+    set (id, tok) or the hashed (id, hv) form; the hashed form joins on
+    bigints, not strings."""
     elem = "hv" if "hv" in tok_df.columns else "tok"
     # Restrict the set table to ids that appear in ANY candidate pair
     # before the pair joins: the verify stage then scales with the
@@ -202,6 +268,8 @@ def verified_jaccard_pairs(
         .distinct()
     )
     tok_c = tok_df.join(cand_ids, "id", "left_semi")
+    if distinct_sets:
+        tok_c = tok_c.distinct()
     sizes = tok_c.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         candidates.join(tok_c.select(F.col("id").alias("id_a"), elem), "id_a")
@@ -209,23 +277,9 @@ def verified_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    out = (
-        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
-                4,
-            ),
-        )
-    )
-    return out.filter(F.col("jaccard") >= threshold).select(
-        F.col("id_a").cast("bigint"),
-        F.col("id_b").cast("bigint"),
-        "jaccard",
-    )
+    return inter.join(
+        sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")), "id_a"
+    ).join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
 
 
 def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -34,6 +34,7 @@ from ..operators.dedup import (
     minhash_candidate_pairs,
     minhash_signatures,
     simhash16,
+    verified_containment_pairs,
     verified_jaccard_pairs,
     winnow_fingerprints,
 )
@@ -196,13 +197,20 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate (measured 10.4s → 2.0s at sf0.1 when both pins are in
     place). At 100 TB the shingle pin is tokens-sized but 5-20× narrower
     than strings; the signature pin is corpus-row-count-sized — both spill
-    cleanly (MEMORY_AND_DISK blocks)."""
-    tok = hashed_shingles(load(spark, sf_dir, "documents"), n=3).localCheckpoint(
-        eager=True
-    )
+    cleanly (MEMORY_AND_DISK blocks).
+
+    No corpus-wide distinct: the shingle table keeps raw occurrence rows
+    (``distinct=False``) because the minhash MIN aggregate is
+    duplicate-insensitive, and the verify stage dedups only its
+    candidate-restricted working set (``distinct_sets=True``) — the
+    set-semantics exchange that used to shuffle the whole token stream now
+    touches LSH candidates only (cold run 8.3s → 2.8s at sf0.1)."""
+    tok = hashed_shingles(
+        load(spark, sf_dir, "documents"), n=3, distinct=False
+    ).localCheckpoint(eager=True)
     sig = minhash_signatures(tok).localCheckpoint(eager=True)
     cand = minhash_candidate_pairs(sig)
-    return verified_jaccard_pairs(cand, tok, threshold=0.7)
+    return verified_jaccard_pairs(cand, tok, threshold=0.7, distinct_sets=True)
 
 
 @query(
@@ -1437,3 +1445,50 @@ def job_prep_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..jobs.prep_corpus import prep_training_corpus
 
     return prep_training_corpus(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "ext_dedup_containment",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    h AS (SELECT DISTINCT id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv
+          FROM tok),
+    params AS (SELECT i,
+                      ((1103515245 * i + 12345) % 2147483646) + 1 AS a,
+                      (1103515245 * (i + 100) + 12345) % 2147483647 AS b
+               FROM generate_series(0, 15) g(i)),
+    sig AS (SELECT id, i, min((a * (hv % 2147483647) + b) % 2147483647) AS mh
+            FROM h CROSS JOIN params GROUP BY id, i),
+    bands AS (SELECT id, i // 4 AS band,
+                     md5(string_agg(format('{{:02d}}:{{}}', i, mh), ',' ORDER BY i))
+                     AS band_hash
+              FROM sig GROUP BY id, i // 4),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id),
+    sizes AS (SELECT id, count(*) AS n FROM h GROUP BY id),
+    inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+              FROM cand c
+              JOIN h ta ON ta.id = c.id_a
+              JOIN h tb ON tb.id = c.id_b AND tb.hv = ta.hv
+              GROUP BY c.id_a, c.id_b)
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           round(n_inter / CAST(least(sa.n, sb.n) AS DOUBLE), 4) AS containment
+    FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+    WHERE n_inter / CAST(least(sa.n, sb.n) AS DOUBLE) >= 0.8
+    """,
+)
+def ext_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup (|A∩B| / min(|A|,|B|) ≥ 0.8) over the same
+    MinHash-LSH candidate chain as ext_dedup_minhash — the asymmetric
+    complement that catches SUB-DOCUMENT copies: a short document pasted
+    inside a long one keeps containment ≈ 1 while its Jaccard collapses
+    toward the length ratio. Same scale shape end to end: raw occurrence
+    shingles (no corpus-wide distinct), banded candidates, verification
+    restricted to the candidate working set."""
+    tok = hashed_shingles(
+        load(spark, sf_dir, "documents"), n=3, distinct=False
+    ).localCheckpoint(eager=True)
+    sig = minhash_signatures(tok).localCheckpoint(eager=True)
+    cand = minhash_candidate_pairs(sig)
+    return verified_containment_pairs(cand, tok, threshold=0.8, distinct_sets=True)

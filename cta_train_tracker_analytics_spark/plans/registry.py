@@ -82,6 +82,7 @@ _PRIORITY = [
     "ext_mix_weights",
     "snk_orc",
     "job_prep_training_corpus",
+    "ext_dedup_containment",
     # changed since last driver hash
     "ext_dedup_minhash",
     "ext_decontaminate",
