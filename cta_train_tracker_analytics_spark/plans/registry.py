@@ -83,6 +83,7 @@ _PRIORITY = [
     "snk_orc",
     "job_prep_training_corpus",
     "ext_dedup_containment",
+    "join_dpp_partitioned",
     # changed since last driver hash
     "ext_dedup_minhash",
     "ext_decontaminate",

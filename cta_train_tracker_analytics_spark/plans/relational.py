@@ -866,3 +866,52 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nationkey"))
     supp = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return nation.subtract(supp)
+
+
+@query(
+    "join_dpp_partitioned",
+    oracle="""
+    WITH dim AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d FROM events
+        WHERE isodow(CAST(ts AS DATE)) = 3
+    )
+    SELECT e.d, CAST(count(*) AS BIGINT) AS n, round(sum(e.value), 2) AS total
+    FROM (SELECT CAST(ts AS DATE) AS d, value FROM events) e
+    JOIN dim ON dim.d = e.d
+    GROUP BY e.d
+    """,
+)
+def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning end-to-end: the fact table is published
+    Hive-partitioned by event date, the date dimension is filtered at query
+    time (Wednesdays), and the join on the partition column lets Spark
+    inject a runtime `dynamicpruning` subquery into the fact scan — only
+    the surviving dates' partitions are read (pinned by tests/
+    test_plans.py). At 100 TB this is THE mechanism that turns a
+    fact-side full scan into reading a handful of partitions when the
+    pruning predicate lives on the dim side and is unknowable at plan
+    time. Static pruning (snk_parquet_partitioned) handles literal
+    predicates; DPP handles join-derived ones."""
+    import shutil
+    from pathlib import Path
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "value", F.to_date("ts").alias("d")
+    )
+    root = Path("/tmp/cta_spark_engine_scratch") / Path(sf_dir).name / "dpp"
+    shutil.rmtree(root, ignore_errors=True)
+    fact_path, dim_path = str(root / "fact"), str(root / "dim")
+    ev.write.mode("overwrite").partitionBy("d").parquet(fact_path)
+    dim = ev.select("d").distinct().withColumn("dow", F.weekday("d") + 1)
+    dim.write.mode("overwrite").parquet(dim_path)
+
+    fact = spark.read.parquet(fact_path)
+    wednesdays = spark.read.parquet(dim_path).filter(F.col("dow") == 3).select("d")
+    return (
+        fact.join(wednesdays, "d")
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+    )

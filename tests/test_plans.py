@@ -218,3 +218,11 @@ def test_vocab_topk_takes_ordered(spark):
     global sort of the vocabulary."""
     p = plan(spark, "ext_vocab_topk")
     assert "TakeOrderedAndProject" in p
+
+
+def test_dpp_prunes_fact_partitions(spark):
+    """join_dpp_partitioned: the fact scan must carry a runtime
+    dynamicpruning expression on the partition column — the join-derived
+    predicate reaches the file index, not just the join operator."""
+    p = plan(spark, "join_dpp_partitioned")
+    assert "dynamicpruning" in p.lower()
