@@ -28,29 +28,30 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which the Spark reader
-        # rejects natively. Read nanos as long and truncate to micros —
-        # the same ns→µs truncation DuckDB applies — then present as NTZ
-        # so every engine table carries naive timestamps. Sessions built by
-        # session.get_spark() already carry this conf; the guarded set below
-        # exists only for externally-owned sessions (e.g. the driver's) and
-        # is engine policy, not a per-read toggle — no other table carries
-        # nanos timestamps, so flipping it session-wide is behavior-neutral.
+        # events.ts has shipped in two layouts: parquet TIMESTAMP(NANOS)
+        # (older generators — the Spark reader rejects it natively, so we
+        # read nanos as long and truncate to micros, the same ns→µs
+        # truncation DuckDB applies) and plain TIMESTAMP(MICROS) without
+        # isAdjustedToUTC (current generator — Spark reads it directly as
+        # TIMESTAMP_NTZ). Either way the engine presents one canonical
+        # type: naive TIMESTAMP_NTZ. The guarded conf set is engine
+        # policy, not a per-read toggle — no other table carries nanos
+        # timestamps, so flipping it session-wide is behavior-neutral.
         if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return (
-            spark.read.parquet(f"{sf_dir}/events.parquet")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        if dict(df.dtypes)["ts"] == "bigint":
             # timestampadd on an NTZ base is pure arithmetic — unlike
             # cast(timestamp_micros(..) as ntz), it cannot shift with the
             # session timezone (verified against a non-UTC driver session).
-            .withColumn(
+            df = df.withColumn(
                 "ts",
                 F.expr(
                     "timestampadd(MICROSECOND, ts div 1000, "
                     "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
                 ),
             )
-        )
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
