@@ -1492,3 +1492,250 @@ def ext_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = minhash_signatures(tok).localCheckpoint(eager=True)
     cand = minhash_candidate_pairs(sig)
     return verified_containment_pairs(cand, tok, threshold=0.8, distinct_sets=True)
+
+
+@query(
+    "ext_token_entropy",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id AS id, string_split_regex(lower(trim(text)), '\\s+') AS l
+        FROM documents
+    ),
+    t AS (SELECT id, unnest(l) AS tok FROM toks),
+    tf AS (SELECT id, tok, count(*)::DOUBLE AS c
+           FROM t WHERE tok <> '' GROUP BY id, tok),
+    agg AS (SELECT id, sum(c) AS n, count(*) AS n_types,
+                   sum(c * log2(c)) AS clc
+            FROM tf GROUP BY id)
+    SELECT CAST(id AS BIGINT) AS doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(n_types AS BIGINT) AS n_types,
+           round(log2(n) - clc / n, 4) AS entropy,
+           round(n_types / n, 4) AS ttr
+    FROM agg
+    """,
+)
+def ext_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution quality signals per document: Shannon entropy of
+    the token frequency distribution and type-token ratio — the
+    low-entropy screen that catches keyword-stuffed / boilerplate / highly
+    repetitive documents that length and punctuation ratios miss
+    (complements ext_repetition_stats' n-gram view).
+
+    Entropy uses the algebraic form H = log2(n) − Σc·log2(c)/n so the
+    whole computation is two hash aggregates — (id, tok) counts, then one
+    row per doc — with no per-row probability column and no second join
+    against the doc totals. Map-side partial aggregation collapses token
+    rows before the shuffle; nothing here holds a whole document's
+    distribution in memory, so the plan is corpus-size-linear."""
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            F.col("doc_id").alias("id"), F.explode(tokens(F.col("text"))).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    agg = tf.groupBy("id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("c") * F.log2("c")).alias("clc"),
+    )
+    return agg.select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.col("n_types").cast("bigint").alias("n_types"),
+        F.round(F.log2("n") - F.col("clc") / F.col("n"), 4).alias("entropy"),
+        F.round(F.col("n_types") / F.col("n"), 4).alias("ttr"),
+    )
+
+
+@query(
+    "ext_dedup_incremental",
+    oracle="""
+    WITH batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 4),
+    corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 4),
+    ex_idx AS (SELECT sha256(text) AS h, min(doc_id) AS dup_of
+               FROM corpus GROUP BY sha256(text)),
+    nm_idx AS (SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h,
+                      min(doc_id) AS dup_of
+               FROM corpus GROUP BY 1)
+    SELECT CAST(b.doc_id AS BIGINT) AS batch_doc_id,
+           CAST(coalesce(e.dup_of, n.dup_of) AS BIGINT) AS dup_of,
+           CASE WHEN e.dup_of IS NOT NULL THEN 'exact'
+                WHEN n.dup_of IS NOT NULL THEN 'normalized'
+                ELSE 'new' END AS match_kind
+    FROM batch b
+    LEFT JOIN ex_idx e ON e.h = sha256(b.text)
+    LEFT JOIN nm_idx n
+        ON n.h = md5(regexp_replace(lower(trim(b.text)), '\\s+', ' ', 'g'))
+    """,
+)
+def ext_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the shape every production crawl pipeline runs:
+    dedup a NEW batch against the EXISTING corpus, not the corpus against
+    itself. Here docs with doc_id % 5 == 4 stand in for the new batch; the
+    rest is the existing corpus. Each batch doc is labeled 'exact' (byte
+    hash match), 'normalized' (whitespace/case-normalized fingerprint
+    match), or 'new', with the matched corpus doc id.
+
+    Scale shape: the corpus side collapses to its HASH INDEX (one 32-byte
+    key + bigint per distinct document) via a map-side-combined aggregate —
+    in production that index is precomputed once and stored keyed by hash,
+    so per-batch cost is two hash joins whose build side is the (small)
+    batch. Nothing re-reads or re-shuffles corpus text per batch; the text
+    column never moves after the map-side hash."""
+    docs = load(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 4)
+    corpus = docs.filter(F.col("doc_id") % 5 != 4)
+    norm = lambda c: F.md5(  # noqa: E731
+        F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    )
+    ex_idx = corpus.groupBy(F.sha2("text", 256).alias("h")).agg(
+        F.min("doc_id").alias("ex_dup")
+    )
+    nm_idx = corpus.groupBy(norm(F.col("text")).alias("h")).agg(
+        F.min("doc_id").alias("nm_dup")
+    )
+    return (
+        batch.select("doc_id", F.sha2("text", 256).alias("eh"), norm(F.col("text")).alias("nh"))
+        .join(ex_idx, F.col("eh") == ex_idx.h, "left")
+        .drop("h")
+        .join(nm_idx, F.col("nh") == nm_idx.h, "left")
+        .select(
+            F.col("doc_id").cast("bigint").alias("batch_doc_id"),
+            F.coalesce("ex_dup", "nm_dup").cast("bigint").alias("dup_of"),
+            F.when(F.col("ex_dup").isNotNull(), "exact")
+            .when(F.col("nm_dup").isNotNull(), "normalized")
+            .otherwise("new")
+            .alias("match_kind"),
+        )
+    )
+
+
+@query(
+    "ext_sample_stratified",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, CAST(rn AS BIGINT) AS rn
+    FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY ('0x' || substr(md5('strat:' || doc_id), 1, 15))::BIGINT,
+                            doc_id
+               ) AS rn
+        FROM documents
+    )
+    WHERE rn <= 100
+    """,
+)
+def ext_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum sampling: keep the 100 documents per language
+    whose stable content-key hash sorts first — the quota-based complement
+    to ext_sample_hash's rate-based sampler, for when the training mix
+    specifies absolute per-stratum counts. Deterministic across runs,
+    cluster sizes, and engines (hash order, unique tiebreaker).
+
+    One shuffle on the stratum key, then a per-stratum top-k. At 100 TB a
+    full per-stratum sort is wasteful for k ≪ stratum size — the upgrade is
+    the standard two-phase top-k (per-partition k-smallest, then final k
+    among n_partitions×k survivors), same result by hash-order determinism."""
+    docs = load(spark, sf_dir, "documents")
+    key = hash60(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(key, F.col("doc_id"))
+    return (
+        docs.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "lang",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .filter(F.col("rn") <= 100)
+    )
+
+
+@query(
+    "ext_sim_recall",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+               WHERE vec_id < 5),
+    pairs AS (SELECT q.query_id, e.vec_id, q.qe, e.embedding AS ce
+              FROM q CROSS JOIN embeddings e),
+    terms AS (SELECT query_id, vec_id, unnest(qe)::DOUBLE AS qa,
+                     unnest(ce)::DOUBLE AS cb
+              FROM pairs),
+    s AS (SELECT query_id, vec_id,
+                 sum(qa * cb) / (sqrt(sum(qa * qa)) * sqrt(sum(cb * cb))) AS cs
+          FROM terms GROUP BY query_id, vec_id),
+    ex AS (SELECT query_id, vec_id FROM s
+           QUALIFY row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cs DESC, vec_id) <= 10),
+    cent AS (SELECT vec_id AS cent_id, embedding AS c FROM embeddings
+             WHERE vec_id < 8),
+    terms0 AS (SELECT e.vec_id, cent.cent_id, unnest(e.embedding)::DOUBLE AS v,
+                      unnest(cent.c)::DOUBLE AS w
+               FROM embeddings e CROSS JOIN cent),
+    cos0 AS (SELECT vec_id, cent_id,
+                    sum(v * w) / (sqrt(sum(v * v)) * sqrt(sum(w * w))) AS cs
+             FROM terms0 GROUP BY vec_id, cent_id),
+    assign AS (SELECT vec_id, cent_id AS cell FROM cos0
+               QUALIFY row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cs DESC, cent_id) = 1),
+    q2 AS (SELECT a.vec_id AS query_id, a.cell, e.embedding AS qe
+           FROM assign a JOIN embeddings e USING (vec_id) WHERE a.vec_id < 5),
+    cand AS (SELECT q2.query_id, q2.qe, e2.vec_id, e2.embedding AS ce
+             FROM q2 JOIN assign a2 ON a2.cell = q2.cell
+             JOIN embeddings e2 ON e2.vec_id = a2.vec_id),
+    terms2 AS (SELECT query_id, vec_id, unnest(qe)::DOUBLE AS qa,
+                      unnest(ce)::DOUBLE AS cb
+               FROM cand),
+    s2 AS (SELECT query_id, vec_id,
+                  sum(qa * cb) / (sqrt(sum(qa * qa)) * sqrt(sum(cb * cb))) AS cs
+           FROM terms2 GROUP BY query_id, vec_id),
+    ap AS (SELECT query_id, vec_id FROM s2
+           QUALIFY row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cs DESC, vec_id) <= 10)
+    SELECT CAST(e.query_id AS BIGINT) AS query_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+           round(count(a.vec_id) / CAST(count(*) AS DOUBLE), 4) AS recall
+    FROM ex e LEFT JOIN ap a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+    GROUP BY e.query_id
+    """,
+)
+def ext_sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF index against exact brute-force search, per
+    query — 'measure, don't guess' for the ANN quality/cost trade-off: the
+    number every index deployment needs before trusting nprobe=1 at scale.
+    Runs both searches (each already scale-shaped: broadcast query side,
+    one corpus scan / one cell equi-join) and left-joins approximate into
+    exact; recall = hits/10. The join is over query_count×k rows — driver-
+    trivial at any corpus size, so measuring recall costs one extra tiny
+    join beyond the two searches it audits."""
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
+    )
+    exact = topk_cosine(emb, emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    ), k=10).select("query_id", "vec_id")
+    approx = ivf_topk(emb, emb.filter(F.col("vec_id") < 5), centroids, k=10).select(
+        "query_id", F.col("vec_id").alias("ap_vec_id")
+    )
+    hits = exact.join(
+        approx,
+        (exact.query_id == approx.query_id) & (exact.vec_id == approx.ap_vec_id),
+        "left",
+    ).select(exact.query_id, exact.vec_id, approx.ap_vec_id)
+    return hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+        F.count("ap_vec_id").cast("bigint").alias("n_hit"),
+        F.round(
+            F.count("ap_vec_id") / F.count(F.lit(1)).cast("double"), 4
+        ).alias("recall"),
+    ).select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        "n_exact",
+        "n_hit",
+        "recall",
+    )

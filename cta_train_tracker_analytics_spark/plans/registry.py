@@ -84,6 +84,13 @@ _PRIORITY = [
     "job_prep_training_corpus",
     "ext_dedup_containment",
     "join_dpp_partitioned",
+    # new in round 8 (never driver-verified by construction)
+    "agg_cube",
+    "win_percent_rank",
+    "ext_token_entropy",
+    "ext_dedup_incremental",
+    "ext_sample_stratified",
+    "ext_sim_recall",
     # changed since last driver hash
     "ext_dedup_minhash",
     "ext_decontaminate",

@@ -529,6 +529,57 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (priority, status): all four grouping sets — (p,s), (p),
+    (s), () — in ONE pass. Spark expands the sets before the hash aggregate
+    (each input row contributes to 4 partials map-side), so the plan is
+    still a single shuffle whose volume is |groups|×4, independent of the
+    fact-table size — the same shape that serves a 100 TB rollup report.
+    Complements agg_grouping_sets (ROLLUP) for the full OLAP-cube surface."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+@query(
+    "win_percent_rank",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           round(percent_rank() OVER w, 4) AS pct_rank,
+           round(cume_dist() OVER w, 4) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative standing within a group: percent_rank + cume_dist of each
+    customer's balance inside their nation — the normalized-score shape
+    quality pipelines use to turn raw signals into per-stratum percentiles.
+    One shuffle on the partition key; the ORDER BY carries a unique
+    tiebreaker so ranks are deterministic. At 100 TB the per-nation sort is
+    the cost — for heavy strata switch to approx-quantile boundaries
+    (agg_approx_quantile) broadcast back as a range lookup."""
+    cust = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+    )
+
+
 # --------------------------------------------------------------------------
 # §2.6 sorts / limits / top-k
 # --------------------------------------------------------------------------

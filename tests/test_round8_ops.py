@@ -1,0 +1,183 @@
+"""Semantic invariants for the round-8 operators — properties the DuckDB
+parity hash can confirm but not explain. Each test states the contract a
+100 TB deployment relies on."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from cta_train_tracker_analytics_spark.plans import registry
+
+from conftest import SF_DIR
+
+
+def q(spark, name):
+    return registry.all_queries()[name](spark, SF_DIR)
+
+
+# ----------------------------------------------------------------- agg_cube
+
+
+def test_cube_contains_all_four_grouping_sets(spark):
+    """CUBE must emit (p,s), (p), (s), and the grand total — and each
+    coarser set's revenue must equal the sum of its finer rows."""
+    rows = q(spark, "agg_cube").collect()
+    full = [r for r in rows if r.o_orderpriority is not None and r.o_orderstatus is not None]
+    by_p = [r for r in rows if r.o_orderpriority is not None and r.o_orderstatus is None]
+    by_s = [r for r in rows if r.o_orderpriority is None and r.o_orderstatus is not None]
+    grand = [r for r in rows if r.o_orderpriority is None and r.o_orderstatus is None]
+    assert full and by_p and by_s and len(grand) == 1
+    assert grand[0].n == sum(r.n for r in full)
+    # rollup consistency: each (p) row aggregates its (p,s) rows
+    for rp in by_p:
+        fine = [r for r in full if r.o_orderpriority == rp.o_orderpriority]
+        assert rp.n == sum(r.n for r in fine)
+        assert math.isclose(rp.revenue, sum(r.revenue for r in fine), abs_tol=0.5)
+
+
+# ------------------------------------------------------- win_percent_rank
+
+
+def test_percent_rank_bounds_and_monotone(spark):
+    """percent_rank spans [0, 1] within each nation and is monotone in the
+    order key; cume_dist ends at exactly 1."""
+    rows = q(spark, "win_percent_rank").collect()
+    by_nation: dict[int, list] = {}
+    for r in rows:
+        by_nation.setdefault(r.c_nationkey, []).append(r)
+    for nk, grp in by_nation.items():
+        grp.sort(key=lambda r: (r.c_acctbal, r.c_custkey))
+        assert grp[0].pct_rank == 0.0
+        if len(grp) > 1:
+            assert grp[-1].pct_rank == 1.0
+        assert grp[-1].cume == 1.0
+        for a, b in zip(grp, grp[1:]):
+            assert a.pct_rank <= b.pct_rank
+            assert a.cume <= b.cume
+
+
+# ------------------------------------------------------- ext_token_entropy
+
+
+def test_entropy_bounds(spark):
+    """0 <= H <= log2(n_types) (uniform max), and ttr = n_types/n_tokens."""
+    for r in q(spark, "ext_token_entropy").collect():
+        assert r.n_types <= r.n_tokens
+        assert -1e-9 <= r.entropy <= math.log2(r.n_types) + 1e-4, r
+        # Spark rounds half-up, Python half-even — compare unrounded
+        assert abs(r.ttr - r.n_types / r.n_tokens) <= 5e-5
+
+
+def test_entropy_detects_repetition(spark):
+    """A constant-token document must score H = 0; a doc of all-distinct
+    tokens must score exactly log2(n)."""
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, "a b c d e f g h")],
+        "doc_id long, text string",
+    )
+    from cta_train_tracker_analytics_spark.plans.llm import ext_token_entropy  # noqa: F401
+    # rebuild the same chain on the in-memory frame
+    from cta_train_tracker_analytics_spark.functions.text import tokens
+
+    tf = (
+        df.select(F.col("doc_id").alias("id"), F.explode(tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    agg = tf.groupBy("id").agg(
+        F.sum("c").alias("n"), F.sum(F.col("c") * F.log2("c")).alias("clc")
+    )
+    got = {
+        r.id: r.h
+        for r in agg.select(
+            "id", F.round(F.log2("n") - F.col("clc") / F.col("n"), 4).alias("h")
+        ).collect()
+    }
+    assert got[1] == 0.0
+    assert got[2] == 3.0
+
+
+# --------------------------------------------------- ext_dedup_incremental
+
+
+def test_incremental_dedup_partitions_batch(spark):
+    """Every batch doc appears exactly once; non-'new' rows carry a corpus
+    dup_of, 'new' rows carry NULL."""
+    rows = q(spark, "ext_dedup_incremental").collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_batch = docs.filter(F.col("doc_id") % 5 == 4).count()
+    assert len(rows) == n_batch
+    assert len({r.batch_doc_id for r in rows}) == n_batch
+    for r in rows:
+        if r.match_kind == "new":
+            assert r.dup_of is None
+        else:
+            assert r.match_kind in ("exact", "normalized")
+            assert r.dup_of is not None and r.dup_of % 5 != 4
+
+
+def test_incremental_dedup_flags_planted_duplicate(spark):
+    """A batch doc byte-identical to a corpus doc must be flagged 'exact';
+    a case-variant must be flagged 'normalized'."""
+    from cta_train_tracker_analytics_spark.plans.llm import ext_dedup_incremental
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox"),   # corpus
+            (1, "something else"),         # corpus
+            (4, "the quick brown fox"),   # batch: exact dup of 0
+            (9, "The  Quick Brown FOX"),  # batch: normalized dup of 0
+            (14, "entirely novel text"),  # batch: new
+        ],
+        "doc_id long, text string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(f"{d}/documents.parquet")
+        got = {
+            r.batch_doc_id: (r.match_kind, r.dup_of)
+            for r in ext_dedup_incremental(spark, d).collect()
+        }
+    assert got[4] == ("exact", 0)
+    assert got[9] == ("normalized", 0)
+    assert got[14] == ("new", None)
+
+
+# --------------------------------------------------- ext_sample_stratified
+
+
+def test_stratified_sample_quota(spark):
+    """At most 100 docs per stratum; strata smaller than the quota are kept
+    whole; rn is dense 1..k within each stratum."""
+    rows = q(spark, "ext_sample_stratified").collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sizes = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r.rn)
+    for lang, rns in by_lang.items():
+        assert sorted(rns) == list(range(1, len(rns) + 1))
+        assert len(rns) == min(100, sizes[lang])
+
+
+def test_stratified_sample_deterministic(spark):
+    a = {(r.doc_id, r.lang) for r in q(spark, "ext_sample_stratified").collect()}
+    b = {(r.doc_id, r.lang) for r in q(spark, "ext_sample_stratified").collect()}
+    assert a == b
+
+
+# ----------------------------------------------------------- ext_sim_recall
+
+
+def test_recall_bounds_and_consistency(spark):
+    """recall = n_hit / n_exact, n_hit <= n_exact = 10, one row per query."""
+    rows = q(spark, "ext_sim_recall").collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.n_exact == 10
+        assert 0 <= r.n_hit <= r.n_exact
+        assert math.isclose(r.recall, round(r.n_hit / r.n_exact, 4), abs_tol=1e-9)
