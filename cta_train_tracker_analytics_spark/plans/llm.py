@@ -251,18 +251,26 @@ def ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the single map-side hash join: at 100 TB nothing corpus-sized
     is ever materialized, shuffled, or pair-joined. The shared
     hashed_shingles builder means each corpus shingle is md5-hashed once
-    and joined as a bigint."""
+    and joined as a bigint.
+
+    The corpus side keeps RAW occurrence rows (``distinct=False``): the
+    set-semantics dedup the shared-shingle count needs runs AFTER the
+    broadcast probe join, as a count(DISTINCT hv) over the (tiny) hit set —
+    the corpus-wide distinct exchange this replaces was the only
+    corpus-sized shuffle in the plan (wall-time parity at sf0.1 where the
+    corpus fits in memory; at 100 TB the removed exchange is the entire
+    shuffled token stream)."""
     docs = load(spark, sf_dir, "documents")
     bench = hashed_shingles(docs.filter(F.col("doc_id") < 50), n=3).select(
         F.col("id").alias("bench_id"),
         "hv",
         F.count(F.lit(1)).over(Window.partitionBy("id")).alias("n"),
     )
-    corpus = hashed_shingles(docs.filter(F.col("doc_id") >= 50), n=3)
+    corpus = hashed_shingles(docs.filter(F.col("doc_id") >= 50), n=3, distinct=False)
     return (
         corpus.join(F.broadcast(bench), "hv")
         .groupBy(F.col("id").alias("corpus_id"), "bench_id")
-        .agg(F.count(F.lit(1)).alias("n_shared"), F.any_value("n").alias("n"))
+        .agg(F.count_distinct("hv").alias("n_shared"), F.any_value("n").alias("n"))
         .filter(F.col("n_shared") >= 2)
         .select(
             F.col("corpus_id").cast("bigint"),
