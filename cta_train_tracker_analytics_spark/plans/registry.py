@@ -85,6 +85,8 @@ _PRIORITY = [
     "ext_dedup_containment",
     "join_dpp_partitioned",
     # new in round 8 (never driver-verified by construction)
+    "win_session_gap",
+    "agg_bitmap_distinct",
     "agg_cube",
     "win_percent_rank",
     "ext_token_entropy",

@@ -530,6 +530,87 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "win_session_gap",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS session_no
+        FROM flagged
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(session_no AS BIGINT) AS session_no,
+           min(ts) AS session_start, max(ts) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, session_no
+    """,
+)
+def win_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH sessionization — the gaps-and-islands shape: a session breaks
+    when a user is idle > 30 min; session ids are the running sum of
+    break flags. The streaming twin is str_session_window; this is the
+    backfill/replay path over historical data. ONE shuffle on user_id
+    serves both windows and the final per-session aggregate (same
+    partitioning, Catalyst reuses the exchange). Gap arithmetic uses
+    timestampdiff in MICROSECONDS on the NTZ column — exact on both engines
+    (second-granularity functions disagree: DuckDB counts boundary
+    crossings, Spark floors the true gap) and never session-timezone-
+    dependent."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull()
+        | (F.expr("timestampdiff(MICROSECOND, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)") > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    sess = ev.select(
+        "user_id",
+        "ts",
+        F.sum(is_new).over(w).alias("session_no"),
+    )
+    return sess.groupBy(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("session_no").cast("bigint").alias("session_no"),
+    ).agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmaps — the scale path between plain
+    count(DISTINCT) (shuffles every distinct pair) and HLL (approximate,
+    agg_approx_distinct): bucket each key into a fixed 32k-bit bitmap,
+    OR the bitmaps in a map-side-combinable aggregate, then sum the bit
+    counts. The shuffle carries one bitmap per (group, bucket) — bounded
+    by key-space/32k regardless of row count — and the result is exact.
+    This is how exact daily-uniques survive 100 TB of events."""
+    ev = load(spark, sf_dir, "events")
+    inner = ev.groupBy(
+        "event_type", F.bitmap_bucket_number("user_id").alias("__bkt")
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("__bm"))
+    return inner.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("__bm")).cast("bigint").alias("n_users")
+    )
+
+
+@query(
     "agg_cube",
     oracle="""
     SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n,

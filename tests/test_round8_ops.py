@@ -181,3 +181,44 @@ def test_recall_bounds_and_consistency(spark):
         assert r.n_exact == 10
         assert 0 <= r.n_hit <= r.n_exact
         assert math.isclose(r.recall, round(r.n_hit / r.n_exact, 4), abs_tol=1e-9)
+
+
+# ------------------------------------------------------- win_session_gap
+
+
+def test_session_gap_boundaries(spark):
+    """Within a user, consecutive sessions are separated by > 30 min and
+    events inside a session are never more than 30 min apart end-to-start."""
+    rows = q(spark, "win_session_gap").collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for uid, sess in by_user.items():
+        sess.sort(key=lambda r: r.session_no)
+        assert [s.session_no for s in sess] == list(range(1, len(sess) + 1))
+        for s in sess:
+            assert s.session_start <= s.session_end
+        for a, b in zip(sess, sess[1:]):
+            gap = (b.session_start - a.session_end).total_seconds()
+            assert gap > 1800, (uid, a.session_no, gap)
+
+
+def test_session_gap_covers_all_events(spark):
+    total = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert sum(r.n_events for r in q(spark, "win_session_gap").collect()) == total
+
+
+# ---------------------------------------------------- agg_bitmap_distinct
+
+
+def test_bitmap_distinct_matches_exact(spark):
+    """The bitmap two-level aggregate must equal plain count(DISTINCT)."""
+    got = {r.event_type: r.n_users for r in q(spark, "agg_bitmap_distinct").collect()}
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    want = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want
