@@ -50,6 +50,10 @@ HEADLINE = [
     "agg_pivot",
     "agg_approx_quantile",
     "agg_custom_pandas_udaf",
+    "agg_cube",
+    "agg_bitmap_distinct",
+    "win_percent_rank",
+    "win_session_gap",
     "sql_pricing_summary",
     "ext_dedup_exact",
     "ext_dedup_minhash",
@@ -63,6 +67,10 @@ HEADLINE = [
     "ext_sim_search_ivf",
     "ext_sim_search_ivf_nprobe",
     "ext_multimodal_cols",
+    "ext_token_entropy",
+    "ext_dedup_incremental",
+    "ext_sample_stratified",
+    "ext_sim_recall",
     "ext_seq_pack",
     "ext_repetition_stats",
     "ext_bm25",

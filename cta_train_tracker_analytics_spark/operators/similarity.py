@@ -56,6 +56,41 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def scored_cosine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """(query_id, vec_id, cos_sim) for every query×corpus pair — the shared
+    scoring pass under exact top-k search and the recall audit (which ranks
+    the SAME scores twice, once unrestricted and once cell-restricted).
+
+    Norms are computed ONCE per vector (|Q|+|corpus| array folds), not per
+    pair (|Q|×|corpus| folds): higher-order-function folds are interpreted,
+    so hoisting them out of the pair loop is a ~3× cut in fold work. The
+    cosine value is bit-identical — same dot/sqrt expressions, same inputs."""
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            norm(F.col(vec_col)).alias("q_nrm"),
+        )
+    )
+    return spread(corpus).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_nrm"),
+    ).crossJoin(q).select(
+        "query_id",
+        "vec_id",
+        (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm"))).alias(
+            "cos_sim"
+        ),
+    )
+
+
 def topk_cosine(
     corpus: DataFrame,
     queries: DataFrame,
@@ -69,28 +104,7 @@ def topk_cosine(
     Plan shape: BroadcastNestedLoopJoin is *intended* here — the broadcast
     side is k rows, so the 'nested loop' is a constant-width map over the
     corpus scan, followed by a per-query top-k window."""
-    # Norms are computed ONCE per vector (|Q|+|corpus| array folds), not per
-    # pair (|Q|×|corpus| folds): higher-order-function folds are interpreted,
-    # so hoisting them out of the pair loop is a ~3× cut in fold work. The
-    # cosine value is bit-identical — same dot/sqrt expressions, same inputs.
-    q = F.broadcast(
-        queries.select(
-            F.col(query_id_col).alias("query_id"),
-            F.col(vec_col).alias("q_vec"),
-            norm(F.col(vec_col)).alias("q_nrm"),
-        )
-    )
-    scored = spread(corpus).select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("c_vec"),
-        norm(F.col(vec_col)).alias("c_nrm"),
-    ).crossJoin(q).select(
-        "query_id",
-        "vec_id",
-        (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm"))).alias(
-            "cos_sim"
-        ),
-    )
+    scored = scored_cosine(corpus, queries, id_col, vec_col, query_id_col)
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))

@@ -39,7 +39,13 @@ from ..operators.dedup import (
     winnow_fingerprints,
 )
 from ..operators.multimodal import attach_binary, decode_features
-from ..operators.similarity import ivf_assign, ivf_topk, lsh_bucketed_pairs, topk_cosine
+from ..operators.similarity import (
+    ivf_assign,
+    ivf_topk,
+    lsh_bucketed_pairs,
+    scored_cosine,
+    topk_cosine,
+)
 from .registry import query
 
 #: shared oracle CTE: distinct (id, tok) whitespace tokens per document.
@@ -1715,20 +1721,42 @@ def ext_sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the IVF index against exact brute-force search, per
     query — 'measure, don't guess' for the ANN quality/cost trade-off: the
     number every index deployment needs before trusting nprobe=1 at scale.
-    Runs both searches (each already scale-shaped: broadcast query side,
-    one corpus scan / one cell equi-join) and left-joins approximate into
-    exact; recall = hits/10. The join is over query_count×k rows — driver-
-    trivial at any corpus size, so measuring recall costs one extra tiny
-    join beyond the two searches it audits."""
+
+    The corpus is COSINE-SCORED ONCE (the shared scored_cosine pass, pinned
+    via localCheckpoint); exact top-k ranks those scores unrestricted, and
+    the IVF result ranks the SAME scores restricted to the query's centroid
+    cell — algebraically identical to re-running ivf_topk (same scores,
+    same candidates, same tiebreak) with one whole corpus fold pass saved.
+    The only other corpus pass is the zero-shuffle assignment map
+    (ivf_assign). At 100 TB a recall audit runs on a query SAMPLE: the
+    scored table is |Q|×|corpus| rows, so Q bounds the audit's cost — which
+    is exactly why measuring recall on a sample is the deployment gate, not
+    a full-corpus self-join."""
     emb = load(spark, sf_dir, "embeddings")
     centroids = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
     )
-    exact = topk_cosine(emb, emb.filter(F.col("vec_id") < 5).select(
+    queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
-    ), k=10).select("query_id", "vec_id")
-    approx = ivf_topk(emb, emb.filter(F.col("vec_id") < 5), centroids, k=10).select(
-        "query_id", F.col("vec_id").alias("ap_vec_id")
+    )
+    sc = scored_cosine(emb, queries).localCheckpoint(eager=True)
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    exact = (
+        sc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("query_id", "vec_id")
+    )
+    asg = ivf_assign(emb, centroids).select(F.col("id").alias("vec_id"), "cell")
+    qcell = asg.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("cell").alias("qcell")
+    )
+    approx = (
+        sc.join(F.broadcast(qcell), "query_id")
+        .join(asg, "vec_id")
+        .filter(F.col("cell") == F.col("qcell"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("query_id", F.col("vec_id").alias("ap_vec_id"))
     )
     hits = exact.join(
         approx,
