@@ -119,6 +119,49 @@ def src_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(schema).option("header", True).csv(path)
 
 
+@query(
+    "src_binary",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS content_sha
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def src_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-blob ingestion via the binaryFile datasource — the real
+    entry point for multimodal corpora (images/audio land as one blob per
+    object; ext_multimodal_cols consumes exactly this shape). Blobs are
+    staged one file per document by an executor-side foreachPartition
+    (distributed, nothing collects), then read back with
+    ``format("binaryFile")``; the query proves content integrity end to
+    end by re-deriving byte length and sha256 FROM THE BLOB BYTES and
+    letting the oracle recompute both from the source table. At scale the
+    same reader runs over an object-store prefix with partition-parallel
+    listing; pathGlobFilter prunes non-blob files at the file index, before
+    any read."""
+    path = _scratch("src_binary", sf_dir)
+    Path(path).mkdir(parents=True, exist_ok=True)
+
+    def _write_blobs(rows):
+        for r in rows:
+            with open(f"{path}/{r.doc_id}.bin", "wb") as f:
+                f.write(r.text.encode("utf-8"))
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    docs.select("doc_id", "text").foreachPartition(_write_blobs)
+    blobs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(path)
+    )
+    return blobs.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1).cast("bigint").alias("doc_id"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+        F.sha2(F.col("content"), 256).alias("content_sha"),
+    )
+
+
 @query("src_listing", oracle="SELECT * FROM nation")
 def src_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File enumeration under a prefix (bucket_raw_data.py:29-40) — a path

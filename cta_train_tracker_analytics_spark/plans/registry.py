@@ -93,6 +93,7 @@ _PRIORITY = [
     "ext_dedup_incremental",
     "ext_sample_stratified",
     "ext_sim_recall",
+    "src_binary",
     # changed since last driver hash
     "ext_dedup_minhash",
     "ext_decontaminate",
