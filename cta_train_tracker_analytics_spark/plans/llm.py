@@ -1775,3 +1775,53 @@ def ext_sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hit",
         "recall",
     )
+
+
+@query(
+    "ext_quality_model",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT)
+                   AS n_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+               CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits
+        FROM documents
+    ),
+    z AS (
+        SELECT doc_id,
+               -1.0 + 0.004 * n_tokens
+                    + 2.0 * (n_alpha / CAST(n_chars AS DOUBLE))
+                    - 3.0 * (n_digits / CAST(n_chars AS DOUBLE)) AS z
+        FROM f
+    )
+    SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 4) AS score,
+           CAST(1.0 / (1.0 + exp(-z)) >= 0.6 AS BOOLEAN) AS keep
+    FROM z
+    """,
+)
+def ext_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring — the shape of the fasttext/logistic
+    quality-classifier stage every production corpus runs after the
+    heuristic gate: score = sigmoid(w·features) with fixed published
+    weights, keep = score ≥ threshold. Map-only, whole-stage-codegen; at
+    100 TB this is a free rider on the corpus scan. The weight vector here
+    is a deterministic stand-in — production swaps in trained weights
+    (or an ONNX-exported scorer behind a Pandas UDF) without touching the
+    plan shape. Both engines evaluate the identical closed-form expression,
+    so the oracle is exact, not approximate."""
+    docs = load(spark, sf_dir, "documents")
+    f = quality_features(F.col("text"))
+    z = (
+        F.lit(-1.0)
+        + F.lit(0.004) * f["n_tokens"]
+        + F.lit(2.0) * (f["n_alpha"] / f["n_chars"].cast("double"))
+        - F.lit(3.0) * (f["n_digits"] / f["n_chars"].cast("double"))
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return docs.select(
+        "doc_id",
+        F.round(score, 4).alias("score"),
+        (score >= 0.6).alias("keep"),
+    )

@@ -94,6 +94,10 @@ _PRIORITY = [
     "ext_sample_stratified",
     "ext_sim_recall",
     "src_binary",
+    "ext_quality_model",
+    "win_first_last",
+    "join_fuzzy_levenshtein",
+    "agg_hll_union",
     # changed since last driver hash
     "ext_dedup_minhash",
     "ext_decontaminate",

@@ -1047,3 +1047,89 @@ def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total"),
         )
     )
+
+
+@query(
+    "win_first_last",
+    oracle="""
+    SELECT user_id, event_id, value,
+           first_value(value) OVER w AS first_val,
+           last_value(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS last_val
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value over a keyed time order — the
+    'entry vs exit reading per key' report. last_value needs the explicit
+    unbounded-following frame (the default frame stops at CURRENT ROW and
+    silently returns the running last — the classic window footgun, pinned
+    here on both engines). One shuffle on user_id serves both windows."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.first("value").over(w).alias("first_val"),
+        F.last("value").over(w_full).alias("last_val"),
+    )
+
+
+@query(
+    "join_fuzzy_levenshtein",
+    oracle="""
+    SELECT a.n_name AS name_a, b.n_name AS name_b,
+           CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS dist
+    FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+    WHERE levenshtein(a.n_name, b.n_name) <= 5
+    """,
+)
+def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching by edit distance over a DIMENSION self-join —
+    entity resolution for reference data (station/line name variants in
+    the reference's lookup tables). The quadratic pair space is the
+    deliberately-bounded dim side (25 nations); corpus-scale fuzzy dedup
+    must block first (ext_dedup_ngram's rare-ngram blocking or LSH) and
+    only then verify with edit distance inside candidate buckets — the
+    same verify-inside-buckets discipline as every near-dup operator
+    here."""
+    nation = load(spark, sf_dir, "nation")
+    a = nation.select(F.col("n_nationkey").alias("ka"), F.col("n_name").alias("name_a"))
+    b = nation.select(F.col("n_nationkey").alias("kb"), F.col("n_name").alias("name_b"))
+    return (
+        a.join(F.broadcast(b), F.col("ka") < F.col("kb"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("bigint"))
+        .filter(F.col("dist") <= 5)
+        .select("name_a", "name_b", "dist")
+    )
+
+
+@query("agg_hll_union")
+def agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RE-AGGREGATABLE distinct sketches — the pattern behind every rollup
+    table: build one HLL sketch per (day, event_type) partial, then merge
+    partials with hll_union_agg and estimate once. The daily sketches are
+    what a 100 TB pipeline persists; month/quarter/lifetime uniques then
+    cost a sketch merge (bytes per group), never a re-scan of raw events.
+    Spark's HLL binary format is stable across shuffles and versions
+    (Apache DataSketches), so the partials are storable columns. No SQL
+    oracle: DuckDB's approx_count_distinct uses a different estimator, so
+    the driver records the rows-only check; the unit test bounds the
+    estimate against the exact count (within HLL's documented rsd)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("d"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias(
+                "approx_users"
+            )
+        )
+    )

