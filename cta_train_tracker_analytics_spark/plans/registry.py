@@ -47,14 +47,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: list is DATA, not an import-order side effect (an import-sorting lint
 #: fix can no longer scramble it; pinned by tests/test_registry_order.py).
 #:
-#: Round-6 priority: no driver CORRECTNESS run landed for round 5, so the
-#: eleven queries that have never received a driver row (the two streaming
-#: ops starved since r3 plus the nine round-5 additions) go first, followed
-#: by every query whose implementation changed after its last driver hash —
-#: the r4/r5 shingle-builder and IVF-assignment rewrites
-#: (minhash/decontaminate/ngram/ivf), localCheckpoint pins (embed),
-#: connected-components guard (cluster), and the r4 flatten-family change
-#: (stamped r3, before the change).
+#: Priority (current round): every query that has never received a driver
+#: CORRECTNESS row goes first — the streaming ops starved since r3, the
+#: round-5/6 additions (no driver run landed for those rounds), then this
+#: round's new operators — followed by every query whose implementation
+#: changed after its last driver hash (shingle-builder/IVF rewrites, the
+#: decontaminate distinct-elimination, the scored_cosine refactor under
+#: ext_sim_search, localCheckpoint pins, the r4 flatten-family change).
 _PRIORITY = [
     # never driver-verified
     "str_session_window",
