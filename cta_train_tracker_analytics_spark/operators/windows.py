@@ -26,6 +26,7 @@ __all__ = [
     "running_agg",
     "rank_topk",
     "rolling_range_frame",
+    "sessionize",
 ]
 
 
@@ -141,3 +142,30 @@ def rolling_range_frame(
         .rangeBetween(-int(preceding_seconds) * 1_000_000, 0)
     )
     return df.withColumn(agg_name, F.sum(value).over(w))
+
+
+def sessionize(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    gap_seconds: int,
+    tiebreak: str,
+) -> DataFrame:
+    """Gaps-and-islands sessionization: a session breaks when the gap
+    between consecutive rows of a key exceeds ``gap_seconds``; session ids
+    are the running sum of break flags (1-based per key, ordered by time).
+
+    Returns the input plus a ``session_no`` column. ONE shuffle on the key
+    serves the lag window and the running sum (same partitioning + sort).
+    The gap compare runs in MICROSECONDS on the NTZ timestamp — exact, and
+    immune to the engine-dependent semantics of second-granularity diff
+    functions (boundary counting vs flooring)."""
+    w = Window.partitionBy(*keys).orderBy(ts, tiebreak)
+    prev = F.lag(ts).over(w)
+    gap_us = F.expr(
+        f"timestampdiff(MICROSECOND, "
+        f"lag({ts}) OVER (PARTITION BY {', '.join(keys)} ORDER BY {ts}, {tiebreak}), "
+        f"{ts})"
+    )
+    is_new = F.when(prev.isNull() | (gap_us > gap_seconds * 1_000_000), 1).otherwise(0)
+    return df.withColumn("session_no", F.sum(is_new).over(w))

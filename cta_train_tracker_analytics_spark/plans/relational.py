@@ -26,6 +26,7 @@ from ..data import load
 from ..operators.joins import asof_join, range_join
 from ..operators.windows import (
     lag_gap_seconds,
+    sessionize,
     latest_state,
     rank_topk,
     rolling_range_frame,
@@ -564,17 +565,12 @@ def win_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     crossings, Spark floors the true gap) and never session-timezone-
     dependent."""
     ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag("ts").over(w)
-    is_new = F.when(
-        prev.isNull()
-        | (F.expr("timestampdiff(MICROSECOND, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)") > 1_800_000_000),
-        1,
-    ).otherwise(0)
-    sess = ev.select(
-        "user_id",
-        "ts",
-        F.sum(is_new).over(w).alias("session_no"),
+    sess = sessionize(
+        ev.select("user_id", "ts", "event_id"),
+        keys=["user_id"],
+        ts="ts",
+        gap_seconds=1800,
+        tiebreak="event_id",
     )
     return sess.groupBy(
         F.col("user_id").cast("bigint").alias("user_id"),
