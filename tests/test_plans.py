@@ -226,3 +226,61 @@ def test_dpp_prunes_fact_partitions(spark):
     predicate reaches the file index, not just the join operator."""
     p = plan(spark, "join_dpp_partitioned")
     assert "dynamicpruning" in p.lower()
+
+
+def test_session_gap_single_exchange(spark):
+    """Both windows and the per-session aggregate must share ONE shuffle on
+    user_id — a second Exchange means the chain lost its common
+    partitioning."""
+    p = plan(spark, "win_session_gap")
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_bitmap_distinct_partial_agg_below_exchange(spark):
+    """The bitmap OR must start map-side: a partial bitmap_construct_agg
+    below the first Exchange, so the shuffle carries bitmaps, not rows."""
+    p = plan(spark, "agg_bitmap_distinct")
+    first_exchange = p.find("Exchange hashpartitioning")
+    assert first_exchange != -1
+    assert "partial_bitmap_construct_agg" in p[first_exchange:]
+
+
+def test_token_entropy_partial_aggregates(spark):
+    """Token counting must combine map-side (partial_count below the
+    Exchange) — the whole op is two hash aggregates, no joins."""
+    p = plan(spark, "ext_token_entropy")
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") <= 2
+
+
+def test_incremental_dedup_scans_prune_columns(spark):
+    """The corpus index side must read only doc_id + text (hash inputs),
+    never lang/source/n_chars."""
+    p = plan(spark, "ext_dedup_incremental")
+    for seg in p.split("ReadSchema: ")[1:]:
+        schema = seg.splitlines()[0]
+        assert "lang" not in schema and "source" not in schema
+
+
+def test_quality_model_is_map_only(spark):
+    """Model scoring rides the scan: no exchange, no join, codegen."""
+    p = plan(spark, "ext_quality_model")
+    assert "Exchange" not in p
+    assert "Join" not in p
+    # codegen marker: either the tree form or the `*(n)` stage prefix
+    assert "WholeStageCodegen" in p or "*(1)" in p
+
+
+def test_fuzzy_join_broadcasts_dim(spark):
+    p = plan(spark, "join_fuzzy_levenshtein")
+    assert "SortMergeJoin" not in p
+
+
+def test_sim_recall_reuses_scored_pass(spark):
+    """The recall audit must not recompute corpus cosines for the approx
+    side: exactly one BroadcastNestedLoopJoin (the scoring pass feeding the
+    pinned table) may appear in the whole plan tree, and the final plan
+    reads the pinned scan, not two scoring branches."""
+    p = plan(spark, "ext_sim_recall")
+    # the pinned scored table appears as an ExistingRDD/LogicalRDD scan
+    assert "Scan ExistingRDD" in p
