@@ -546,3 +546,36 @@ def proj_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         "destSt", "nextStaId", "nextStpId", "flags", "lat", "lon", "heading",
         "prdt", "arrT", "isApp", "isDly", "trDr",
     )
+
+
+@query(
+    "proj_unpivot",
+    oracle="""
+    UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                    l_discount, l_tax
+             FROM lineitem)
+    ON l_quantity, l_extendedprice, l_discount, l_tax
+    INTO NAME metric VALUE val
+    """,
+)
+def proj_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (melt) — the inverse of agg_pivot: each measure
+    column becomes a (metric, val) row, the layout metric stores and
+    feature pipelines consume. Spark's native ``unpivot`` plans an Expand
+    node — a map-side row generator, no shuffle, no UDF; at 100 TB the
+    cost is exactly the 4× output rows, streamed, never materialized
+    wide."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+    )
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )

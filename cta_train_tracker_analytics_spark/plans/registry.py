@@ -97,6 +97,7 @@ _PRIORITY = [
     "win_first_last",
     "join_fuzzy_levenshtein",
     "agg_hll_union",
+    "proj_unpivot",
     # changed since last driver hash
     "ext_dedup_minhash",
     "ext_decontaminate",

@@ -284,3 +284,10 @@ def test_sim_recall_reuses_scored_pass(spark):
     p = plan(spark, "ext_sim_recall")
     # the pinned scored table appears as an ExistingRDD/LogicalRDD scan
     assert "Scan ExistingRDD" in p
+
+
+def test_unpivot_is_shuffle_free_expand(spark):
+    """Melt must plan as a map-side Expand — no shuffle, no join."""
+    p = plan(spark, "proj_unpivot")
+    assert "Expand" in p
+    assert "Exchange" not in p and "Join" not in p
