@@ -282,3 +282,38 @@ def test_fuzzy_join_symmetric_free_and_bounded(spark):
     for r in rows:
         assert r.name_a != r.name_b or True
         assert (r.name_b, r.name_a) not in pairs or r.name_a == r.name_b
+
+
+# ---------------------------------------------------------- empty inputs
+
+
+def test_sessionize_empty_frame(spark):
+    from cta_train_tracker_analytics_spark.operators.windows import sessionize
+
+    df = spark.createDataFrame([], "k string, ts timestamp_ntz, event_id long")
+    assert (
+        sessionize(df, keys=["k"], ts="ts", gap_seconds=60, tiebreak="event_id").count()
+        == 0
+    )
+
+
+def test_minhash_chain_empty_after_short_doc_filter(spark):
+    """A corpus where every doc is shorter than the shingle width must flow
+    through the whole minhash chain as empty frames — no ANSI errors, no
+    null pairs."""
+    from cta_train_tracker_analytics_spark.operators.dedup import (
+        hashed_shingles,
+        minhash_candidate_pairs,
+        minhash_signatures,
+        verified_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "one two"), (2, "a"), (3, "")], "doc_id long, text string"
+    )
+    tok = hashed_shingles(docs, n=3, distinct=False)
+    sig = minhash_signatures(tok)
+    pairs = verified_jaccard_pairs(
+        minhash_candidate_pairs(sig), tok, 0.7, distinct_sets=True
+    )
+    assert pairs.count() == 0
