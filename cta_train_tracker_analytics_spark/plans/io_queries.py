@@ -579,3 +579,55 @@ def proj_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="val",
     )
+
+
+@query(
+    "src_jsonl_corrupt",
+    oracle="""
+    SELECT CAST(doc_id % 10 = 7 AS BOOLEAN) AS is_corrupt,
+           CAST(count(*) AS BIGINT) AS n
+    FROM documents WHERE doc_id < 100
+    GROUP BY CAST(doc_id % 10 = 7 AS BOOLEAN)
+    """,
+)
+def src_jsonl_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema enforcement semantics (SURVEY §1.3): the reference is
+    fail-fast on required structure (KeyError on missing fields,
+    get_train_status.py:113-120,130-133) — the idiomatic Spark upgrade is
+    PERMISSIVE mode with a ``_corrupt_record`` column, which quarantines
+    malformed rows instead of failing the 100 TB job at hour nine. This
+    query stages a JSONL file with every (doc_id % 10 == 7) line corrupted,
+    reads it back PERMISSIVE with a declared schema (no inference pass),
+    and reports good vs quarantined counts — the corrupt-row audit every
+    ingest pipeline publishes alongside its bronze table."""
+    path = _scratch("src_jsonl_corrupt", sf_dir)
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    lines = docs.select(
+        F.when(
+            F.col("doc_id") % 10 == 7, F.concat(F.lit("{corrupt line "), F.col("doc_id"))
+        )
+        .otherwise(F.to_json(F.struct("doc_id", "lang")))
+        .alias("value")
+    )
+    lines.write.mode("overwrite").text(path)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        # Spark refuses plans that prune a raw JSON scan down to ONLY the
+        # corrupt-record column (QUERY_ONLY_CORRUPT_RECORD_COLUMN); the
+        # documented contract is to materialize the parse first — which is
+        # what a real ingest does anyway (bronze write, then audit).
+        .localCheckpoint(eager=True)
+    )
+    return parsed.groupBy(
+        F.col("_corrupt_record").isNotNull().alias("is_corrupt")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))

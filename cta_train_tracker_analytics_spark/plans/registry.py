@@ -98,6 +98,7 @@ _PRIORITY = [
     "join_fuzzy_levenshtein",
     "agg_hll_union",
     "proj_unpivot",
+    "src_jsonl_corrupt",
     # changed since last driver hash
     "ext_dedup_minhash",
     "ext_decontaminate",
