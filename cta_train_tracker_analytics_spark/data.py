@@ -40,7 +40,8 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        if dict(df.dtypes)["ts"] == "bigint":
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
             # timestampadd on an NTZ base is pure arithmetic — unlike
             # cast(timestamp_micros(..) as ntz), it cannot shift with the
             # session timezone (verified against a non-UTC driver session).
@@ -48,6 +49,18 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 "ts",
                 F.expr(
                     "timestampadd(MICROSECOND, ts div 1000, "
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+        elif ts_type == "timestamp":
+            # isAdjustedToUTC micros (instant semantics). unix_micros is
+            # timezone-independent, so rebuilding the NTZ from epoch micros
+            # pins UTC wall time regardless of the session timezone —
+            # a plain cast to timestamp_ntz would shift with it.
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, unix_micros(ts), "
                     "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
                 ),
             )
