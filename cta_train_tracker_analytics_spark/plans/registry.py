@@ -99,6 +99,7 @@ _PRIORITY = [
     "agg_hll_union",
     "proj_unpivot",
     "src_jsonl_corrupt",
+    "agg_corr",
     # changed since last driver hash
     "ext_dedup_minhash",
     "ext_decontaminate",

@@ -1129,3 +1129,28 @@ def agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@query(
+    "agg_corr",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_cov,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed statistics in ONE pass: Pearson correlation and sample
+    covariance per group. Spark's corr/covar_samp aggregate the co-moment
+    recurrences map-side (partial sums of x, y, xy-moments), so the
+    shuffle carries one small state row per group — the same
+    single-shuffle shape as any sum, exact at any scale. The report every
+    feature-engineering pass runs before trusting a signal pair."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_cov"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
