@@ -631,3 +631,37 @@ def src_jsonl_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.groupBy(
         F.col("_corrupt_record").isNotNull().alias("is_corrupt")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+
+@query(
+    "src_parquet_evolve",
+    oracle="""
+    SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS source
+    FROM documents WHERE doc_id < 100
+    UNION ALL
+    SELECT doc_id, CAST(NULL AS VARCHAR) AS lang, source
+    FROM documents WHERE doc_id >= 100 AND doc_id < 200
+    """,
+)
+def src_parquet_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two parquet batches written with
+    DIFFERENT column sets (an added column mid-stream — the normal life of
+    a long-lived dataset) unified by ``mergeSchema``; missing columns fill
+    with NULL per file. The merge happens at footer level — file schemas
+    union at planning time, no data rewrite. At 100 TB the alternative
+    (rewriting history to add a column) is the thing this exists to
+    avoid; pair with explicit casts when a column's TYPE changes, which
+    footer merge intentionally refuses to reconcile."""
+    path = _scratch("src_parquet_evolve", sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    docs.filter(F.col("doc_id") < 100).select("doc_id", "lang").write.parquet(
+        f"{path}/batch=1"
+    )
+    docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 200)).select(
+        "doc_id", "source"
+    ).write.parquet(f"{path}/batch=2")
+    return (
+        spark.read.option("mergeSchema", True)
+        .parquet(path)
+        .select("doc_id", "lang", "source")
+    )

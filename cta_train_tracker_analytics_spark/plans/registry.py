@@ -100,6 +100,8 @@ _PRIORITY = [
     "proj_unpivot",
     "src_jsonl_corrupt",
     "agg_corr",
+    "win_change_points",
+    "src_parquet_evolve",
     # changed since last driver hash
     "ext_dedup_minhash",
     "ext_decontaminate",

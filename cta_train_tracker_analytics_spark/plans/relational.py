@@ -1154,3 +1154,37 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_cov"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
     )
+
+
+@query(
+    "win_change_points",
+    oracle="""
+    SELECT CAST(user_id AS BIGINT) AS user_id, ts,
+           CAST(event_id AS BIGINT) AS event_id, event_type, prev_type
+    FROM (
+        SELECT user_id, ts, event_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events
+    )
+    WHERE prev_type IS DISTINCT FROM event_type
+    """,
+)
+def win_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-change detection: emit only the rows where a key's state
+    differs from its previous observation — the reference's
+    approaching→arrived transition surface (get_train_status.py:113-114's
+    is_approaching/is_delayed flags keyed per train) as a batch operator.
+    One shuffle on the key; null-safe comparison so the first observation
+    per key (prev NULL) counts as a change. The streaming twin is
+    str_stateful's state machine; this is the backfill path."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "ts",
+        F.col("event_id").cast("bigint").alias("event_id"),
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return flagged.filter(~F.col("prev_type").eqNullSafe(F.col("event_type")))
