@@ -47,27 +47,42 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: list is DATA, not an import-order side effect (an import-sorting lint
 #: fix can no longer scramble it; pinned by tests/test_registry_order.py).
 #:
-#: Priority (current round): every query that has never received a driver
-#: CORRECTNESS row goes first — the streaming ops starved since r3, the
-#: round-5/6 additions (no driver run landed for those rounds), then this
-#: round's new operators — followed by every query whose implementation
-#: changed after its last driver hash (shingle-builder/IVF rewrites, the
-#: decontaminate distinct-elimination, the scored_cosine refactor under
-#: ext_sim_search, localCheckpoint pins, the r4 flatten-family change).
+#: Priority (round 6): FIRST the seven queries whose code changed after
+#: their round-3 driver hash but fell below round 5's 50-query budget
+#: cutoff (the r4 flatten-family rewrite and the connected-components
+#: non-convergence raise) — with these re-hashed, every registered
+#: query's *current* code carries a driver hash. THEN queries whose
+#: implementation changes this round (adaptive LSH bucket sizing under
+#: ext_dedup_embed, the two-phase stratified top-k, the amortized
+#: connected-components loop under both cluster variants), then round-6
+#: additions that have never had a driver row, then last round's
+#: verified set for freshness.
 _PRIORITY = [
-    # never driver-verified
+    # stale r3 hash on r4/r5-changed code — re-hash first (r5 verdict #1)
+    "proj_flatten",
+    "nav_struct",
+    "arr_element",
+    "explode_trains",
+    "filter_nonempty",
+    "ext_dedup_cluster",
+    "ext_dedup_minhash_mllib",
+    # changed this round (round 6)
+    "ext_dedup_embed",
+    "ext_sample_stratified",
+    "ext_dedup_cluster_lsss",
+    # new in round 6 (never driver-verified by construction) — entries
+    # appended here as they land
+    # re-verify last round's fresh rows next, cheapest first
     "str_session_window",
     "str_stateful",
     "str_stream_join",
     "join_salted_skew",
-    "ext_dedup_cluster_lsss",
     "ext_sim_search_ivf_nprobe",
     "agg_custom_pandas_udaf",
     "agg_pivot",
     "agg_approx_quantile",
     "snk_parquet_sorted",
     "job_retention",
-    # new in round 6 (never driver-verified by construction)
     "ext_seq_pack",
     "ext_repetition_stats",
     "ext_bm25",
@@ -83,14 +98,12 @@ _PRIORITY = [
     "job_prep_training_corpus",
     "ext_dedup_containment",
     "join_dpp_partitioned",
-    # new in round 8 (never driver-verified by construction)
     "win_session_gap",
     "agg_bitmap_distinct",
     "agg_cube",
     "win_percent_rank",
     "ext_token_entropy",
     "ext_dedup_incremental",
-    "ext_sample_stratified",
     "ext_sim_recall",
     "src_binary",
     "ext_quality_model",
@@ -102,20 +115,11 @@ _PRIORITY = [
     "agg_corr",
     "win_change_points",
     "src_parquet_evolve",
-    # changed since last driver hash
     "ext_dedup_minhash",
     "ext_decontaminate",
     "ext_dedup_ngram",
-    "ext_dedup_embed",
     "ext_sim_search_ivf",
     "ext_sim_search",
-    "ext_dedup_cluster",
-    "ext_dedup_minhash_mllib",
-    "proj_flatten",
-    "nav_struct",
-    "arr_element",
-    "explode_trains",
-    "filter_nonempty",
 ]
 
 
