@@ -32,11 +32,45 @@ __all__ = [
     "ivf_assign_multi",
     "ivf_topk",
     "projection_planes",
+    "adaptive_planes",
     "lsh_bucketed_pairs",
 ]
 
-#: hyperplane count for sign-LSH (bucket id = 8 sign bits).
+#: floor hyperplane count for sign-LSH (bucket id = 8 sign bits).
 LSH_PLANES = 8
+
+#: hard cap on adaptive plane count (2^24 = 16.7M buckets) — beyond this the
+#: per-bucket verify is parallel enough and extra bits only cost recall.
+LSH_PLANES_CAP = 24
+
+#: expected rows per bucket the adaptive sizing aims for.
+LSH_TARGET_BUCKET_ROWS = 1024
+
+
+def adaptive_planes(
+    n_rows: int,
+    target_bucket_rows: int = LSH_TARGET_BUCKET_ROWS,
+    floor: int = LSH_PLANES,
+    cap: int = LSH_PLANES_CAP,
+) -> int:
+    """Size the sign-LSH plane count to the corpus: smallest ``planes`` with
+    ``2^planes >= n_rows / target_bucket_rows``, clamped to [floor, cap].
+
+    A fixed 2^8 = 256 buckets makes the in-bucket verify ~N²/256 candidate
+    pairs — quadratic in the corpus. Scaling buckets with N keeps expected
+    bucket occupancy ~constant (``target_bucket_rows``), so verify work grows
+    ~linearly with N at a given density. The trade is recall: each extra sign
+    bit multiplies single-table recall by ~(1 − θ/π) for pairs at angle θ;
+    callers needing high recall at high planes should union several plane
+    tables (banding, as the minhash path does) rather than drop the bits.
+
+    Replayed bit-for-bit by the DuckDB oracle under ``ext_dedup_embed``
+    (plans/llm.py) — keep the two formulas in lockstep."""
+    import math
+
+    if n_rows <= target_bucket_rows:
+        return floor
+    return max(floor, min(cap, math.ceil(math.log2(n_rows / target_bucket_rows))))
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -305,14 +339,18 @@ def lsh_bucketed_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    planes: int = LSH_PLANES,
+    planes: int | None = None,
 ) -> DataFrame:
-    """Corpus near-dup pairs via sign-LSH: equal 8-bit sign bucket →
+    """Corpus near-dup pairs via sign-LSH: equal sign-bit bucket →
     candidate; cosine ≥ threshold verified inside buckets only.
 
     Scale: bucket cardinality 2^planes spreads the corpus; the candidate
     join is an equi-join on the bucket id. Recall is tunable by planes count
-    (fewer planes → bigger buckets → higher recall/cost).
+    (fewer planes → bigger buckets → higher recall/cost). ``planes=None``
+    (default) sizes the count to the corpus via ``adaptive_planes`` so
+    expected bucket occupancy stays ~``LSH_TARGET_BUCKET_ROWS`` — the one
+    extra cost is a count() job over ``df`` (a column-pruned count-star scan;
+    pass an explicit ``planes`` to skip it when the corpus size is known).
 
     The bucketed projection (id, vec, norm, bucket) is materialized once
     via ``localCheckpoint(eager=True)``: the pair join consumes it on BOTH
@@ -326,6 +364,8 @@ def lsh_bucketed_pairs(
     an executor mid-query fails the query instead of recomputing (local
     mode and static-executor clusters are unaffected; under dynamic
     allocation prefer a caller-managed ``persist``)."""
+    if planes is None:
+        planes = adaptive_planes(df.count())
     coefs = projection_planes(dims, planes)
     plane_cols = [
         dot(F.col(vec_col), F.array(*[F.lit(c) for c in row])).alias(f"__p{p}")

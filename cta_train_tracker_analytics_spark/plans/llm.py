@@ -395,10 +395,20 @@ def ext_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ext_dedup_embed",
     oracle="""
-    WITH planes AS (
+    WITH params AS (
+        -- replay adaptive_planes(): smallest planes with 2^planes >= n/1024,
+        -- clamped to [8, 24] (operators/similarity.py)
+        SELECT CASE WHEN cnt <= 1024 THEN 8
+                    ELSE greatest(8, least(24,
+                         CAST(ceil(log2(cnt / 1024.0)) AS INTEGER)))
+               END AS np
+        FROM (SELECT count(*) AS cnt FROM embeddings)
+    ),
+    planes AS (
         SELECT p, d, CAST(((1103515245 * (p * 64 + d) + 12345) % 2000001)
                           - 1000000 AS DOUBLE) AS c
-        FROM generate_series(0, 7) gp(p), generate_series(0, 63) gd(d)
+        FROM generate_series(0, 23) gp(p), generate_series(0, 63) gd(d), params
+        WHERE p < np
     ),
     emb AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
                    unnest(embedding)::DOUBLE AS v
@@ -426,8 +436,12 @@ def ext_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ext_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup via sign-LSH: 8 deterministic integer
-    hyperplanes → 256 buckets → equi-join + cosine ≥ 0.2 inside buckets."""
+    """Embedding-cosine near-dup via sign-LSH: deterministic integer
+    hyperplanes → sign-bit buckets → equi-join + cosine ≥ 0.2 inside
+    buckets. Plane count sizes itself to the corpus (adaptive_planes:
+    ~1024 rows/bucket, floor 8 / cap 24 bits) so in-bucket verify work
+    stays ~linear in N instead of N²/256; the oracle replays the same
+    count-derived formula."""
     emb = load(spark, sf_dir, "embeddings")
     return lsh_bucketed_pairs(emb, dims=64, threshold=0.2)
 

@@ -24,6 +24,7 @@ from cta_train_tracker_analytics_spark.operators.dedup import (
     verified_jaccard_pairs,
 )
 from cta_train_tracker_analytics_spark.operators.similarity import lsh_bucketed_pairs, topk_cosine
+from conftest import SF_DIR
 from cta_train_tracker_analytics_spark.sources.jsonl import date_path, write_jsonl
 
 SCHEMA = T.StructType(
@@ -173,6 +174,56 @@ def test_lsh_bucketed_pairs_finds_identical_vectors(spark):
     ]
     out = lsh_bucketed_pairs(spark.createDataFrame(rows), dims=4, threshold=0.9).collect()
     assert [(r["id_a"], r["id_b"], r["cos_sim"]) for r in out] == [(1, 2, 1.0)]
+
+
+def test_adaptive_planes_sizes_to_corpus():
+    """Floor below target occupancy, log growth above it, hard cap on top —
+    2^planes tracks n/target so expected bucket occupancy stays ~constant."""
+    from cta_train_tracker_analytics_spark.operators.similarity import adaptive_planes
+
+    assert adaptive_planes(0) == 8
+    assert adaptive_planes(500) == 8
+    assert adaptive_planes(1024) == 8  # exactly at target → floor
+    assert adaptive_planes(1024 * 300) == 9  # ceil(log2(300)) = 9
+    assert adaptive_planes(10**9) == 20  # ~1e6 buckets for 1B rows
+    assert adaptive_planes(10**12) == 24  # capped
+    # monotone: more rows never means fewer buckets
+    vals = [adaptive_planes(n) for n in (10**3, 10**5, 10**7, 10**9, 10**12)]
+    assert vals == sorted(vals)
+
+
+def test_lsh_bucket_distribution_bounded(spark):
+    """No hot bucket: on the real embeddings table the largest sign-LSH
+    bucket holds a bounded share of the corpus, so the in-bucket verify
+    join cannot degenerate toward all-pairs. Guards the adaptive sizing —
+    if a future change collapsed buckets (or broke the plane hashing), the
+    share would spike toward 1.0."""
+    from cta_train_tracker_analytics_spark.data import load
+    from cta_train_tracker_analytics_spark.operators.similarity import (
+        adaptive_planes,
+        dot,
+        projection_planes,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    planes = adaptive_planes(n)
+    coefs = projection_planes(64, planes)
+    proj = [
+        dot(F.col("embedding"), F.array(*[F.lit(c) for c in row])).alias(f"__p{p}")
+        for p, row in enumerate(coefs)
+    ]
+    bucket = sum(
+        (F.when(F.col(f"__p{p}") >= 0, 1 << p).otherwise(0) for p in range(planes)),
+        F.lit(0),
+    )
+    counts = [
+        r["count"]
+        for r in emb.select(*proj).select(bucket.alias("bucket")).groupBy("bucket").count().collect()
+    ]
+    assert sum(counts) == n
+    assert len(counts) >= 64  # corpus actually spreads across buckets
+    assert max(counts) / n <= 0.15  # measured ~0.11 at sf0.001; no hot bucket
 
 
 def test_connected_components_chains_across_signals(spark):
