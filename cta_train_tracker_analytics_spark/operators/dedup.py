@@ -394,10 +394,16 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     that appears in an edge — isolated nodes are their own component and can
     be restored with a left join downstream.
 
-    Each iteration is one shuffled join + one hash aggregate, with
-    ``localCheckpoint`` truncating the plan lineage so iteration N's DAG does
-    not replay iterations 1..N−1 (unbounded lineage is the classic iterative-
-    Spark failure at scale). Convergence needs O(diameter) rounds; dedup
+    Each iteration is one shuffled join + one hash aggregate — and exactly
+    ONE Spark job: the convergence flag (`nbr_min < label`) is computed
+    inside the label update itself, and the new labels are a *lazy*
+    ``localCheckpoint`` materialized by the flag count, so detection costs
+    no extra join and no extra action (the previous shape ran a second
+    shuffled join + count per round — 2 jobs and an O(N) shuffle purely for
+    bookkeeping). ``localCheckpoint`` truncates the plan lineage so
+    iteration N's DAG does not replay iterations 1..N−1 (unbounded lineage
+    is the classic iterative-Spark failure at scale). Convergence needs
+    O(diameter) rounds; dedup
     graphs built from star edges have tiny diameters (≤ 2 per signal, so a
     handful of rounds even when signals chain). For adversarial long-path
     graphs the doubling variant (large-star/small-star, Kiveris et al.) drops
@@ -422,23 +428,22 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
             .agg(F.min("label").alias("nbr_min"))
             .withColumnRenamed("src", "id")
         )
-        new_labels = (
-            labels.join(nbr_min, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.withColumnRenamed("label", "new_label")
-            .join(labels, "id")
-            .filter(F.col("new_label") != F.col("label"))
-            .count()
-        )
-        labels = new_labels
+        # the change flag rides along with the update — no second join;
+        # lazy checkpoint: the flag count below is the job that both
+        # materializes the new labels AND detects convergence (a full
+        # count, not limit(1), so every partition is computed and the
+        # checkpoint is complete before the next iteration reuses it)
+        new_labels = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+            ).alias("label"),
+            F.coalesce(F.col("nbr_min") < F.col("label"), F.lit(False)).alias(
+                "__chg"
+            ),
+        ).localCheckpoint(eager=False)
+        changed = new_labels.filter(F.col("__chg")).count()
+        labels = new_labels.select("id", "label")
         if changed == 0:
             break
     else:
@@ -515,11 +520,17 @@ def connected_components_alternating(edges: DataFrame, max_iter: int = 20) -> Da
             .filter(F.col("a") != F.col("b"))
             .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        # edge-set symmetric difference in ONE job: a full-outer join with
+        # presence markers replaces the former two left_anti counts (3 jobs
+        # per round → 1); counting it also materializes small's lazy
+        # checkpoint, so no separate eager-checkpoint job either
         changed = (
-            small.join(e, ["u", "v"], "left_anti").count()
-            + e.join(small, ["u", "v"], "left_anti").count()
+            small.withColumn("__l", F.lit(1))
+            .join(e.withColumn("__r", F.lit(1)), ["u", "v"], "full")
+            .filter(F.col("__l").isNull() | F.col("__r").isNull())
+            .count()
         )
         e = small
         if changed == 0:

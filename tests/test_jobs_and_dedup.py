@@ -176,6 +176,23 @@ def test_lsh_bucketed_pairs_finds_identical_vectors(spark):
     assert [(r["id_a"], r["id_b"], r["cos_sim"]) for r in out] == [(1, 2, 1.0)]
 
 
+def test_mllib_minhash_recalls_verified_pairs(spark):
+    """ext_dedup_minhash_mllib is rows-only forever at the driver (its hash
+    family is JVM-internal), so its verification lives HERE: the candidate
+    set must recall ≥90% of the pairs the portable, oracle-hash-verified
+    ext_dedup_minhash emits at the same Jaccard ≥ 0.7 threshold on the same
+    trigram shingles (measured 1.0 at sf0.001). Both are 8-table/16-perm
+    LSH, so large recall gaps mean a broken shingle or join stage, not
+    sketch noise."""
+    from cta_train_tracker_analytics_spark.plans import registry
+
+    q = registry.all_queries()
+    ref = {(r["id_a"], r["id_b"]) for r in q["ext_dedup_minhash"](spark, SF_DIR).collect()}
+    ml = {(r["id_a"], r["id_b"]) for r in q["ext_dedup_minhash_mllib"](spark, SF_DIR).collect()}
+    assert ref, "portable minhash found no pairs — fixture drift"
+    assert len(ref & ml) / len(ref) >= 0.9
+
+
 def test_adaptive_planes_sizes_to_corpus():
     """Floor below target occupancy, log growth above it, hard cap on top —
     2^planes tracks n/target so expected bucket occupancy stays ~constant."""
@@ -224,6 +241,29 @@ def test_lsh_bucket_distribution_bounded(spark):
     assert sum(counts) == n
     assert len(counts) >= 64  # corpus actually spreads across buckets
     assert max(counts) / n <= 0.15  # measured ~0.11 at sf0.001; no hot bucket
+
+
+def test_connected_components_one_job_per_iteration(spark):
+    """Convergence detection is folded into the label update (change flag +
+    lazy checkpoint materialized by the flag count), so each iteration
+    costs ONE action. The former shape — eager checkpoint + a second
+    shuffled join/count per round — measured ~6 more jobs on this graph;
+    the bound discriminates against reintroducing either."""
+    from cta_train_tracker_analytics_spark.operators.dedup import connected_components
+
+    sc = spark.sparkContext
+    edges = spark.createDataFrame(
+        [Row(id=2, root=1), Row(id=3, root=2), Row(id=5, root=4)]
+    )
+    sc.setJobGroup("cc_jobcount", "")
+    try:
+        labels = {r["id"]: r["label"] for r in connected_components(edges).collect()}
+    finally:
+        sc.setJobGroup("cc_jobcount_done", "")
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+    n_jobs = len(sc.statusTracker().getJobIdsForGroup("cc_jobcount"))
+    # measured 29 (3 iterations, incl. AQE/broadcast sub-jobs); old shape ~35
+    assert n_jobs <= 32, f"convergence loop regressed to {n_jobs} jobs"
 
 
 def test_connected_components_chains_across_signals(spark):
