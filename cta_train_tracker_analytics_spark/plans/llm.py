@@ -1665,10 +1665,14 @@ def ext_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     specifies absolute per-stratum counts. Deterministic across runs,
     cluster sizes, and engines (hash order, unique tiebreaker).
 
-    One shuffle on the stratum key, then a per-stratum top-k. At 100 TB a
-    full per-stratum sort is wasteful for k ≪ stratum size — the upgrade is
-    the standard two-phase top-k (per-partition k-smallest, then final k
-    among n_partitions×k survivors), same result by hash-order determinism."""
+    Catalyst compiles the rank filter to the standard TWO-PHASE top-k
+    (WindowGroupLimit Partial → Exchange → WindowGroupLimit Final): each
+    map task forwards at most k rows per stratum, so the stratum-key
+    shuffle carries n_partitions×k rows per stratum instead of the full
+    stratum — the shape that survives k ≪ stratum size at 100 TB. Pinned
+    by tests/test_plans.py::test_stratified_sample_is_partial_topk; the
+    optimization needs the `row_number() ≤ k` filter pattern, so keep the
+    rank filter in this recognizable form."""
     docs = load(spark, sf_dir, "documents")
     key = hash60(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
     w = Window.partitionBy("lang").orderBy(key, F.col("doc_id"))

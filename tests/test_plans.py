@@ -68,6 +68,23 @@ def test_asof_join_shuffles_once_per_side(spark):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_stratified_sample_is_partial_topk(spark):
+    """The per-stratum rank filter must compile to Spark's two-phase top-k:
+    a Partial WindowGroupLimit BEFORE the stratum-key exchange (each map
+    task forwards at most k rows per stratum, so shuffle volume is
+    n_partitions×k per stratum, not the stratum size), plus the Final pass
+    after. If the Partial node disappears (rank expression drifts off the
+    rank-filter pattern Catalyst recognizes, or someone disables
+    spark.sql.optimizer.windowGroupLimitThreshold), the query regresses to
+    shuffling every row at 100 TB."""
+    p = plan(spark, "ext_sample_stratified")
+    # plan string is root-first: Final above the Exchange, Partial below
+    # (= upstream, map-side) — both must be present
+    downstream, _, upstream = p.partition("Exchange")
+    assert "row_number(), 100, Final" in downstream
+    assert "row_number(), 100, Partial" in upstream
+
+
 def test_no_cartesian_in_llm_pipelines(spark):
     """Near-dup operators must stay bucket-joined; only ext_sim_search is
     allowed its intentional broadcast of the 5-row query side."""
