@@ -72,6 +72,7 @@ _PRIORITY = [
     "ext_dedup_cluster_lsss",
     # new in round 6 (never driver-verified by construction) — entries
     # appended here as they land
+    "str_stateful_crossings",
     # re-verify last round's fresh rows next, cheapest first
     "str_session_window",
     "str_stateful",

@@ -389,8 +389,67 @@ if _HAS_TWS:
     # Registered only where the runtime supports it (needs protobuf for the
     # state-server protocol); applyInPandasWithState below is the always-on
     # stateful path. The implementation itself is complete and exercised on
-    # protobuf-equipped clusters.
+    # protobuf-equipped clusters. The crossing SEMANTICS are always driver-
+    # verified regardless: str_stateful_crossings runs the identical state
+    # machine (same oracle) on the first-generation engine.
     query("str_stateful_tws", oracle=_tws_oracle())(str_stateful_tws)
+
+
+_CROSS_STATE = T.StructType(
+    [
+        T.StructField("last_value", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def _make_crossing_state():
+    import pandas as _pd
+
+    def crossing_state(
+        key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            last, n = state.get
+        else:
+            last, n = None, 0
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            # Arrow chunk boundaries within a micro-batch are arbitrary:
+            # order the whole batch, not each chunk
+            batch = _pd.concat(chunks).sort_values(["ts", "event_id"])
+            for v in batch["value"]:
+                if last is not None and last < 100.0 <= v:
+                    n += 1
+                last = float(v)
+        state.update((last, n))
+        yield _pd.DataFrame({"user_id": [key[0]], "n_crossings": [n]})
+
+    return crossing_state
+
+
+@query("str_stateful_crossings", oracle=_tws_oracle())
+def str_stateful_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key threshold-crossing state machine on the always-on
+    applyInPandasWithState engine: counts upward crossings of
+    value >= 100 in (ts, event_id) order — the approaching→arrived
+    transition shape (SURVEY §2.9 str_stateful), same semantics and oracle
+    as the Spark-4 transformWithState variant (``str_stateful_tws``) so
+    the crossing logic carries driver verification even where that
+    engine's protobuf dependency is absent. State per key is two scalars
+    (last_value, n); emission is update-mode, one row per key per
+    micro-batch."""
+    src_dir, cp = _dirs("str_stateful_crossings", sf_dir, "src", "cp")
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "ts", "value")
+    src = parquet_stream(spark, ev, src_dir)
+    result = src.groupBy("user_id").applyInPandasWithState(
+        _make_crossing_state(),
+        outputStructType=_TWS_OUT,
+        stateStructType=_CROSS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory(result, "update", cp)
 
 
 @query(
