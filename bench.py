@@ -104,9 +104,14 @@ def main() -> None:
         fn = queries[name]
         # min of 3 runs: the first execution pays plan compile + codegen for
         # this query's operators; min measures engine capability, not JIT
-        # noise.
-        best, n = None, 0
-        for _ in range(3):
+        # noise. Sub-second queries get 2 extra runs and report the MEDIAN
+        # of 5 instead — at that duration scheduler jitter is a large
+        # fraction of the measurement, and round-over-round comparisons on
+        # min-of-3 flagged ±0.2 s noise as regressions; with median-of-5,
+        # deltas ≥1.5× are signal.
+        runs: list[float] = []
+        n = 0
+        while len(runs) < (3 if not runs or min(runs) >= 1.0 else 5):
             # Each call builds its own DataFrames; clear the cache between
             # runs so abandoned persists can't pile up, and force a JVM GC so
             # the ContextCleaner actually releases dead broadcast/checkpoint
@@ -117,9 +122,12 @@ def main() -> None:
             spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()
-            elapsed = time.perf_counter() - t0
-            best = elapsed if best is None else min(best, elapsed)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        if min(runs) < 1.0:
+            measured = sorted(runs)[len(runs) // 2]  # median of 5
+        else:
+            measured = min(runs)  # min of 3
+        timings[name] = round(measured, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

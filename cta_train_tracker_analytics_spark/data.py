@@ -64,6 +64,16 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                     "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
                 ),
             )
+        elif ts_type != "timestamp_ntz":
+            # A third layout (int96, string, ...) must fail loudly here —
+            # silently passing it through would break the one-canonical-
+            # TIMESTAMP_NTZ contract every downstream oracle relies on.
+            raise ValueError(
+                f"events.ts has unrecognized parquet layout {ts_type!r}; "
+                "expected TIMESTAMP(NANOS) (read as bigint), instant "
+                "TIMESTAMP(MICROS) ('timestamp'), or naive micros "
+                "('timestamp_ntz') — teach load() the new layout explicitly"
+            )
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -156,16 +156,15 @@ def sessionize(
     are the running sum of break flags (1-based per key, ordered by time).
 
     Returns the input plus a ``session_no`` column. ONE shuffle on the key
-    serves the lag window and the running sum (same partitioning + sort).
+    serves the lag window and the running sum (same partitioning + sort —
+    a single Window spec used by both, so the two cannot drift apart).
     The gap compare runs in MICROSECONDS on the NTZ timestamp — exact, and
     immune to the engine-dependent semantics of second-granularity diff
     functions (boundary counting vs flooring)."""
     w = Window.partitionBy(*keys).orderBy(ts, tiebreak)
     prev = F.lag(ts).over(w)
-    gap_us = F.expr(
-        f"timestampdiff(MICROSECOND, "
-        f"lag({ts}) OVER (PARTITION BY {', '.join(keys)} ORDER BY {ts}, {tiebreak}), "
-        f"{ts})"
-    )
+    # Column-API timestamp_diff on the ONE lag column: no interpolated SQL
+    # OVER clause to keep in sync with `w`, and no unquoted-identifier trap
+    gap_us = F.timestamp_diff("MICROSECOND", prev, F.col(ts))
     is_new = F.when(prev.isNull() | (gap_us > gap_seconds * 1_000_000), 1).otherwise(0)
     return df.withColumn("session_no", F.sum(is_new).over(w))

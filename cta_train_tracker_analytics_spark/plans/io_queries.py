@@ -132,14 +132,22 @@ def src_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-blob ingestion via the binaryFile datasource — the real
     entry point for multimodal corpora (images/audio land as one blob per
     object; ext_multimodal_cols consumes exactly this shape). Blobs are
-    staged one file per document by an executor-side foreachPartition
-    (distributed, nothing collects), then read back with
-    ``format("binaryFile")``; the query proves content integrity end to
-    end by re-deriving byte length and sha256 FROM THE BLOB BYTES and
-    letting the oracle recompute both from the source table. At scale the
-    same reader runs over an object-store prefix with partition-parallel
-    listing; pathGlobFilter prunes non-blob files at the file index, before
-    any read."""
+    staged one file per document by an executor-side foreachPartition,
+    then read back with ``format("binaryFile")``; the query proves content
+    integrity end to end by re-deriving byte length and sha256 FROM THE
+    BLOB BYTES and letting the oracle recompute both from the source
+    table.
+
+    STAGING CAVEAT: the ``open()`` in the staging step writes to a path
+    that executors and driver must SHARE — correct in local mode and on
+    clusters with a shared filesystem (NFS, fuse-mounted object store),
+    but on share-nothing executors the blobs would land on executor-local
+    disks where the read-back can't see them. On such clusters stage via a
+    Spark writer to an object-store/DFS path instead (as src_jsonl /
+    src_csv do); the binaryFile read side is unchanged — it runs over an
+    object-store prefix with partition-parallel listing, and
+    pathGlobFilter prunes non-blob files at the file index, before any
+    read."""
     path = _scratch("src_binary", sf_dir)
     Path(path).mkdir(parents=True, exist_ok=True)
 

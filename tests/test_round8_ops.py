@@ -278,10 +278,11 @@ def test_fuzzy_join_symmetric_free_and_bounded(spark):
     rows = q(spark, "join_fuzzy_levenshtein").collect()
     pairs = {(r.name_a, r.name_b) for r in rows}
     assert all(r.dist <= 5 for r in rows)
-    # ka < kb ordering means no (b, a) mirror and no self-pairs
+    # ka < kb ordering means no (b, a) mirror and no self-pairs (nation
+    # names are unique in the fixture, so distinct keys ⇒ distinct names)
     for r in rows:
-        assert r.name_a != r.name_b or True
-        assert (r.name_b, r.name_a) not in pairs or r.name_a == r.name_b
+        assert r.name_a != r.name_b
+        assert (r.name_b, r.name_a) not in pairs
 
 
 # ---------------------------------------------------------- empty inputs
