@@ -57,8 +57,12 @@ HEADLINE = [
     "sql_pricing_summary",
     "ext_dedup_exact",
     "ext_dedup_minhash",
+    "ext_dedup_minhash_twostage",
     "ext_decontaminate",
     "ext_dedup_embed",
+    "ext_dedup_embed_banded",
+    "ext_dedup_embed_incremental",
+    "ext_lm_perplexity",
     "ext_fingerprint_winnow",
     "ext_chunk_text",
     "ext_text_stats",

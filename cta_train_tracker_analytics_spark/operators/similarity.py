@@ -34,6 +34,7 @@ __all__ = [
     "projection_planes",
     "adaptive_planes",
     "lsh_bucketed_pairs",
+    "lsh_banded_pairs",
 ]
 
 #: floor hyperplane count for sign-LSH (bucket id = 8 sign bits).
@@ -393,6 +394,95 @@ def lsh_bucketed_pairs(
         F.col("a.id").alias("id_a"),
         F.col("b.id").alias("id_b"),
         (dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm") * F.col("b.nrm"))).alias(
+            "cos_sim"
+        ),
+    )
+    return pairs.filter(F.col("cos_sim") >= threshold).select(
+        F.col("id_a").cast("bigint"),
+        F.col("id_b").cast("bigint"),
+        F.round("cos_sim", 4).alias("cos_sim"),
+    )
+
+
+def lsh_banded_pairs(
+    df: DataFrame,
+    dims: int,
+    threshold: float,
+    tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int | None = None,
+) -> DataFrame:
+    """Multi-table (banded) sign-LSH near-dup pairs: ``tables`` independent
+    hash tables of ``planes`` sign bits each; a pair is a candidate if it
+    collides in ANY table, and cosine ≥ threshold is verified once per
+    distinct candidate pair.
+
+    This is the RECALL companion to ``lsh_bucketed_pairs``: growing a
+    single table's bit count (the adaptive scale path) multiplies recall by
+    ~(1 − θ/π) per added bit, while adding tables turns per-table recall r
+    into 1 − (1 − r)^L — the same banding argument as minhash LSH. At
+    100 TB both knobs work together: ``planes`` tracks corpus size to keep
+    per-bucket verify work bounded, ``tables`` buys the recall back at a
+    linear (L×) candidate-generation cost.
+
+    Plan shape: ONE projection pass computes all L×planes folds (table t
+    uses plane rows [t·planes, (t+1)·planes) of the shared deterministic
+    family, so the single-table operator with the same ``planes`` is
+    exactly table 0); a narrow (table, bucket, id) frame — no vectors —
+    explodes L rows per doc and self-joins per (table, bucket); distinct
+    pairs then join the pinned (id, vec, nrm) projection TWICE for the
+    cosine verify. Vectors never ride through the candidate shuffle, and
+    each pair is verified once however many tables it collides in."""
+    if planes is None:
+        planes = adaptive_planes(df.count())
+    coefs = projection_planes(dims, tables * planes)
+    plane_cols = [
+        dot(F.col(vec_col), F.array(*[F.lit(c) for c in row])).alias(f"__p{p}")
+        for p, row in enumerate(coefs)
+    ]
+    projected = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("nrm"),
+        *plane_cols,
+    )
+    buckets = F.array(
+        *[
+            sum(
+                (
+                    F.when(F.col(f"__p{t * planes + p}") >= 0, 1 << p).otherwise(0)
+                    for p in range(planes)
+                ),
+                F.lit(0),
+            ).cast("int")
+            for t in range(tables)
+        ]
+    )
+    pinned = projected.select("id", "vec", "nrm", buckets.alias("bks")).localCheckpoint(
+        eager=True
+    )
+    tagged = pinned.select(
+        "id", F.posexplode("bks").alias("table", "bucket")
+    )
+    a = tagged.alias("a")
+    b = tagged.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = pinned.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), F.col("nrm").alias("nrm_a"))
+    vb = pinned.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), F.col("nrm").alias("nrm_b"))
+    pairs = cand.join(va, "id_a").join(vb, "id_b").select(
+        "id_a",
+        "id_b",
+        (dot(F.col("vec_a"), F.col("vec_b")) / (F.col("nrm_a") * F.col("nrm_b"))).alias(
             "cos_sim"
         ),
     )

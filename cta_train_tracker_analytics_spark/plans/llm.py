@@ -40,12 +40,18 @@ from ..operators.dedup import (
 )
 from ..operators.multimodal import attach_binary, decode_features
 from ..operators.similarity import (
+    adaptive_planes,
     ivf_assign,
     ivf_topk,
+    lsh_banded_pairs,
     lsh_bucketed_pairs,
+    projection_planes,
     scored_cosine,
     topk_cosine,
 )
+from ..operators.similarity import dot as sdot
+from ..operators.similarity import norm as snorm
+from ..operators.util import spread
 from .registry import query
 
 #: shared oracle CTE: distinct (id, tok) whitespace tokens per document.
@@ -325,6 +331,366 @@ def ext_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("datasetB.doc_id").alias("id_b"),
             F.round(1 - F.col("jaccard_dist"), 4).alias("jaccard"),
         )
+    )
+
+
+@query(
+    "ext_dedup_minhash_twostage",
+    oracle=f"""
+    WITH fams AS (SELECT sha256(text) AS h, min(doc_id) AS rep,
+                         count(*) AS n_docs
+                  FROM documents GROUP BY sha256(text)),
+    toks AS (
+        SELECT doc_id AS id, string_split_regex(lower(trim(text)), '\\s+') AS l
+        FROM documents JOIN fams ON doc_id = fams.rep
+    ),
+    t AS (SELECT id, generate_subscripts(l, 1) AS i, unnest(l) AS tok FROM toks),
+    tok AS (SELECT DISTINCT a.id, a.tok || ' ' || b.tok || ' ' || c.tok AS tok
+            FROM t a
+            JOIN t b ON b.id = a.id AND b.i = a.i + 1
+            JOIN t c ON c.id = a.id AND c.i = a.i + 2),
+    h AS (SELECT DISTINCT id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv
+          FROM tok),
+    params AS (SELECT i,
+                      ((1103515245 * i + 12345) % 2147483646) + 1 AS a,
+                      (1103515245 * (i + 100) + 12345) % 2147483647 AS b
+               FROM generate_series(0, 15) g(i)),
+    sig AS (SELECT id, i, min((a * (hv % 2147483647) + b) % 2147483647) AS mh
+            FROM h CROSS JOIN params GROUP BY id, i),
+    bands AS (SELECT id, i // 4 AS band,
+                     md5(string_agg(format('{{:02d}}:{{}}', i, mh), ',' ORDER BY i))
+                     AS band_hash
+              FROM sig GROUP BY id, i // 4),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id),
+    sizes AS (SELECT id, count(*) AS n FROM h GROUP BY id),
+    inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+              FROM cand c
+              JOIN h ta ON ta.id = c.id_a
+              JOIN h tb ON tb.id = c.id_b AND tb.hv = ta.hv
+              GROUP BY c.id_a, c.id_b)
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           round(n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE), 4) AS jaccard,
+           CAST(fa.n_docs AS BIGINT) AS n_docs_a,
+           CAST(fb.n_docs AS BIGINT) AS n_docs_b
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+    JOIN fams fa ON fa.rep = id_a JOIN fams fb ON fb.rep = id_b
+    WHERE n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= 0.7
+    """,
+)
+def ext_dedup_minhash_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-STAGE near-dup: exact dedup first, minhash LSH only over the
+    one representative (min doc_id) of each exact-duplicate family, family
+    sizes re-attached to the verified pairs. This is the documented
+    mitigation for LSH's k²-on-exact-dup-families blowup
+    (operators/dedup.py `minhash_candidate_pairs`): a family of k
+    identical documents shares every band, so single-stage LSH enumerates
+    k² candidate pairs of it; collapsing the family to one representative
+    first makes that cost k (one hash aggregate) + the near-dup work on
+    unique content only. On crawl corpora where exact duplication is the
+    dominant redundancy (boilerplate mirrors), the survivors of stage 1
+    are a small fraction of N — the standard production shape.
+
+    Output: near-dup pairs among representatives with both family sizes,
+    so downstream cluster accounting can weight by true document count."""
+    docs = load(spark, sf_dir, "documents")
+    fams = docs.groupBy(F.sha2("text", 256).alias("h")).agg(
+        F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("n_docs")
+    )
+    rep_docs = docs.join(
+        fams.select(F.col("rep").alias("doc_id"), "n_docs"), "doc_id"
+    )
+    tok = hashed_shingles(rep_docs, n=3, distinct=False).localCheckpoint(eager=True)
+    sig = minhash_signatures(tok).localCheckpoint(eager=True)
+    cand = minhash_candidate_pairs(sig)
+    pairs = verified_jaccard_pairs(cand, tok, threshold=0.7, distinct_sets=True)
+    sizes = fams.select(F.col("rep"), F.col("n_docs"))
+    return (
+        pairs.join(sizes.withColumnRenamed("rep", "id_a"), "id_a")
+        .withColumnRenamed("n_docs", "n_docs_a")
+        .join(sizes.withColumnRenamed("rep", "id_b"), "id_b")
+        .withColumnRenamed("n_docs", "n_docs_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            F.col("n_docs_a").cast("bigint"),
+            F.col("n_docs_b").cast("bigint"),
+        )
+    )
+
+
+@query(
+    "ext_dedup_embed_banded",
+    oracle="""
+    WITH params AS (
+        -- replay adaptive_planes(): smallest planes with 2^planes >= n/1024,
+        -- clamped to [8, 24] (operators/similarity.py); 4 tables
+        SELECT CASE WHEN cnt <= 1024 THEN 8
+                    ELSE greatest(8, least(24,
+                         CAST(ceil(log2(cnt / 1024.0)) AS INTEGER)))
+               END AS np
+        FROM (SELECT count(*) AS cnt FROM embeddings)
+    ),
+    planes AS (
+        SELECT p // np AS tbl, p % np AS bit, d,
+               CAST(((1103515245 * (p * 64 + d) + 12345) % 2000001)
+                    - 1000000 AS DOUBLE) AS c
+        FROM generate_series(0, 95) gp(p), generate_series(0, 63) gd(d), params
+        WHERE p < 4 * np
+    ),
+    emb AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+                   unnest(embedding)::DOUBLE AS v
+            FROM embeddings),
+    proj AS (SELECT vec_id, tbl, bit, sum(c * v) AS dp
+             FROM emb JOIN planes USING (d) GROUP BY vec_id, tbl, bit),
+    bucket AS (SELECT vec_id, tbl,
+                      CAST(sum(CASE WHEN dp >= 0 THEN (1 << bit) ELSE 0 END)
+                           AS INTEGER) AS bucket
+               FROM proj GROUP BY vec_id, tbl),
+    cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM bucket a JOIN bucket b
+               ON a.tbl = b.tbl AND a.bucket = b.bucket
+              AND a.vec_id < b.vec_id),
+    terms AS (SELECT c.id_a, c.id_b, unnest(ea.embedding)::DOUBLE AS va,
+                     unnest(eb.embedding)::DOUBLE AS vb
+              FROM cand c
+              JOIN embeddings ea ON ea.vec_id = c.id_a
+              JOIN embeddings eb ON eb.vec_id = c.id_b),
+    cos AS (SELECT id_a, id_b,
+                   sum(va * vb) / (sqrt(sum(va * va)) * sqrt(sum(vb * vb))) AS cs
+            FROM terms GROUP BY id_a, id_b)
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           round(cs, 4) AS cos_sim
+    FROM cos WHERE cs >= 0.2
+    """,
+)
+def ext_dedup_embed_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table (banded) sign-LSH embedding near-dup: 4 independent
+    tables of adaptive_planes() bits each; collide in ANY table →
+    candidate; cosine ≥ 0.2 verified once per distinct pair. The recall
+    companion to ext_dedup_embed — adaptive bit growth keeps buckets
+    bounded at 100 TB but costs per-table recall, and L tables turn
+    per-table recall r into 1 − (1 − r)^4 (the minhash banding argument,
+    applied to the embedding space). Table 0's planes are exactly
+    ext_dedup_embed's, so the single-table pairs are a subset by
+    construction (asserted in tests)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return lsh_banded_pairs(emb, dims=64, threshold=0.2, tables=4)
+
+
+@query(
+    "ext_dedup_embed_incremental",
+    oracle="""
+    WITH corpus AS (SELECT vec_id, embedding FROM embeddings
+                    WHERE vec_id >= 100),
+    batch AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100),
+    params AS (
+        SELECT CASE WHEN cnt <= 1024 THEN 8
+                    ELSE greatest(8, least(24,
+                         CAST(ceil(log2(cnt / 1024.0)) AS INTEGER)))
+               END AS np
+        FROM (SELECT count(*) AS cnt FROM corpus)
+    ),
+    planes AS (
+        SELECT p, d, CAST(((1103515245 * (p * 64 + d) + 12345) % 2000001)
+                          - 1000000 AS DOUBLE) AS c
+        FROM generate_series(0, 23) gp(p), generate_series(0, 63) gd(d), params
+        WHERE p < np
+    ),
+    cemb AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+                    unnest(embedding)::DOUBLE AS v FROM corpus),
+    bemb AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+                    unnest(embedding)::DOUBLE AS v FROM batch),
+    cproj AS (SELECT vec_id, p, sum(c * v) AS dp
+              FROM cemb JOIN planes USING (d) GROUP BY vec_id, p),
+    bproj AS (SELECT vec_id, p, sum(c * v) AS dp
+              FROM bemb JOIN planes USING (d) GROUP BY vec_id, p),
+    cbucket AS (SELECT vec_id,
+                       CAST(sum(CASE WHEN dp >= 0 THEN (1 << p) ELSE 0 END)
+                            AS INTEGER) AS bucket
+                FROM cproj GROUP BY vec_id),
+    bbucket AS (SELECT vec_id,
+                       CAST(sum(CASE WHEN dp >= 0 THEN (1 << p) ELSE 0 END)
+                            AS INTEGER) AS bucket
+                FROM bproj GROUP BY vec_id),
+    cand AS (SELECT b.vec_id AS batch_id, c.vec_id AS corpus_id
+             FROM bbucket b JOIN cbucket c ON b.bucket = c.bucket),
+    terms AS (SELECT cd.batch_id, cd.corpus_id,
+                     unnest(eb.embedding)::DOUBLE AS vb,
+                     unnest(ec.embedding)::DOUBLE AS vc
+              FROM cand cd
+              JOIN embeddings eb ON eb.vec_id = cd.batch_id
+              JOIN embeddings ec ON ec.vec_id = cd.corpus_id),
+    cos AS (SELECT batch_id, corpus_id,
+                   sum(vb * vc) / (sqrt(sum(vb * vb)) * sqrt(sum(vc * vc))) AS cs
+            FROM terms GROUP BY batch_id, corpus_id)
+    SELECT CAST(batch_id AS BIGINT) AS batch_id,
+           CAST(corpus_id AS BIGINT) AS corpus_id,
+           round(cs, 4) AS cos_sim
+    FROM cos WHERE cs >= 0.2
+    """,
+)
+def ext_dedup_embed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus EMBEDDING dedup — the vector twin of
+    ext_dedup_incremental's hash-index shape, for 'does this new crawl
+    batch near-duplicate anything we already have' by cosine. The corpus
+    side collapses to its sign-LSH bucket assignment (in production a
+    precomputed, incrementally-maintained index — corpus vectors never
+    re-shuffle per batch); the small batch is bucketed with the SAME
+    corpus-count-sized planes and equi-joined per bucket; cosine ≥ 0.2 is
+    verified on candidates only. No batch×corpus cross join exists at any
+    scale — candidates are bucket-local."""
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 100)
+    batch = emb.filter(F.col("vec_id") < 100)
+    planes = adaptive_planes(corpus.count())
+    coefs = projection_planes(64, planes)
+
+    def bucketed(df: DataFrame, id_alias: str) -> DataFrame:
+        plane_cols = [
+            sdot(F.col("embedding"), F.array(*[F.lit(c) for c in row])).alias(
+                f"__p{p}"
+            )
+            for p, row in enumerate(coefs)
+        ]
+        bucket = sum(
+            (
+                F.when(F.col(f"__p{p}") >= 0, 1 << p).otherwise(0)
+                for p in range(planes)
+            ),
+            F.lit(0),
+        )
+        return df.select(
+            F.col("vec_id").alias(id_alias),
+            F.col("embedding").alias(f"{id_alias}_vec"),
+            snorm(F.col("embedding")).alias(f"{id_alias}_nrm"),
+            *plane_cols,
+        ).select(
+            id_alias,
+            f"{id_alias}_vec",
+            f"{id_alias}_nrm",
+            bucket.cast("int").alias("bucket"),
+        )
+
+    c = bucketed(spread(corpus), "corpus_id")
+    b = F.broadcast(bucketed(batch, "batch_id"))
+    pairs = b.join(c, "bucket").select(
+        "batch_id",
+        "corpus_id",
+        (
+            sdot(F.col("batch_id_vec"), F.col("corpus_id_vec"))
+            / (F.col("batch_id_nrm") * F.col("corpus_id_nrm"))
+        ).alias("cos_sim"),
+    )
+    return pairs.filter(F.col("cos_sim") >= 0.2).select(
+        F.col("batch_id").cast("bigint"),
+        F.col("corpus_id").cast("bigint"),
+        F.round("cos_sim", 4).alias("cos_sim"),
+    )
+
+
+@query(
+    "ext_lm_perplexity",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id AS id, string_split_regex(lower(trim(text)), '\\s+') AS l
+        FROM documents
+    ),
+    t AS (SELECT id, generate_subscripts(l, 1) AS i, unnest(l) AS w
+          FROM toks),
+    bg AS (SELECT a.id, a.i,
+                  ('0x' || substr(md5(a.w || ' ' || b.w), 1, 15))::BIGINT AS bh,
+                  ('0x' || substr(md5(a.w), 1, 15))::BIGINT AS uh
+           FROM t a JOIN t b ON b.id = a.id AND b.i = a.i + 1),
+    bgc AS (SELECT bh, count(*) AS c_bg FROM bg GROUP BY bh),
+    ugc AS (SELECT ('0x' || substr(md5(w), 1, 15))::BIGINT AS uh,
+                   count(*) AS c_w
+            FROM t GROUP BY 1),
+    vocab AS (SELECT count(*) AS v FROM ugc),
+    nll AS (SELECT bg.id,
+                   -ln((c_bg + 1) / CAST(c_w + v AS DOUBLE)) AS term
+            FROM bg JOIN bgc USING (bh) JOIN ugc USING (uh), vocab)
+    SELECT CAST(id AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(sum(term) / count(*), 4) AS avg_nll
+    FROM nll GROUP BY id
+    """,
+)
+def ext_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language-model scoring — the classic
+    perplexity-style quality signal for pretraining filtering: per
+    document, the mean negative log-likelihood of its bigrams under an
+    add-one-smoothed bigram model fit on the WHOLE corpus (P(w2|w1) =
+    (c(w1 w2)+1)/(c(w1)+V)). High avg_nll = improbable word sequences —
+    gibberish, boilerplate soup, OCR noise.
+
+    Scale shape: tokens hash to 60-bit bigints at the map side (the
+    hashed-shingle discipline — every shuffle moves fixed-width ints, not
+    strings); the model is two hash aggregates (bigram counts, unigram
+    counts) plus a 1-row vocab count crossJoined (broadcast) onto the
+    scoring join; scoring joins each doc-bigram occurrence to the two
+    count tables by hash — two narrow equi-joins, no driver-side model
+    materialization, nothing quadratic anywhere. The float sum is rounded
+    to 4 decimals, far above the ~1e-12 reorder jitter of double
+    addition, so the hash-compare is stable."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("ts")
+    )
+    t = spread(docs).select(
+        "doc_id", F.posexplode("ts").alias("i", "w")
+    )
+    bg = (
+        docs.filter(F.size("ts") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - 1),
+                    lambda i: F.struct(
+                        hash60(
+                            F.concat_ws(
+                                " ",
+                                F.element_at("ts", i),
+                                F.element_at("ts", i + 1),
+                            )
+                        ).alias("bh"),
+                        hash60(F.element_at("ts", i)).alias("uh"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "g.bh", "g.uh")
+    )
+    bgc = bg.groupBy("bh").agg(F.count(F.lit(1)).alias("c_bg"))
+    # pinned: the unigram-count table feeds BOTH the scoring join and the
+    # vocab-size count — without the pin each consumer re-shuffles the full
+    # token stream (Catalyst plans no exchange reuse across the two); the
+    # pin is vocab-sized, far smaller than the stream that builds it
+    ugc = (
+        t.groupBy(hash60(F.col("w")).alias("uh"))
+        .agg(F.count(F.lit(1)).alias("c_w"))
+        .localCheckpoint(eager=True)
+    )
+    vocab = F.broadcast(ugc.agg(F.count(F.lit(1)).alias("v")))
+    nll = (
+        bg.join(bgc, "bh")
+        .join(ugc, "uh")
+        .crossJoin(vocab)
+        .select(
+            "doc_id",
+            (
+                -F.log(
+                    (F.col("c_bg") + 1) / (F.col("c_w") + F.col("v")).cast("double")
+                )
+            ).alias("term"),
+        )
+    )
+    return nll.groupBy(F.col("doc_id").cast("bigint").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round(F.sum("term") / F.count(F.lit(1)), 4).alias("avg_nll"),
     )
 
 

@@ -73,6 +73,10 @@ _PRIORITY = [
     # new in round 6 (never driver-verified by construction) — entries
     # appended here as they land
     "str_stateful_crossings",
+    "ext_dedup_minhash_twostage",
+    "ext_dedup_embed_banded",
+    "ext_dedup_embed_incremental",
+    "ext_lm_perplexity",
     # re-verify last round's fresh rows next, cheapest first
     "str_session_window",
     "str_stateful",

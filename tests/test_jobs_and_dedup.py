@@ -193,6 +193,79 @@ def test_mllib_minhash_recalls_verified_pairs(spark):
     assert len(ref & ml) / len(ref) >= 0.9
 
 
+def test_banded_lsh_supersets_single_table(spark):
+    """Table 0 of the banded operator uses exactly the single-table
+    operator's planes, so every pair ext_dedup_embed emits must also be
+    emitted (with the identical cosine) by ext_dedup_embed_banded — the
+    recall relationship is structural, not statistical."""
+    from cta_train_tracker_analytics_spark.plans import registry
+
+    q = registry.all_queries()
+    single = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in q["ext_dedup_embed"](spark, SF_DIR).collect()
+    }
+    banded = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in q["ext_dedup_embed_banded"](spark, SF_DIR).collect()
+    }
+    assert single, "single-table LSH found no pairs — fixture drift"
+    missing = {k: v for k, v in single.items() if banded.get(k) != v}
+    assert not missing, f"banded LSH lost single-table pairs: {missing}"
+    # and the extra tables must actually buy recall on this corpus
+    assert len(banded) > len(single)
+
+
+def test_twostage_minhash_consistent_with_single_stage(spark):
+    """Two-stage (exact-dedup-first) minhash must agree with single-stage
+    on representative pairs: every two-stage pair whose reps both survive
+    as their own family minimum appears in the single-stage output with
+    the same jaccard (stage 1 only collapses identical text, which cannot
+    change any shingle set)."""
+    from cta_train_tracker_analytics_spark.plans import registry
+
+    q = registry.all_queries()
+    single = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in q["ext_dedup_minhash"](spark, SF_DIR).collect()
+    }
+    two = list(q["ext_dedup_minhash_twostage"](spark, SF_DIR).collect())
+    assert two, "two-stage minhash found no pairs — fixture drift"
+    for r in two:
+        assert single.get((r["id_a"], r["id_b"])) == r["jaccard"], (
+            r["id_a"],
+            r["id_b"],
+        )
+        assert r["n_docs_a"] >= 1 and r["n_docs_b"] >= 1
+
+
+def test_incremental_embed_dedup_sides(spark):
+    """Batch-vs-corpus embedding dedup must emit only cross-side pairs
+    (batch_id < 100 ≤ corpus_id) with cosine above threshold — no
+    batch×batch or corpus×corpus pair can appear."""
+    from cta_train_tracker_analytics_spark.plans import registry
+
+    rows = registry.all_queries()["ext_dedup_embed_incremental"](spark, SF_DIR).collect()
+    assert rows, "no cross-side near-dups at this SF — fixture drift"
+    for r in rows:
+        assert r["batch_id"] < 100 <= r["corpus_id"]
+        assert r["cos_sim"] >= 0.2
+
+
+def test_lm_perplexity_scores_every_doc(spark):
+    """Bigram-LM scoring invariants: every multi-token document scores;
+    add-one smoothing keeps every term finite and positive (c_bg+1 ≥ 1 and
+    the denominator strictly exceeds any numerator on a real corpus)."""
+    from cta_train_tracker_analytics_spark.plans import registry
+
+    rows = registry.all_queries()["ext_lm_perplexity"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    for r in rows:
+        assert r["n_bigrams"] >= 1
+        assert r["avg_nll"] > 0.0
+
+
 def test_adaptive_planes_sizes_to_corpus():
     """Floor below target occupancy, log growth above it, hard cap on top —
     2^planes tracks n/target so expected bucket occupancy stays ~constant."""

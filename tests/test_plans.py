@@ -88,7 +88,13 @@ def test_stratified_sample_is_partial_topk(spark):
 def test_no_cartesian_in_llm_pipelines(spark):
     """Near-dup operators must stay bucket-joined; only ext_sim_search is
     allowed its intentional broadcast of the 5-row query side."""
-    for name in ["ext_dedup_minhash", "ext_dedup_ngram", "ext_dedup_embed"]:
+    for name in [
+        "ext_dedup_minhash",
+        "ext_dedup_minhash_twostage",
+        "ext_dedup_ngram",
+        "ext_dedup_embed",
+        "ext_dedup_embed_banded",
+    ]:
         p = plan(spark, name)
         assert "CartesianProduct" not in p, name
         assert "BroadcastNestedLoopJoin" not in p, name
