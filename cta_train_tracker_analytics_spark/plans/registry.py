@@ -77,6 +77,7 @@ _PRIORITY = [
     "ext_dedup_embed_banded",
     "ext_dedup_embed_incremental",
     "ext_lm_perplexity",
+    "str_foreach_batch_upsert",
     # re-verify last round's fresh rows next, cheapest first
     "str_session_window",
     "str_stateful",

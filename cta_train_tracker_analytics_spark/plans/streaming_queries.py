@@ -124,6 +124,77 @@ def str_microbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "str_foreach_batch_upsert",
+    oracle="""
+    SELECT user_id,
+           CAST(event_id AS BIGINT) AS last_event_id,
+           value AS last_value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def str_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming keyed UPSERT via ``foreachBatch`` — the merge-into-store
+    pattern (the reference's per-train latest-state table, maintained
+    continuously instead of by daily compaction). The source is drained in
+    REAL multiple micro-batches (maxFilesPerTrigger=1 over a 4-file copy),
+    and each batch merges into the keyed parquet store with
+    latest-per-key semantics: union(store, batch) → row_number over
+    (ts DESC, event_id DESC) per user — ORDER-INSENSITIVE across batches,
+    so any batch arrival order converges to the same global latest row per
+    key. The store swap is write-new-then-rename (atomic on a real FS);
+    at warehouse scale the store write is a Delta/Iceberg MERGE INTO and
+    the union+window becomes the engine's keyed merge, but the per-batch
+    dataflow is identical."""
+    from pyspark.sql import Window
+
+    src_dir, cp, store = _dirs(
+        "str_foreach_batch_upsert", sf_dir, "src", "cp", "store"
+    )
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "ts", "value")
+    ev.repartition(4).write.mode("overwrite").parquet(src_dir)
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    store_cur = Path(store) / "cur"
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        merged = batch_df
+        if (store_cur / "_SUCCESS").exists():
+            merged = merged.unionByName(s.read.parquet(str(store_cur)))
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        staged = Path(store) / f"v{batch_id}"
+        latest.write.mode("overwrite").parquet(str(staged))
+        if store_cur.exists():
+            shutil.rmtree(store_cur)
+        staged.rename(store_cur)
+
+    q = (
+        src.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(str(store_cur)).select(
+        "user_id",
+        F.col("event_id").cast("bigint").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+    )
+
+
+@query(
     "str_at_least_once",
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS n,

@@ -57,3 +57,26 @@ def test_watermark_drops_late_rows_and_dups(spark, tmp_path):
         (r["k"], r["ts"]) for r in spark.read.parquet(out).collect()
     }
     assert got == {("a", t(10, 0)), ("a", t(11, 0)), ("a", t(11, 5))}
+
+
+def test_foreach_batch_upsert_runs_multiple_batches(spark):
+    """str_foreach_batch_upsert must exercise the REAL multi-micro-batch
+    path (maxFilesPerTrigger=1 over a 4-file source), not collapse into a
+    single availableNow batch — the order-insensitive merge is only
+    meaningfully tested if several batches actually merged. The committed
+    offset log is the ground truth for how many batches ran; the final
+    store must also hold exactly one row per user."""
+    from pathlib import Path
+
+    from cta_train_tracker_analytics_spark.plans import registry
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = registry.all_queries()["str_foreach_batch_upsert"](spark, sf_dir)
+    rows = out.collect()
+    users = [r["user_id"] for r in rows]
+    assert len(users) == len(set(users)) > 0
+    offsets = Path(
+        "/tmp/cta_spark_engine_scratch/streaming/sf0.001/str_foreach_batch_upsert/cp/offsets"
+    )
+    n_batches = len([p for p in offsets.iterdir() if not p.name.startswith(".")])
+    assert n_batches >= 3, f"expected several micro-batches, got {n_batches}"
