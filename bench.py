@@ -70,6 +70,8 @@ HEADLINE = [
     "ext_sim_search",
     "ext_sim_search_ivf",
     "ext_sim_search_ivf_nprobe",
+    "ext_embed_pq",
+    "ext_sim_search_pq",
     "ext_multimodal_cols",
     "ext_token_entropy",
     "ext_dedup_incremental",
@@ -104,6 +106,7 @@ def main() -> None:
 
     queries = registry.all_queries()
     timings: dict[str, float] = {}
+    timings_min: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
         # min of 3 runs: the first execution pays plan compile + codegen for
@@ -132,6 +135,7 @@ def main() -> None:
         else:
             measured = min(runs)  # min of 3
         timings[name] = round(measured, 3)
+        timings_min[name] = round(min(runs), 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
@@ -142,6 +146,16 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # min-of-runs per query: the method rounds <=5 used
+                # (min-of-3); kept alongside the median-based headline so
+                # cross-round totals stay comparable after the round-6
+                # method change (median-of-5 for sub-second queries is
+                # systematically higher than min-of-3 by construction)
+                "queries_min": timings_min,
+                "method": {
+                    "sub_second": "median_of_5",
+                    "above_1s": "min_of_3",
+                },
                 "sf": sf,
             }
         )

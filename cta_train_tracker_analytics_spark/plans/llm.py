@@ -45,6 +45,9 @@ from ..operators.similarity import (
     ivf_topk,
     lsh_banded_pairs,
     lsh_bucketed_pairs,
+    pq_adc_topk,
+    pq_code_cols,
+    pq_pack,
     projection_planes,
     scored_cosine,
     topk_cosine,
@@ -590,6 +593,107 @@ def ext_dedup_embed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("corpus_id").cast("bigint"),
         F.round("cos_sim", 4).alias("cos_sim"),
     )
+
+
+#: shared oracle CTE: PQ codebooks + per-vector subspace code assignment,
+#: replaying pq_codebooks()/pq_code_cols() (operators/similarity.py) —
+#: sequential-fold distances (list_reduce == Spark's aggregate fold), ties
+#: to the lowest centroid id.
+_PQ_CODES_CTE = """
+    cent AS (
+        SELECT s, c, list_transform(generate_series(0, 7), d ->
+            CAST(((1103515245 * ((s*16 + c)*8 + d) + 12345) % 2001)
+                 - 1000 AS DOUBLE) / 4000.0) AS cv
+        FROM generate_series(0, 7) gs(s), generate_series(0, 15) gc(c)
+    ),
+    dists AS (
+        SELECT e.vec_id, cent.s, cent.c,
+               list_reduce(list_transform(generate_series(1, 8), i ->
+                   (e.embedding[cent.s*8 + i]::DOUBLE - cv[i])
+                   * (e.embedding[cent.s*8 + i]::DOUBLE - cv[i])),
+                   (a, b) -> a + b) AS dist
+        FROM embeddings e CROSS JOIN cent
+    ),
+    codes AS (
+        SELECT vec_id, s, c AS code FROM dists
+        QUALIFY row_number() OVER (PARTITION BY vec_id, s
+                                   ORDER BY dist, c) = 1
+    )
+"""
+
+
+@query(
+    "ext_embed_pq",
+    oracle=f"""
+    WITH {_PQ_CODES_CTE}
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(sum(code * (1::BIGINT << (4*s))) AS BIGINT) AS pq_code
+    FROM codes GROUP BY vec_id
+    """,
+)
+def ext_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: 64-dim vectors → 8 subspaces × 16
+    deterministic centroids → one 4-bit code per subspace, packed into a
+    single 32-bit-in-a-bigint PQ code. A 128× compression of the
+    64×double embedding — the index representation that lets a 100 TB
+    vector corpus fit hot storage for ANN scans (ext_sim_search_pq does
+    the ADC search over exactly these codes). Assignment is map-only
+    column math against literal codebooks: zero shuffle, zero broadcast,
+    stays inside the scan stage."""
+    emb = load(spark, sf_dir, "embeddings")
+    codes = pq_code_cols(F.col("embedding"))
+    return spread(emb).select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        pq_pack(codes).alias("pq_code"),
+    )
+
+
+@query(
+    "ext_sim_search_pq",
+    oracle=f"""
+    WITH {_PQ_CODES_CTE},
+    q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+          WHERE vec_id < 5),
+    lut AS (
+        SELECT q.query_id, cent.s, cent.c,
+               list_reduce(list_transform(generate_series(1, 8), i ->
+                   q.embedding[cent.s*8 + i]::DOUBLE * cv[i]),
+                   (a, b) -> a + b) AS d
+        FROM q CROSS JOIN cent
+    ),
+    terms AS (
+        SELECT l.query_id, co.vec_id, l.s, l.d
+        FROM codes co JOIN lut l ON l.s = co.s AND l.c = co.code
+    ),
+    score AS (
+        SELECT query_id, vec_id,
+               list_reduce(list(d ORDER BY s), (a, b) -> a + b) AS approx
+        FROM terms GROUP BY query_id, vec_id
+    )
+    SELECT query_id, CAST(vec_id AS BIGINT) AS vec_id,
+           round(approx, 4) AS approx_dot,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY approx DESC, vec_id) AS BIGINT)
+               AS rnk
+    FROM score
+    QUALIFY rnk <= 10
+    """,
+)
+def ext_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k ANN over PQ codes: each query
+    precomputes an 8×16 LUT of subspace dots against the literal
+    codebooks, and scoring a corpus vector is 8 table lookups on its
+    4-bit codes — no 64-dim fold in the scan loop, and the scan reads
+    the 32-bit code column instead of 512-byte vectors (the ~100×
+    bandwidth cut that makes exhaustive ANN affordable at 100 TB).
+    Query side broadcast, one corpus scan, per-query top-k window as the
+    only shuffle; production reranks the top-k with exact vectors
+    (compose with topk_cosine on the candidates)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_adc_topk(emb, queries, k=10)
 
 
 @query(

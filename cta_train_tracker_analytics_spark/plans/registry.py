@@ -78,6 +78,8 @@ _PRIORITY = [
     "ext_dedup_embed_incremental",
     "ext_lm_perplexity",
     "str_foreach_batch_upsert",
+    "ext_embed_pq",
+    "ext_sim_search_pq",
     # re-verify last round's fresh rows next, cheapest first
     "str_session_window",
     "str_stateful",
