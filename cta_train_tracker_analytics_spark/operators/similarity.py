@@ -368,18 +368,22 @@ def lsh_bucketed_pairs(
     if planes is None:
         planes = adaptive_planes(df.count())
     coefs = projection_planes(dims, planes)
-    plane_cols = [
-        dot(F.col(vec_col), F.array(*[F.lit(c) for c in row])).alias(f"__p{p}")
-        for p, row in enumerate(coefs)
-    ]
+    # all projections via ONE transform over the literal plane matrix — a
+    # single shared lambda body instead of `planes` copies of the fold
+    # expression; plan-compile cost (re-paid per fresh DataFrame) tracks
+    # expression-tree size, and the per-plane fold values are identical
+    projs = F.transform(_lit_matrix(coefs), lambda row: dot(F.col(vec_col), row))
     with_bucket = spread(df).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         norm(F.col(vec_col)).alias("nrm"),
-        *plane_cols,
+        projs.alias("__projs"),
     )
     bucket = sum(
-        (F.when(F.col(f"__p{p}") >= 0, 1 << p).otherwise(0) for p in range(planes)),
+        (
+            F.when(F.element_at("__projs", p + 1) >= 0, 1 << p).otherwise(0)
+            for p in range(planes)
+        ),
         F.lit(0),
     )
     # norm folded once per vector here, reused on both sides of the pair join
@@ -437,21 +441,23 @@ def lsh_banded_pairs(
     if planes is None:
         planes = adaptive_planes(df.count())
     coefs = projection_planes(dims, tables * planes)
-    plane_cols = [
-        dot(F.col(vec_col), F.array(*[F.lit(c) for c in row])).alias(f"__p{p}")
-        for p, row in enumerate(coefs)
-    ]
+    # all tables×planes projections via ONE shared-lambda transform over
+    # the literal plane matrix (see lsh_bucketed_pairs — plan-compile cost
+    # tracks expression-tree size; values identical per plane)
+    projs = F.transform(_lit_matrix(coefs), lambda row: dot(F.col(vec_col), row))
     projected = spread(df).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         norm(F.col(vec_col)).alias("nrm"),
-        *plane_cols,
+        projs.alias("__projs"),
     )
     buckets = F.array(
         *[
             sum(
                 (
-                    F.when(F.col(f"__p{t * planes + p}") >= 0, 1 << p).otherwise(0)
+                    F.when(
+                        F.element_at("__projs", t * planes + p + 1) >= 0, 1 << p
+                    ).otherwise(0)
                     for p in range(planes)
                 ),
                 F.lit(0),
@@ -528,28 +534,38 @@ def _pq_subvec(vec_col: Column, s: int) -> Column:
     return F.slice(vec_col, s * PQ_SUBDIM + 1, PQ_SUBDIM)
 
 
+def _lit_matrix(rows: list[list[float]]) -> Column:
+    return F.array(*[F.array(*[F.lit(x) for x in r]) for r in rows])
+
+
 def pq_code_cols(vec_col: Column) -> list[Column]:
     """One 4-bit code column per subspace: argmin over the 16 centroids of
     the sequential-fold squared-L2 distance (ties → lowest centroid id via
     first-position-of-min). Pure column math over broadcast-free literals —
-    assignment is map-only, zero shuffle, and stays inside the scan stage."""
+    assignment is map-only, zero shuffle, and stays inside the scan stage.
+
+    Expression-tree shape matters here: the distances come from ONE
+    ``transform`` over a literal 16×8 centroid matrix whose single lambda
+    body is shared by all 16 centroids — 16 separate per-centroid fold
+    expressions made the per-query plan tree ~16× larger, and Spark's
+    whole plan-compile path (analysis + codegen, re-run per fresh
+    DataFrame because attribute ids change) dominated execution
+    (measured: 9.2 s → ~1 s for the same 2000-row assignment)."""
     cols = []
     for s, cents in enumerate(pq_codebooks()):
         sub = _pq_subvec(vec_col, s)
-        dists = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        sub,
-                        F.array(*[F.lit(x) for x in cv]),
-                        lambda v, c: (v.cast("double") - c)
-                        * (v.cast("double") - c),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                for cv in cents
-            ]
+        dists = F.transform(
+            _lit_matrix(cents),
+            lambda cv: F.aggregate(
+                F.zip_with(
+                    sub,
+                    cv,
+                    lambda v, c: (v.cast("double") - c)
+                    * (v.cast("double") - c),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
         )
         cols.append(
             (F.array_position(dists, F.array_min(dists)) - 1)
@@ -587,23 +603,33 @@ def pq_adc_topk(
     shuffle. At 100 TB the PQ scan reads the code column only — the
     full-precision vectors never leave storage for candidate generation;
     production flows rerank the top-k with exact vectors afterward
-    (compose with ``topk_cosine`` on the candidate ids)."""
+    (compose with ``topk_cosine`` on the candidate ids).
+
+    The code table is PINNED (localCheckpoint) before the query join:
+    Catalyst's project collapsing would otherwise inline the 128
+    assignment folds into the post-crossJoin projection and recompute
+    them once per (query, vector) pair — measured ~2× on a 5-query set,
+    and O(|Q|)× in general. The pin also reflects the production shape:
+    codes are a precomputed stored index (``ext_embed_pq`` is the build
+    step), not something the search recomputes per scan."""
     code_cols = pq_code_cols(F.col(vec_col))
-    corp = spread(corpus).select(F.col(id_col).alias("vec_id"), *code_cols)
-    cbs = pq_codebooks()
+    corp = (
+        spread(corpus)
+        .select(F.col(id_col).alias("vec_id"), *code_cols)
+        .localCheckpoint(eager=True)
+    )
+    # per-subspace LUT via one shared-lambda transform over the literal
+    # centroid matrix (same compile-cost reasoning as pq_code_cols).
+    # NB: the lambda must take exactly ONE parameter — F.transform treats a
+    # two-parameter callable as (element, index), so a default-arg closure
+    # trick (lambda cv, _s=s: ...) silently binds the subspace to the
+    # element INDEX column.
+    def _subspace_lut(s: int, cents: list[list[float]]) -> Column:
+        sub = _pq_subvec(F.col(vec_col), s)
+        return F.transform(_lit_matrix(cents), lambda cv: dot(sub, cv))
+
     lut = F.array(
-        *[
-            F.array(
-                *[
-                    dot(
-                        _pq_subvec(F.col(vec_col), s),
-                        F.array(*[F.lit(x) for x in cv]),
-                    )
-                    for cv in cents
-                ]
-            )
-            for s, cents in enumerate(cbs)
-        ]
+        *[_subspace_lut(s, cents) for s, cents in enumerate(pq_codebooks())]
     )
     q = F.broadcast(
         queries.select(F.col(query_id_col).alias("query_id"), lut.alias("lut"))

@@ -52,6 +52,7 @@ from ..operators.similarity import (
     scored_cosine,
     topk_cosine,
 )
+from ..operators.similarity import _lit_matrix
 from ..operators.similarity import dot as sdot
 from ..operators.similarity import norm as snorm
 from ..operators.util import spread
@@ -553,15 +554,14 @@ def ext_dedup_embed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     coefs = projection_planes(64, planes)
 
     def bucketed(df: DataFrame, id_alias: str) -> DataFrame:
-        plane_cols = [
-            sdot(F.col("embedding"), F.array(*[F.lit(c) for c in row])).alias(
-                f"__p{p}"
-            )
-            for p, row in enumerate(coefs)
-        ]
+        # one shared-lambda transform over the literal plane matrix (see
+        # lsh_bucketed_pairs — plan-compile cost tracks tree size)
+        projs = F.transform(
+            _lit_matrix(coefs), lambda row: sdot(F.col("embedding"), row)
+        )
         bucket = sum(
             (
-                F.when(F.col(f"__p{p}") >= 0, 1 << p).otherwise(0)
+                F.when(F.element_at("__projs", p + 1) >= 0, 1 << p).otherwise(0)
                 for p in range(planes)
             ),
             F.lit(0),
@@ -570,7 +570,7 @@ def ext_dedup_embed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias(id_alias),
             F.col("embedding").alias(f"{id_alias}_vec"),
             snorm(F.col("embedding")).alias(f"{id_alias}_nrm"),
-            *plane_cols,
+            projs.alias("__projs"),
         ).select(
             id_alias,
             f"{id_alias}_vec",
