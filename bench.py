@@ -72,6 +72,7 @@ HEADLINE = [
     "ext_sim_search_ivf_nprobe",
     "ext_embed_pq",
     "ext_sim_search_pq",
+    "ext_sim_search_pq_rerank",
     "ext_multimodal_cols",
     "ext_token_entropy",
     "ext_dedup_incremental",

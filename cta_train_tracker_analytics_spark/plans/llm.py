@@ -697,6 +697,110 @@ def ext_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ext_sim_search_pq_rerank",
+    oracle=f"""
+    WITH {_PQ_CODES_CTE},
+    q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+          WHERE vec_id < 5),
+    lut AS (
+        SELECT q.query_id, cent.s, cent.c,
+               list_reduce(list_transform(generate_series(1, 8), i ->
+                   q.embedding[cent.s*8 + i]::DOUBLE * cv[i]),
+                   (a, b) -> a + b) AS d
+        FROM q CROSS JOIN cent
+    ),
+    terms AS (
+        SELECT l.query_id, co.vec_id, l.s, l.d
+        FROM codes co JOIN lut l ON l.s = co.s AND l.c = co.code
+    ),
+    approx AS (
+        SELECT query_id, vec_id,
+               list_reduce(list(d ORDER BY s), (a, b) -> a + b) AS a
+        FROM terms GROUP BY query_id, vec_id
+    ),
+    cand AS (
+        SELECT query_id, vec_id FROM approx
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY a DESC, vec_id) <= 50
+    ),
+    eterms AS (
+        SELECT cd.query_id, cd.vec_id,
+               unnest(eq.embedding)::DOUBLE AS qa,
+               unnest(ec.embedding)::DOUBLE AS cb
+        FROM cand cd
+        JOIN embeddings eq ON eq.vec_id = cd.query_id
+        JOIN embeddings ec ON ec.vec_id = cd.vec_id
+    ),
+    exact AS (
+        SELECT query_id, vec_id,
+               sum(qa * cb) / (sqrt(sum(qa * qa)) * sqrt(sum(cb * cb))) AS cs
+        FROM eterms GROUP BY query_id, vec_id
+    )
+    SELECT query_id, CAST(vec_id AS BIGINT) AS vec_id,
+           round(cs, 4) AS cos_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cs DESC, vec_id) AS BIGINT) AS rnk
+    FROM exact
+    QUALIFY rnk <= 10
+    """,
+)
+def ext_sim_search_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN composition: PQ/ADC candidate generation (top-50
+    per query over the compressed code index — the cheap, bandwidth-light
+    stage that scans 32-bit codes) followed by EXACT cosine rerank of only
+    those candidates to the final top-10. Full-precision vectors are
+    touched for 50 rows per query instead of the whole corpus — at 100 TB
+    that is the difference between an exhaustive vector scan and a keyed
+    fetch of 50×|Q| rows. Candidate ids broadcast into the corpus join;
+    the only shuffles are the two per-query top-k windows (both compile to
+    partial WindowGroupLimit)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cand = F.broadcast(
+        pq_adc_topk(emb, queries, k=50).select("query_id", "vec_id")
+    )
+    q = F.broadcast(
+        queries.select(
+            "query_id",
+            F.col("embedding").alias("q_vec"),
+            snorm(F.col("embedding")).alias("q_nrm"),
+        )
+    )
+    scored = (
+        cand.join(
+            emb.select(
+                "vec_id",
+                F.col("embedding").alias("c_vec"),
+                snorm(F.col("embedding")).alias("c_nrm"),
+            ),
+            "vec_id",
+        )
+        .join(q, "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                sdot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_nrm") * F.col("c_nrm"))
+            ).alias("cs"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cs").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "query_id",
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            F.round("cs", 4).alias("cos_sim"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
+@query(
     "ext_lm_perplexity",
     oracle="""
     WITH toks AS (

@@ -80,6 +80,7 @@ _PRIORITY = [
     "str_foreach_batch_upsert",
     "ext_embed_pq",
     "ext_sim_search_pq",
+    "ext_sim_search_pq_rerank",
     # re-verify last round's fresh rows next, cheapest first
     "str_session_window",
     "str_stateful",

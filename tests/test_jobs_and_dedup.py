@@ -292,6 +292,12 @@ def test_pq_codes_discriminate(spark):
         len(pq_top[k] & exact_top[k]) / len(exact_top[k]) for k in exact_top
     ]
     assert sum(recalls) / len(recalls) >= 0.15  # measured ~0.34
+    # the exact-rerank composition must improve on raw ADC ordering
+    rr_top = defaultdict(set)
+    for r in q["ext_sim_search_pq_rerank"](spark, SF_DIR).collect():
+        rr_top[r["query_id"]].add(r["vec_id"])
+    rr = [len(rr_top[k] & exact_top[k]) / len(exact_top[k]) for k in exact_top]
+    assert sum(rr) / len(rr) > sum(recalls) / len(recalls)  # measured ~0.54
 
 
 def test_adaptive_planes_sizes_to_corpus():
