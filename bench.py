@@ -84,6 +84,13 @@ HEADLINE = [
     "ext_domain_cap",
     "ext_embed_quantize",
     "ext_kmeans_update",
+    "ext_tfidf_topk",
+    "ext_url_dedup",
+    "ext_temperature_sample",
+    "ext_semdedup",
+    "ext_dsir_weights",
+    "ext_bpe_merges",
+    "job_data_card",
     "job_prep_training_corpus",
 ]
 # NOTE: the headline set GREW in round 5 (salted join, pivot, quantile and

@@ -2417,3 +2417,527 @@ def ext_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(score, 4).alias("score"),
         (score >= 0.6).alias("keep"),
     )
+
+
+@query(
+    "ext_tfidf_topk",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, t.tok
+        FROM documents, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t(tok)
+        WHERE t.tok <> ''
+    ),
+    tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+           FROM t GROUP BY doc_id, tok),
+    df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    s AS (SELECT doc_id, tf.tok,
+                 round(tf * (ln((n.n + 1) / CAST(df.df + 1 AS DOUBLE)) + 1.0), 6)
+                     AS tfidf
+          FROM tf JOIN df USING (tok) CROSS JOIN n)
+    SELECT doc_id, tok, tfidf
+    FROM s
+    QUALIFY row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, tok) <= 3
+    """,
+)
+def ext_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: top-3 TF-IDF terms per document — the salience
+    signal retrieval-augmented pipelines and topic filters attach to every
+    crawl document. Two hash aggregates (term frequency per doc, document
+    frequency per term — both collapse map-side), a broadcast of the
+    1-row corpus count, a broadcast-able DF join (vocabulary << corpus),
+    and a per-doc top-k that compiles to partial WindowGroupLimit — no
+    global sort, nothing corpus-sized shuffles twice. The window orders by
+    the ROUNDED score so both engines break near-ties on the token string,
+    not on a 1-ulp ln() difference.
+
+    The TF table is pinned (localCheckpoint, ContextCleaner-reclaimed)
+    because both the scoring join and the DF rollup consume it — without
+    the pin Catalyst plans no exchange reuse (the two aggregates differ)
+    and the corpus is scanned + tokenized twice."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = (
+        t.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    scored = (
+        tf.join(df_, "tok")
+        .join(F.broadcast(n), how="cross")
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n") + 1) / (F.col("df") + 1).cast("double"))
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "tok")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+@query(
+    "ext_url_dedup",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               'HTTPS://WWW.' || upper(source) || '.Example.COM:443/Articles/'
+               || CAST(doc_id % 50 AS VARCHAR) || '/?utm_source=feed&ref='
+               || lang || '&utm_campaign=crawl&id=' || CAST(doc_id % 25 AS VARCHAR)
+                   AS url,
+               source
+        FROM documents
+    ),
+    parts AS (
+        SELECT doc_id, source,
+               lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+                   AS scheme,
+               regexp_replace(
+                   lower(regexp_extract(url, '^[^:/?#]+://([^/:?#]+)', 1)),
+                   '^www\\.', '') AS host,
+               regexp_replace(
+                   regexp_extract(url, '^[^:/?#]+://[^/?#]+(/[^?#]*)', 1),
+                   '/$', '') AS path,
+               array_to_string(
+                   list_sort(list_filter(
+                       string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                       p -> p NOT LIKE 'utm_%')),
+                   '&') AS qs
+        FROM u
+    ),
+    canon AS (
+        SELECT doc_id, source,
+               scheme || '://' || host || path
+               || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS canonical_url
+        FROM parts
+    )
+    SELECT canonical_url,
+           CAST(min(doc_id) AS BIGINT) AS rep_doc_id,
+           CAST(count(*) AS BIGINT) AS n_dups
+    FROM canon GROUP BY canonical_url
+    """,
+)
+def ext_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup — the first dedup stage of every crawl
+    pipeline (run before any content hash): lowercase scheme and host,
+    strip the ``www.`` prefix and the default port, drop ``utm_*``
+    tracking parameters, sort the surviving query parameters, strip the
+    trailing slash, then keep one representative per canonical URL.
+
+    The test tables carry no URL column, so a crawl-shaped URL is DERIVED
+    deterministically from (source, lang, doc_id) — mixed-case host,
+    explicit :443, unsorted params, tracking noise — exercising every
+    canonicalization rule; production reads the real ``url`` column with
+    the identical expression tree. Scale shape: canonicalization is pure
+    map-side column math (regexp + array ops in whole-stage codegen), and
+    the dedup is ONE hash aggregate keyed on the canonical string —
+    min(doc_id) representative and family size ride the same shuffle.
+    Unlike content dedup there is no candidate-pair stage at all, which
+    is why URL dedup runs first at 100 TB: it removes the bulk of crawl
+    duplication for one aggregate's cost."""
+    docs = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.upper("source"),
+        F.lit(".Example.COM:443/Articles/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("/?utm_source=feed&ref="),
+        F.col("lang"),
+        F.lit("&utm_campaign=crawl&id="),
+        (F.col("doc_id") % 25).cast("string"),
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    scheme = F.lower(F.regexp_extract("url", r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract("url", r"^[^:/?#]+://([^/:?#]+)", 1)),
+        r"^www\.",
+        "",
+    )
+    path = F.regexp_replace(
+        F.regexp_extract("url", r"^[^:/?#]+://[^/?#]+(/[^?#]*)", 1), r"/$", ""
+    )
+    qs = F.concat_ws(
+        "&",
+        F.array_sort(
+            F.filter(
+                F.split(F.regexp_extract("url", r"\?([^#]*)", 1), "&"),
+                lambda p: ~p.startswith("utm_"),
+            )
+        ),
+    )
+    canon = u.select(
+        "doc_id",
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            path,
+            F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+        ).alias("canonical_url"),
+    )
+    return canon.groupBy("canonical_url").agg(
+        F.min("doc_id").cast("bigint").alias("rep_doc_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+    )
+
+
+@query(
+    "ext_temperature_sample",
+    oracle="""
+    WITH s AS (
+        SELECT source,
+               CAST(sum(len(string_split_regex(lower(trim(text)), '\\s+')))
+                    AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM s),
+    p AS (SELECT source, n_tokens, n_tokens / CAST(t AS DOUBLE) AS nat,
+                 CAST(round(power(n_tokens / CAST(t AS DOUBLE), 0.3)
+                            * 1000000000) AS BIGINT) AS q
+          FROM s, tot),
+    z AS (SELECT CAST(sum(q) AS BIGINT) AS z FROM p)
+    SELECT source, n_tokens,
+           round(nat, 6) AS nat_share,
+           round(q / CAST(z AS DOUBLE), 6) AS temp_share,
+           round((q / CAST(z AS DOUBLE)) / nat, 4) AS rel_epochs
+    FROM p, z
+    """,
+)
+def ext_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling (the multilingual/multi-domain
+    upsampling rule: w_s ∝ p_s^α, here α = 0.3) — the table that tells the
+    data loader how hard to upsample small sources: natural token share,
+    temperature share, and relative epochs (>1 = upsampled). Same
+    single-aggregate + two broadcast-single-row-joins shape as
+    ext_mix_weights. The α-scaled weights are quantized to 1e-9 BIGINTs
+    *before* the normalizing sum so the cross-engine float sum is exact
+    integer arithmetic — summing raw pow() doubles would hash-differ on
+    accumulation order at 1 ulp.
+
+    The per-source aggregate is pinned (localCheckpoint — a ~|sources|-row
+    table): FOUR consumers read it (the weight rows, both normalizing
+    totals, and the epoch ratio), and without the pin Catalyst inlines the
+    aggregate into every branch — the corpus was scanned and tokenized 4×
+    (observed in the executed plan)."""
+    docs = load(spark, sf_dir, "documents")
+    s = (
+        docs.groupBy("source")
+        .agg(F.sum(token_count(F.col("text"))).cast("bigint").alias("n_tokens"))
+        .localCheckpoint(eager=True)
+    )
+    tot = s.agg(F.sum("n_tokens").cast("bigint").alias("t"))
+    p = s.join(F.broadcast(tot), how="cross").select(
+        "source",
+        "n_tokens",
+        (F.col("n_tokens") / F.col("t").cast("double")).alias("nat"),
+        F.round(
+            F.pow(F.col("n_tokens") / F.col("t").cast("double"), 0.3)
+            * F.lit(1000000000.0)
+        )
+        .cast("bigint")
+        .alias("q"),
+    )
+    z = p.agg(F.sum("q").cast("bigint").alias("z"))
+    return p.join(F.broadcast(z), how="cross").select(
+        "source",
+        "n_tokens",
+        F.round("nat", 6).alias("nat_share"),
+        F.round(F.col("q") / F.col("z").cast("double"), 6).alias("temp_share"),
+        F.round((F.col("q") / F.col("z").cast("double")) / F.col("nat"), 4).alias(
+            "rel_epochs"
+        ),
+    )
+
+
+@query(
+    "job_data_card",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split_regex(lower(trim(text)), '\\s+')))
+                AS BIGINT) AS n_tokens,
+           round(median(CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
+                             AS BIGINT)), 1) AS median_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           round(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS pct_en,
+           CAST(count(*) - count(DISTINCT
+                md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+                AS BIGINT) AS n_exact_dups
+    FROM documents GROUP BY source
+    """,
+)
+def job_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus datasheet ("data card") — the per-source summary table every
+    corpus release ships: document/token volume, median length, language
+    spread, English share, and exact-duplicate mass (docs minus distinct
+    whitespace-normalized fingerprints). ONE aggregate over the corpus
+    produces the whole card: counts and sums collapse map-side; the two
+    count-distincts expand to the standard two-phase distinct aggregate,
+    keyed by (source, lang) and (source, fingerprint) — still one logical
+    pass over the text, no joins. Median runs on integer token counts so
+    the even-count midpoint is exact in both engines. At 100 TB this is
+    the cheapest full-corpus report in the catalog: nothing but group
+    states ever shuffles."""
+    docs = load(spark, sf_dir, "documents")
+    n_tok = token_count(F.col("text"))
+    return docs.select(
+        "source", "lang", n_tok.alias("n_tok"), fingerprint(F.col("text")).alias("fp")
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.round(F.expr("median(n_tok)"), 1).alias("median_tokens"),
+        F.count_distinct("lang").cast("bigint").alias("n_langs"),
+        F.round(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("pct_en"),
+        (F.count(F.lit(1)) - F.count_distinct("fp")).cast("bigint").alias(
+            "n_exact_dups"
+        ),
+    )
+
+
+@query(
+    "ext_semdedup",
+    oracle="""
+    WITH cent AS (SELECT vec_id AS cent_id, embedding AS c FROM embeddings
+                  WHERE vec_id < 8),
+    terms0 AS (SELECT e.vec_id, cent.cent_id, unnest(e.embedding)::DOUBLE AS v,
+                      unnest(cent.c)::DOUBLE AS w
+               FROM embeddings e CROSS JOIN cent),
+    cos0 AS (SELECT vec_id, cent_id,
+                    sum(v * w) / (sqrt(sum(v * v)) * sqrt(sum(w * w))) AS cs
+             FROM terms0 GROUP BY vec_id, cent_id),
+    assign AS (SELECT vec_id, cent_id AS cell FROM cos0
+               QUALIFY row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cs DESC, cent_id) = 1),
+    m AS (SELECT a.vec_id, a.cell, e.embedding AS v
+          FROM assign a JOIN embeddings e USING (vec_id)),
+    pr AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.v AS va, y.v AS vb
+           FROM m x JOIN m y ON y.cell = x.cell AND x.vec_id < y.vec_id),
+    terms AS (SELECT id_a, id_b, unnest(va)::DOUBLE AS qa, unnest(vb)::DOUBLE AS cb
+              FROM pr),
+    s AS (SELECT id_a, id_b,
+                 sum(qa * cb) / (sqrt(sum(qa * qa)) * sqrt(sum(cb * cb))) AS cs
+          FROM terms GROUP BY id_a, id_b),
+    dropped AS (SELECT DISTINCT id_b FROM s WHERE cs >= 0.2)
+    SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+           d.id_b IS NULL AS kept
+    FROM assign a LEFT JOIN dropped d ON d.id_b = a.vec_id
+    """,
+)
+def ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    embedding space into k cells (here the deterministic 8-centroid IVF
+    assignment — production fits k-means via ext_kmeans_update), then
+    inside each cell drop every vector that has a LOWER-id neighbor with
+    cosine ≥ 0.2. The cluster-scoped pairwise pass is the method's whole
+    point at 100 TB: candidate pairs are O(Σ cell²), bounded by cell size
+    — k scales with the corpus (N/k held ~constant) so in-cell work stays
+    ~linear in N, and no corpus-wide pair join exists. Assignment is the
+    zero-shuffle in-row argmax (operators/similarity.py:ivf_assign); the
+    assigned table is pinned because the x-side, y-side, and the final
+    keep-flag join all consume it — without the pin the corpus is scanned
+    and argmax'd three times. Differs from ext_dedup_embed (sign-LSH
+    buckets): cells here are learned density regions, the published
+    recipe for semantic (not near-literal) duplicate pruning."""
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
+    )
+    a = ivf_assign(emb, centroids).localCheckpoint(eager=True)
+    x = a.select(
+        F.col("id").alias("id_a"),
+        F.col("vec").alias("va"),
+        F.col("v_nrm").alias("na"),
+        "cell",
+    )
+    y = a.select(
+        F.col("id").alias("id_b"),
+        F.col("vec").alias("vb"),
+        F.col("v_nrm").alias("nb"),
+        "cell",
+    )
+    close = (
+        x.join(y, ["cell"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            sdot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")) >= 0.2
+        )
+        .select("id_b")
+        .distinct()
+    )
+    return a.join(close, a["id"] == close["id_b"], "left").select(
+        F.col("id").alias("vec_id"),
+        F.col("cell").cast("bigint").alias("cell"),
+        F.col("id_b").isNull().alias("kept"),
+    )
+
+
+@query(
+    "ext_dsir_weights",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id AS id, source = 'src0' AS is_t,
+               string_split_regex(lower(trim(text)), '\\s+') AS l
+        FROM documents
+    ),
+    t AS (SELECT id, is_t, generate_subscripts(l, 1) AS i, unnest(l) AS tok
+          FROM toks),
+    bg AS (SELECT a.id, a.is_t,
+                  ('0x' || substr(md5(a.tok || ' ' || b.tok), 1, 15))::BIGINT
+                  % 10007 AS b
+           FROM t a JOIN t b ON b.id = a.id AND b.i = a.i + 1),
+    pin AS (SELECT id, is_t, b, CAST(count(*) AS BIGINT) AS c
+            FROM bg GROUP BY id, is_t, b),
+    bucket AS (SELECT b,
+                      CAST(sum(c) AS BIGINT) AS n_raw,
+                      CAST(sum(CASE WHEN is_t THEN c ELSE 0 END) AS BIGINT) AS n_t
+               FROM pin GROUP BY b),
+    tot AS (SELECT CAST(sum(n_raw) AS BIGINT) AS tr,
+                   CAST(sum(n_t) AS BIGINT) AS tt FROM bucket),
+    ratio AS (SELECT b,
+                     ln(CAST(n_t + 1 AS DOUBLE) / CAST(tt + 10007 AS DOUBLE))
+                     - ln(CAST(n_raw + 1 AS DOUBLE) / CAST(tr + 10007 AS DOUBLE))
+                         AS lr
+              FROM bucket, tot)
+    SELECT pin.id AS doc_id,
+           CAST(sum(c) AS BIGINT) AS n_bigrams,
+           round(sum(c * lr), 4) AS dsir_logw
+    FROM pin JOIN ratio USING (b)
+    GROUP BY pin.id
+    """,
+)
+def ext_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Data Selection via Importance Resampling,
+    Xie et al. 2023): score every corpus document by how target-like its
+    hashed-bigram distribution is — log p_target(doc) − log p_raw(doc)
+    under add-one-smoothed bag-of-hashed-bigrams models (B = 10007
+    buckets; the target domain is stood in by source = 'src0'). Sampling
+    ∝ exp(weight) yields the target-matched subset; this emits the weight
+    table.
+
+    Scale shape: bigrams hash to B buckets AT THE MAP SIDE (the shuffle
+    never moves token strings), and the per-(doc, bucket) count table is
+    the pinned intermediate — it is the corpus's compressed sufficient
+    statistic (≤ min(n_bigrams, B) rows per doc), consumed twice: rolled
+    up into the B-row bucket model, and joined back for per-doc scoring.
+    The model table (B rows) and its totals broadcast; scoring is one
+    broadcast hash join + a doc-keyed sum that partial-aggregates
+    map-side. Nothing corpus-sized shuffles twice, and the quadratic
+    vocabulary of raw bigrams never materializes — that is DSIR's hashing
+    trick, and it is what makes the method run at 100 TB."""
+    docs = load(spark, sf_dir, "documents")
+    ts = tokens(F.col("text"))
+    bigrams = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(ts) - 2, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(ts, i + 1, 2)),
+        ),
+        lambda s: F.size(F.split(s, " ")) == 2,
+    )
+    B = 10007
+    rows = docs.select(
+        F.col("doc_id").alias("id"),
+        (F.col("source") == "src0").alias("is_t"),
+        F.explode(bigrams).alias("tok"),
+    ).select("id", "is_t", (hash60(F.col("tok")) % B).alias("b"))
+    pin = (
+        rows.groupBy("id", "is_t", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    bucket = pin.groupBy("b").agg(
+        F.sum("c").cast("bigint").alias("n_raw"),
+        F.sum(F.when(F.col("is_t"), F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("n_t"),
+    )
+    tot = bucket.agg(
+        F.sum("n_raw").cast("bigint").alias("tr"),
+        F.sum("n_t").cast("bigint").alias("tt"),
+    )
+    ratio = bucket.join(F.broadcast(tot), how="cross").select(
+        "b",
+        (
+            F.log((F.col("n_t") + 1).cast("double") / (F.col("tt") + B).cast("double"))
+            - F.log(
+                (F.col("n_raw") + 1).cast("double") / (F.col("tr") + B).cast("double")
+            )
+        ).alias("lr"),
+    )
+    return (
+        pin.join(F.broadcast(ratio), "b")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.sum("c").cast("bigint").alias("n_bigrams"),
+            F.round(F.sum(F.col("c") * F.col("lr")), 4).alias("dsir_logw"),
+        )
+    )
+
+
+@query(
+    "ext_bpe_merges",
+    oracle="""
+    WITH t AS (
+        SELECT t.tok
+        FROM documents, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t(tok)
+        WHERE len(t.tok) >= 2
+    ),
+    ch AS (SELECT tok, string_split(tok, '') AS l FROM t),
+    p AS (SELECT pr.pair
+          FROM ch, unnest(list_transform(generate_series(1, len(l) - 1),
+                                         i -> l[i] || l[i + 1])) AS pr(pair)),
+    c AS (SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY pair)
+    SELECT pair, n FROM c ORDER BY n DESC, pair LIMIT 20
+    """,
+)
+def ext_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-candidate counting — the inner statistic of byte-pair-
+    encoding tokenizer training: frequency of every adjacent symbol pair
+    inside words, top-20 (the first BPE iteration merges the argmax; a
+    full trainer re-runs this on the merged symbol stream). Word-count
+    shape at character level: the pair expansion is an in-row array
+    transform (no join against a position table), counts collapse
+    map-side, and the cut is TakeOrderedAndProject — the pair vocabulary
+    (≤ |alphabet|², tiny) never sorts globally. At 100 TB tokenizer
+    training runs on a sampled subcorpus; the plan is identical, with a
+    sample() ahead of the tokenize."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(F.explode(tokens(F.col("text"))).alias("tok")).filter(
+        F.length("tok") >= 2
+    )
+    chars = F.split(F.col("tok"), "")
+    pairs = t.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(chars) - 2),
+                lambda i: F.concat(
+                    F.element_at(chars, i + 1), F.element_at(chars, i + 2)
+                ),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )

@@ -81,6 +81,15 @@ _PRIORITY = [
     "ext_embed_pq",
     "ext_sim_search_pq",
     "ext_sim_search_pq_rerank",
+    "agg_mode_median",
+    "ext_tfidf_topk",
+    "ext_url_dedup",
+    "ext_temperature_sample",
+    "job_data_card",
+    "agg_histogram",
+    "ext_semdedup",
+    "ext_dsir_weights",
+    "ext_bpe_merges",
     # re-verify last round's fresh rows next, cheapest first
     "str_session_window",
     "str_stateful",

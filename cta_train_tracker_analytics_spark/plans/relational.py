@@ -1188,3 +1188,96 @@ def win_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("event_type").over(w).alias("prev_type"),
     )
     return flagged.filter(~F.col("prev_type").eqNullSafe(F.col("event_type")))
+
+
+@query(
+    "agg_mode_median",
+    oracle="""
+    WITH c AS (
+        SELECT l_returnflag, l_quantity, CAST(count(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_returnflag, l_quantity
+    ),
+    m AS (
+        SELECT l_returnflag, l_quantity AS mode_qty
+        FROM c
+        QUALIFY row_number() OVER (
+            PARTITION BY l_returnflag ORDER BY n DESC, l_quantity) = 1
+    ),
+    med AS (
+        SELECT l_returnflag,
+               round(median(CAST(round(l_extendedprice * 100) AS BIGINT))
+                     / 100.0, 2) AS median_price,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT med.l_returnflag, m.mode_qty, med.median_price, med.n
+    FROM med JOIN m ON m.l_returnflag = med.l_returnflag
+    """,
+)
+def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order statistics per group: modal quantity and exact median price.
+
+    Mode is NOT ``F.mode`` — its tie-break is engine-internal, so both
+    sides compute it as count-per-value + row_number with an explicit
+    (count DESC, value ASC) tiebreak: deterministic, and the heavy input
+    collapses map-side in the (flag, qty) partial aggregate, so the
+    shuffle carries one row per distinct value per group. Median runs on
+    cent-quantized BIGINTs so the even-count interpolation is the exact
+    midpoint of two integers in both engines — ``median(double)`` differs
+    by 1 ulp between lower+(upper-lower)*0.5 and (lower+upper)/2
+    implementations, which a value hash would catch. At 100 TB exact
+    median is a per-group sort of distinct values; the approx path is
+    agg_approx_quantile."""
+    li = load(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wm = Window.partitionBy("l_returnflag").orderBy(F.col("n").desc(), "l_quantity")
+    mode = (
+        c.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_quantity").alias("mode_qty"))
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.round(
+            F.expr("median(CAST(round(l_extendedprice * 100) AS BIGINT))") / 100.0, 2
+        ).alias("median_price"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return med.join(F.broadcast(mode), "l_returnflag").select(
+        "l_returnflag", "mode_qty", "median_price", "n"
+    )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(floor((l_quantity - 1) / 10) AS INT) AS bucket,
+           CAST(floor((l_quantity - 1) / 10) * 10 + 1 AS DOUBLE) AS lo,
+           CAST(floor((l_quantity - 1) / 10) * 10 + 10 AS DOUBLE) AS hi,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag, floor((l_quantity - 1) / 10)
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram per group — the distribution profile every
+    data-quality dashboard draws: quantity bucketed into width-10 bins
+    with explicit [lo, hi] edges. Bucketing is pure map-side arithmetic
+    folded into the grouping key, so the whole histogram is ONE
+    partial+final aggregate — the shuffle carries (group × bins) partial
+    counts, corpus-size-independent. The streaming twin is a windowed
+    groupBy on the same derived key; the approximate-boundary variant is
+    agg_approx_quantile."""
+    li = load(spark, sf_dir, "lineitem")
+    bucket = F.floor((F.col("l_quantity") - 1) / 10)
+    return li.groupBy(
+        "l_returnflag", bucket.cast("int").alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n")).select(
+        "l_returnflag",
+        "bucket",
+        (F.col("bucket") * 10 + 1).cast("double").alias("lo"),
+        (F.col("bucket") * 10 + 10).cast("double").alias("hi"),
+        "n",
+    )

@@ -314,3 +314,108 @@ def test_unpivot_is_shuffle_free_expand(spark):
     p = plan(spark, "proj_unpivot")
     assert "Expand" in p
     assert "Exchange" not in p and "Join" not in p
+
+
+def test_tfidf_topk_single_corpus_scan_and_group_limit(spark):
+    """ext_tfidf_topk: the corpus is tokenized once into the pinned TF
+    table (both the DF rollup and the scoring join read the pin — one
+    parquet text scan), the vocabulary joins broadcast, and the per-doc
+    top-3 compiles to partial WindowGroupLimit, not a per-doc full sort."""
+    p = plan(spark, "ext_tfidf_topk")
+    assert p.count("text#") <= 2 or "WindowGroupLimit" in p
+    assert "WindowGroupLimit" in p
+    assert "SortMergeJoin" not in p
+    # the corpus text column feeds exactly one FileScan
+    scans = [ln for ln in p.splitlines() if "FileScan parquet" in ln and "text" in ln]
+    assert len(scans) <= 1
+
+
+def test_url_dedup_is_one_aggregate(spark):
+    """ext_url_dedup: canonicalization is map-side column math; the whole
+    dedup is ONE partial+final hash aggregate — no joins, no windows."""
+    p = plan(spark, "ext_url_dedup")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p and "Window" not in p
+    assert "partial_min" in p  # representative rides the same shuffle
+
+
+def test_temperature_sample_broadcasts_totals(spark):
+    """ext_temperature_sample: every branch reads the pinned per-source
+    aggregate (the corpus is scanned once, at pin time — the action plan
+    carries NO parquet scan), and the normalizing totals join as broadcast
+    single rows."""
+    p = plan(spark, "ext_temperature_sample")
+    assert "SortMergeJoin" not in p
+    assert "FileScan parquet" not in p  # corpus only read when the pin built
+    assert p.count("BroadcastNestedLoopJoin") == 3  # 1-row cross joins
+
+
+def test_data_card_single_pass(spark):
+    """job_data_card: the whole datasheet is one logical aggregate over
+    one corpus scan (count-distincts expand in-plan, no self-joins)."""
+    p = plan(spark, "job_data_card")
+    assert "Join" not in p
+    assert p.count("FileScan parquet") == 1
+
+
+def test_mode_median_partial_aggregates(spark):
+    """agg_mode_median: the (flag, qty) value-count collapses map-side
+    (partial_count below its exchange) and the mode side broadcasts into
+    the median side — no SMJ for a 3-row join."""
+    p = plan(spark, "agg_mode_median")
+    assert "partial_count" in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_histogram_is_one_aggregate(spark):
+    """agg_histogram: bucketing folds into the grouping key — one
+    partial+final aggregate, no joins or windows."""
+    p = plan(spark, "agg_histogram")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in p
+    assert "Join" not in p
+
+
+def test_semdedup_joins_within_cells_only(spark):
+    """ext_semdedup: both pair sides read the pinned assignment (no
+    parquet scan at action time — the corpus is argmax'd once, at pin
+    time), and the pair join is an equi-join on the cell id, never a
+    cartesian corpus product."""
+    p = plan(spark, "ext_semdedup")
+    assert "FileScan parquet" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # the pair join keys on the cell id (AQE may pick BHJ at small sf;
+    # at scale it degrades to a shuffled join on the SAME key — never a
+    # cross product)
+    import re
+
+    assert re.search(r"Join \[cell#\d+L?\], \[cell#\d+L?\]", p)
+
+
+def test_dsir_scores_from_pinned_counts(spark):
+    """ext_dsir_weights: the action-time plan reads the pinned
+    (doc, bucket) count table — the corpus tokenize/hash ran once at pin
+    time — and the B-row model joins broadcast; the per-doc sum partial-
+    aggregates below its exchange."""
+    p = plan(spark, "ext_dsir_weights")
+    assert "FileScan parquet" not in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    # the doc-keyed sum partial-aggregates below its exchange (the key is
+    # the pre-alias `id` column)
+    import re
+
+    m = re.search(r"Exchange hashpartitioning\(id#\d+L", p)
+    assert m is not None
+    assert "partial_sum" in p[m.end():]
+
+
+def test_bpe_merges_takes_ordered(spark):
+    """ext_bpe_merges: the top-20 cut is TakeOrderedAndProject over the
+    pair-count aggregate — no global sort, no joins (the pair expansion
+    is an in-row transform)."""
+    p = plan(spark, "ext_bpe_merges")
+    assert "TakeOrderedAndProject" in p
+    assert "Join" not in p
