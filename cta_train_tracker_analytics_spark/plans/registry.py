@@ -90,6 +90,7 @@ _PRIORITY = [
     "ext_semdedup",
     "ext_dsir_weights",
     "ext_bpe_merges",
+    "str_stream_join_outer",
     # re-verify last round's fresh rows next, cheapest first
     "str_session_window",
     "str_stateful",

@@ -604,3 +604,121 @@ def str_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("lag_s"),
     )
+
+
+def _staged_stream(
+    spark: SparkSession, dfs: list[DataFrame], src_dir: str
+) -> DataFrame:
+    """Write each DataFrame as ONE parquet file with strictly increasing
+    mtimes, then open the dir as a maxFilesPerTrigger=1 stream —
+    deterministic multi-micro-batch ingestion in a guaranteed order
+    (FileStreamSource lists oldest-mtime first). The ordering is
+    load-bearing for watermark tests: a sentinel batch consumed early
+    would advance the watermark past the real data and drop it as late."""
+    import os
+    import time
+
+    schema = dfs[0].schema
+    base = time.time() - 3600
+    for i, df in enumerate(dfs):
+        staged = Path(src_dir) / f"__stage{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(staged))
+        part = next(p for p in staged.iterdir() if p.name.endswith(".parquet"))
+        dest = Path(src_dir) / f"{i:02d}.parquet"
+        part.rename(dest)
+        shutil.rmtree(staged)
+        os.utime(dest, (base + i * 10, base + i * 10))
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+
+@query(
+    "str_stream_join_outer",
+    oracle="""
+    WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+    p AS (SELECT * FROM events WHERE event_type = 'purchase')
+    SELECT c.user_id,
+           CAST(c.event_id AS BIGINT) AS click_id,
+           CAST(p.event_id AS BIGINT) AS purchase_id,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS lag_s
+    FROM c LEFT JOIN p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def str_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join — the abandoned-funnel query (clicks
+    that never converted), and the semantics inner joins cannot give: the
+    null row for an unmatched click may only be emitted once the
+    watermark proves no purchase can still arrive, so emission is
+    state-eviction, not match-time. Both sides carry 1-hour watermarks
+    and the event-time range bounds state exactly as in str_stream_join.
+
+    The drain appends two far-future sentinel batches (negative user ids,
+    non-joinable) AFTER the real data: sentinel batch 1 advances the
+    watermark past every real click's join window, and sentinel batch 2
+    triggers the micro-batch that evicts-and-emits the null rows —
+    availableNow alone stops at end-of-data without the flushing batch,
+    leaving unmatched state unemitted. That is exactly how production
+    keeps outer-join results flowing (the watermark only moves with
+    data); sentinels are filtered from the result by user sign. The
+    staged source guarantees batch order by file mtime."""
+    from datetime import timedelta
+
+    click_dir, purchase_dir, cp = _dirs(
+        "str_stream_join_outer", sf_dir, "clicks", "purchases", "cp"
+    )
+    ev = _events(spark, sf_dir)
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+
+    def sentinel(eid: int, uid: int, etype: str, ts):
+        return spark.createDataFrame(
+            [(eid, uid, ts, etype, 0.0)], schema=ev.schema
+        )
+
+    s1, s2 = max_ts + timedelta(hours=24), max_ts + timedelta(hours=48)
+    clicks = _staged_stream(
+        spark,
+        [
+            ev.filter(F.col("event_type") == "click"),
+            sentinel(-1, -1, "click", s1),
+            sentinel(-3, -1, "click", s2),
+        ],
+        click_dir,
+    ).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").cast("timestamp").alias("c_ts"),
+    ).withWatermark("c_ts", "1 hour")
+    purchases = _staged_stream(
+        spark,
+        [
+            ev.filter(F.col("event_type") == "purchase"),
+            sentinel(-2, -2, "purchase", s1),
+            sentinel(-4, -2, "purchase", s2),
+        ],
+        purchase_dir,
+    ).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").cast("timestamp").alias("p_ts"),
+    ).withWatermark("p_ts", "1 hour")
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "leftOuter",
+    )
+    out = run_to_memory(joined, "append", cp)
+    return out.filter(F.col("c_user") >= 0).select(
+        F.col("c_user").alias("user_id"),
+        F.col("click_id").cast("bigint"),
+        F.col("purchase_id").cast("bigint"),
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts"))
+        .cast("bigint")
+        .alias("lag_s"),
+    )

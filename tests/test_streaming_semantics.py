@@ -80,3 +80,22 @@ def test_foreach_batch_upsert_runs_multiple_batches(spark):
     )
     n_batches = len([p for p in offsets.iterdir() if not p.name.startswith(".")])
     assert n_batches >= 3, f"expected several micro-batches, got {n_batches}"
+
+
+def test_outer_stream_join_emits_null_rows_on_watermark(spark):
+    """str_stream_join_outer's whole point: unmatched clicks must surface
+    as (click, NULL) rows — emitted by state eviction when the watermark
+    passes their join window, which only happens because the sentinel
+    batches advance it. If the flushing batch logic breaks, the nulls
+    silently disappear (the inner-join subset still matches) — so assert
+    the null rows exist and sentinels are filtered out."""
+    from cta_train_tracker_analytics_spark.plans import registry
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = registry.all_queries()["str_stream_join_outer"](spark, sf_dir).collect()
+    assert all(r["user_id"] >= 0 for r in rows)
+    unmatched = [r for r in rows if r["purchase_id"] is None]
+    matched = [r for r in rows if r["purchase_id"] is not None]
+    assert len(unmatched) > 0, "watermark eviction emitted no null rows"
+    assert all(r["lag_s"] is None for r in unmatched)
+    assert all(0 <= r["lag_s"] <= 1800 for r in matched)
