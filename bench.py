@@ -92,6 +92,15 @@ HEADLINE = [
     "ext_bpe_merges",
     "job_data_card",
     "job_prep_training_corpus",
+    "job_scd2",
+    "win_gap_fill_locf",
+    "win_anomaly_zscore",
+    "agg_funnel",
+    "ext_dedup_substring",
+    "ext_dedup_paragraph",
+    "ext_pmi_collocations",
+    "ext_minhash_accuracy",
+    "ext_knn_graph",
 ]
 # NOTE: the headline set GREW in round 5 (salted join, pivot, quantile and
 # pandas-UDAF aggregates, multi-probe IVF) — compare totals across rounds

@@ -2941,3 +2941,534 @@ def ext_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "pair")
         .limit(20)
     )
+
+
+@query(
+    "ext_dedup_substring",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT
+                   AS gh
+        FROM b, unnest(generate_series(1, len(t) - 7)) AS s(i)
+        WHERE len(t) >= 8
+    ),
+    c AS (SELECT gh, count(*) AS cnt FROM g GROUP BY gh),
+    d AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(count(*) FILTER (WHERE cnt > 1) AS BIGINT) AS n_dup_spans
+        FROM g JOIN c USING (gh) GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           coalesce(n_spans, 0) AS n_spans,
+           coalesce(n_dup_spans, 0) AS n_dup_spans,
+           CASE WHEN coalesce(n_spans, 0) > 0
+                THEN round(n_dup_spans / CAST(n_spans AS DOUBLE), 4)
+                ELSE 0.0 END AS dup_frac,
+           CASE WHEN coalesce(n_spans, 0) > 0
+                THEN round(n_dup_spans / CAST(n_spans AS DOUBLE), 4) < 0.5
+                ELSE TRUE END AS keep
+    FROM b LEFT JOIN d USING (doc_id)
+    """,
+)
+def ext_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication audit (the Lee et al. 2022
+    "Deduplicating Training Data" ExactSubstr signal, Spark-shaped):
+    every 8-token span is hashed, spans whose hash occurs more than once
+    corpus-wide are "duplicated", and each document reports its
+    duplicated-span fraction plus a keep verdict (< 50 % duplicated).
+    Complements minhash (whole-doc near-dup) by catching verbatim
+    boilerplate embedded inside otherwise-distinct documents.
+
+    Scale shape: spans are generated IN-ROW (sequence + transform over
+    the token array — no position-table join) and immediately collapsed
+    to 60-bit hashes, so the shuffle rows of the global frequency
+    aggregate are 16 bytes regardless of span text. Two shuffles total:
+    the gram-frequency hash aggregate (collapses map-side — duplicated
+    grams are exactly the ones that compress) and the gram→count
+    equi-join + per-doc rollup. Nothing is all-pairs and nothing carries
+    text past the map stage. The suffix-array the paper builds is a
+    single-node luxury; the hash-multiset formulation here is
+    shuffle-bounded and gives the identical per-doc statistic. At 100 TB
+    the gram table is ~n_tokens rows of two bigints — the same order as
+    the minhash shingle stream that already scales."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    g = base.filter(F.size("t") >= 8).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 7),
+                lambda i: hash60(F.concat_ws(" ", F.slice("t", i, 8))),
+            )
+        ).alias("gh"),
+    )
+    c = g.groupBy("gh").agg(F.count(F.lit(1)).alias("cnt"))
+    d = (
+        g.join(c, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.sum((F.col("cnt") > 1).cast("bigint"))
+            .cast("bigint")
+            .alias("n_dup_spans"),
+        )
+    )
+    n_spans = F.coalesce("n_spans", F.lit(0)).cast("bigint")
+    n_dup = F.coalesce("n_dup_spans", F.lit(0)).cast("bigint")
+    frac = F.when(
+        n_spans > 0, F.round(n_dup / n_spans.cast("double"), 4)
+    ).otherwise(F.lit(0.0))
+    return base.join(d, "doc_id", "left").select(
+        "doc_id",
+        n_spans.alias("n_spans"),
+        n_dup.alias("n_dup_spans"),
+        frac.alias("dup_frac"),
+        F.when(n_spans > 0, frac < 0.5).otherwise(F.lit(True)).alias("keep"),
+    )
+
+
+@query(
+    "ext_dedup_paragraph",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ),
+    ch AS (
+        SELECT doc_id, i AS idx,
+               array_to_string(t[(i-1)*20+1:(i-1)*20+20], ' ') AS chunk
+        FROM b,
+             unnest(generate_series(1, CAST(ceil(len(t) / 20.0) AS BIGINT)))
+                 AS s(i)
+    ),
+    h AS (
+        SELECT doc_id, idx, chunk,
+               ('0x' || substr(md5(chunk), 1, 15))::BIGINT AS chash
+        FROM ch
+    ),
+    o AS (SELECT chash, min(doc_id) AS owner FROM h GROUP BY chash),
+    j AS (
+        SELECT h.doc_id, h.idx, h.chunk, h.doc_id = o.owner AS kept
+        FROM h JOIN o USING (chash)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
+           coalesce(
+               string_agg(chunk, ' ' ORDER BY idx) FILTER (WHERE kept), '')
+               AS kept_text
+    FROM j GROUP BY doc_id
+    """,
+)
+def ext_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granularity corpus dedup that REWRITES documents (the
+    C4 "discard duplicated lines across the corpus" rule): text is split
+    into 20-token chunks (the newline-free stand-in for paragraphs), a
+    chunk that appears in multiple documents survives only in its
+    canonical owner (min doc_id), and every document is reassembled from
+    its surviving chunks in order. Unlike ext_dedup_substring (a
+    per-doc statistic) this emits the cleaned corpus itself.
+
+    Scale shape: chunking is in-row; the canonical-owner aggregate
+    shuffles (chash, doc_id) pairs ONLY — chunk text stays with the
+    chunk row and never rides through the min() aggregate. The
+    owner→chunk equi-join is hash-partitioned on chash, then one rollup
+    on doc_id rebuilds documents with an ordered in-array filter +
+    concat (collect_list of (idx, chunk, kept) structs, array_sort —
+    per-doc data, never a global sort). Three shuffles, all linear.
+    Within-doc repeats share the doc's own ownership and are retained —
+    cross-document dedup only, documented semantics. At 100 TB this is
+    the same two-aggregate + one-join shape as ext_dedup_exact, with
+    rows = chunks (≈ n_tokens / 20)."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    n_chunks = F.ceil(F.size("t") / F.lit(20.0)).cast("int")
+    ch = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n_chunks),
+                lambda i: F.struct(
+                    i.alias("idx"),
+                    F.concat_ws(
+                        " ", F.slice("t", (i - 1) * 20 + 1, 20)
+                    ).alias("chunk"),
+                ),
+            )
+        ).alias("c"),
+    ).select(
+        "doc_id",
+        F.col("c.idx").alias("idx"),
+        F.col("c.chunk").alias("chunk"),
+        hash60(F.col("c.chunk")).alias("chash"),
+    )
+    owner = ch.groupBy("chash").agg(F.min("doc_id").alias("owner"))
+    j = ch.join(owner, "chash").withColumn(
+        "kept", F.col("doc_id") == F.col("owner")
+    )
+    rows = F.array_sort(F.collect_list(F.struct("idx", "chunk", "kept")))
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum(F.col("kept").cast("bigint")).cast("bigint").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.filter(rows, lambda x: x["kept"]), lambda x: x["chunk"]
+            ),
+        ).alias("kept_text"),
+    )
+
+
+@query(
+    "ext_pmi_collocations",
+    oracle="""
+    WITH d AS (
+        SELECT string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ),
+    uni AS (
+        SELECT u.tok, CAST(count(*) AS BIGINT) AS n
+        FROM d, unnest(t) AS u(tok)
+        GROUP BY u.tok
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS ntot FROM uni),
+    bg AS (
+        SELECT t[i] AS a, t[i+1] AS b, CAST(count(*) AS BIGINT) AS nab
+        FROM d, unnest(generate_series(1, len(t) - 1)) AS s(i)
+        WHERE len(t) >= 2
+        GROUP BY t[i], t[i+1]
+    )
+    SELECT bg.a, bg.b, nab,
+           round(ln((nab * ntot) / CAST(ua.n * ub.n AS DOUBLE)), 6) AS pmi
+    FROM bg
+    JOIN uni ua ON ua.tok = bg.a
+    JOIN uni ub ON ub.tok = bg.b
+    CROSS JOIN tot
+    WHERE nab >= 5
+    ORDER BY pmi DESC, a, b
+    LIMIT 20
+    """,
+)
+def ext_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 adjacent-token bigrams by pointwise
+    mutual information (min support 5) — the phrase-detection pass
+    (word2vec-style "new_york" merging, tokenizer-vocab seeding) a
+    training-data pipeline runs over the corpus. PMI = ln(c(ab)·N /
+    (c(a)·c(b))) with N = total tokens.
+
+    Scale shape: bigrams are formed IN-ROW from the token array
+    (adjacency needs no self-join against a position table — the classic
+    quadratic trap). Two hash aggregates (unigram counts, bigram counts)
+    both collapse map-side; the support cut (nab ≥ 5) lands BEFORE the
+    scoring joins, so only surviving bigrams join the unigram vocabulary
+    — vocabulary-sized, not corpus-sized. The final cut is
+    TakeOrderedAndProject over the rounded score with a (pmi, a, b)
+    total order, so the top-20 boundary is deterministic in both
+    engines. At 100 TB the shuffles carry distinct-ngram partial counts
+    — the same vocabulary-bounded shape as ext_vocab_topk."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(tokens(F.col("text")).alias("t"))
+    uni = base.select(F.explode("t").alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = uni.agg(F.sum("n").cast("bigint").alias("ntot"))
+    bg = (
+        base.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.element_at("t", i).alias("a"),
+                        F.element_at("t", i + 1).alias("b"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nab"))
+        .filter(F.col("nab") >= 5)
+    )
+    ua = uni.select(F.col("tok").alias("a"), F.col("n").alias("na"))
+    ub = uni.select(F.col("tok").alias("b"), F.col("n").alias("nb"))
+    scored = (
+        bg.join(ua, "a")
+        .join(ub, "b")
+        .join(F.broadcast(tot), how="cross")
+        .select(
+            "a",
+            "b",
+            "nab",
+            F.round(
+                F.log(
+                    (F.col("nab") * F.col("ntot"))
+                    / (F.col("na") * F.col("nb")).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), "a", "b").limit(20)
+
+
+@query(
+    "ext_bloom_prefilter",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS gh
+        FROM documents
+    ),
+    bench AS (SELECT DISTINCT gh FROM g WHERE doc_id < 50),
+    pos AS (
+        SELECT DISTINCT p
+        FROM bench, unnest([gh % 512, (gh >> 9) % 512]) AS u(p)
+    ),
+    hits AS (
+        SELECT doc_id, gh FROM g
+        WHERE doc_id >= 50
+          AND gh % 512 IN (SELECT p FROM pos)
+          AND (gh >> 9) % 512 IN (SELECT p FROM pos)
+    )
+    SELECT h.doc_id, b.gh IS NOT NULL AS contaminated
+    FROM hits h LEFT JOIN bench b USING (gh)
+    """,
+)
+def ext_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership pre-filter — the map-side runtime-filter
+    pattern for probing a huge corpus against a small reference set
+    without shipping the corpus into a join: a 512-position / 2-hash
+    Bloom filter is built from the benchmark docs' (doc_id < 50) text
+    hashes, broadcast, and applied as a pure column predicate; only the
+    bloom-POSITIVE survivors (true matches + deterministic false
+    positives) reach the exact verification join. Output is the
+    candidate set with its verified `contaminated` verdict — false
+    positives surface as contaminated=false rows, making the filter's
+    selectivity observable.
+
+    Scale shape: the corpus side never shuffles — the bloom test is
+    in-row arithmetic (two mod/shift probes against a broadcast sorted
+    position array), so at 100 TB the plan is a single scan with a
+    predicate, exactly how Spark's own InjectRuntimeFilter places
+    bloom filters under shuffle joins. The exact join then runs over
+    |positives| ≈ fp_rate × corpus + |matches| rows against the
+    broadcast benchmark hash set. The position-array encoding (sorted
+    distinct bit indices instead of packed longs) keeps the filter
+    oracle-replayable bit-for-bit; production swaps in
+    bloom_filter_agg/might_contain with the identical plan shape."""
+    docs = load(spark, sf_dir, "documents")
+    g = docs.select("doc_id", hash60(F.col("text")).alias("gh"))
+    bench = g.filter(F.col("doc_id") < 50).select("gh").distinct()
+    bloom = bench.select(
+        F.explode(
+            F.array(F.col("gh") % 512, F.shiftright("gh", 9) % 512)
+        ).alias("p")
+    ).agg(F.array_sort(F.collect_set("p")).alias("bloom"))
+    hits = (
+        g.filter(F.col("doc_id") >= 50)
+        .join(F.broadcast(bloom), how="cross")
+        .filter(
+            F.array_contains("bloom", F.col("gh") % 512)
+            & F.array_contains("bloom", F.shiftright("gh", 9) % 512)
+        )
+        .select("doc_id", "gh")
+    )
+    bset = bench.withColumn("hit", F.lit(True))
+    return hits.join(F.broadcast(bset), "gh", "left").select(
+        "doc_id", F.coalesce("hit", F.lit(False)).alias("contaminated")
+    )
+
+
+@query(
+    "ext_minhash_accuracy",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    h AS (SELECT DISTINCT id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv
+          FROM tok),
+    params AS (SELECT i,
+                      ((1103515245 * i + 12345) % 2147483646) + 1 AS a,
+                      (1103515245 * (i + 100) + 12345) % 2147483647 AS b
+               FROM generate_series(0, 15) g(i)),
+    sig AS (SELECT id, i, min((a * (hv % 2147483647) + b) % 2147483647) AS mh
+            FROM h CROSS JOIN params GROUP BY id, i),
+    bands AS (SELECT id, i // 4 AS band,
+                     md5(string_agg(format('{{:02d}}:{{}}', i, mh), ',' ORDER BY i))
+                     AS band_hash
+              FROM sig GROUP BY id, i // 4),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id),
+    m AS (SELECT c.id_a, c.id_b,
+                 CAST(count(*) FILTER (WHERE sa.mh = sb.mh) AS BIGINT) AS n_match
+          FROM cand c
+          JOIN sig sa ON sa.id = c.id_a
+          JOIN sig sb ON sb.id = c.id_b AND sb.i = sa.i
+          GROUP BY c.id_a, c.id_b),
+    sizes AS (SELECT id, count(*) AS n FROM h GROUP BY id),
+    inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+              FROM cand c
+              JOIN h ta ON ta.id = c.id_a
+              JOIN h tb ON tb.id = c.id_b AND tb.hv = ta.hv
+              GROUP BY c.id_a, c.id_b),
+    acc AS (SELECT m.id_a, m.id_b,
+                   round(n_match / 16.0, 4) AS est_j,
+                   round(coalesce(n_inter, 0)
+                         / CAST(sa.n + sb.n - coalesce(n_inter, 0) AS DOUBLE),
+                         4) AS exact_j
+            FROM m
+            LEFT JOIN inter ON inter.id_a = m.id_a AND inter.id_b = m.id_b
+            JOIN sizes sa ON sa.id = m.id_a
+            JOIN sizes sb ON sb.id = m.id_b)
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           est_j, exact_j, round(abs(est_j - exact_j), 4) AS abs_err
+    FROM acc
+    """,
+)
+def ext_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured MinHash estimator accuracy over the LSH candidate set:
+    for every banded candidate pair, the signature-agreement Jaccard
+    estimate (matching components / 16) side-by-side with the EXACT
+    shingle-set Jaccard, plus the absolute error — the audit that tells
+    an operator whether the configured (K, bands) is tight enough before
+    trusting it on the full corpus (the sketch-accuracy twin of
+    ext_sim_recall's IVF audit).
+
+    Plan shape: the estimate is an in-row comparison of the two 16-wide
+    signature rows joined through the candidate list (candidate-sized,
+    not corpus-sized); the exact side reuses the same
+    candidate-restricted intersection join as verified_jaccard_pairs
+    with threshold 0 — a LEFT join, so signature-collision pairs with
+    ZERO true overlap still surface (est high, exact 0: the false-
+    positive rows this audit exists to expose). Shingle and signature
+    tables are pinned once and shared by every stage. At 100 TB run it
+    on a hash-sample of candidates; the plan is unchanged."""
+    tok = hashed_shingles(
+        load(spark, sf_dir, "documents"), n=3, distinct=False
+    ).localCheckpoint(eager=True)
+    sig = minhash_signatures(tok).localCheckpoint(eager=True)
+    cand = minhash_candidate_pairs(sig)
+    sig_a = sig.select(
+        F.col("id").alias("id_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(16)],
+    )
+    sig_b = sig.select(
+        F.col("id").alias("id_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(16)],
+    )
+    n_match = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(16)
+    )
+    est = (
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select(
+            F.col("id_a").cast("bigint").alias("id_a"),
+            F.col("id_b").cast("bigint").alias("id_b"),
+            F.round(n_match / F.lit(16.0), 4).alias("est_j"),
+        )
+    )
+    exact = verified_jaccard_pairs(cand, tok, threshold=0.0, distinct_sets=True)
+    return (
+        est.join(
+            exact.withColumnRenamed("jaccard", "exact_j"),
+            ["id_a", "id_b"],
+            "left",
+        )
+        .withColumn("exact_j", F.coalesce("exact_j", F.lit(0.0)))
+        .withColumn(
+            "abs_err", F.round(F.abs(F.col("est_j") - F.col("exact_j")), 4)
+        )
+    )
+
+
+@query(
+    "ext_knn_graph",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+               a.label, a.embedding AS va, b.embedding AS vb
+        FROM embeddings a
+        JOIN embeddings b ON b.label = a.label AND b.vec_id <> a.vec_id
+    ),
+    terms AS (
+        SELECT vec_id, neighbor_id, unnest(va)::DOUBLE AS x,
+               unnest(vb)::DOUBLE AS y
+        FROM pairs
+    ),
+    s AS (
+        SELECT vec_id, neighbor_id,
+               sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cs
+        FROM terms GROUP BY vec_id, neighbor_id
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           round(cs, 4) AS cos_sim,
+           CAST(row_number() OVER (
+               PARTITION BY vec_id ORDER BY cs DESC, neighbor_id)
+               AS BIGINT) AS rnk
+    FROM s QUALIFY rnk <= 3
+    """,
+)
+def ext_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked k-nearest-neighbor graph: each vector's top-3 cosine
+    neighbors WITHIN its partition block (here the label column; in
+    production the IVF cell assignment from ext_sim_search_ivf) — the
+    substrate for graph-based dedup, SemDeDup cluster pruning, and
+    diversity-aware data selection, where every vector is
+    simultaneously a query.
+
+    Scale shape: corpus×corpus kNN is only tractable blocked — the
+    self-join is an EQUI-join on the block key, so candidate pairs are
+    Σ_b |b|² instead of N², and with balanced IVF cells (|b| ≈ N/cells)
+    that is N²/cells, tuned by the cell count exactly like
+    ext_dedup_embed's adaptive planes. Norms are computed once per row
+    BEFORE the pair join (linear work) and the in-pair cost is one
+    sequential-fold dot product; the per-vector top-3 compiles to a
+    partial WindowGroupLimit below the final rank window, so full
+    neighbor lists never materialize past each block. The rank orders
+    by UNROUNDED similarity with the neighbor id as total tiebreak —
+    deterministic in both engines."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.col("embedding").alias("v"),
+        snorm(F.col("embedding")).alias("nrm"),
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_id"),
+        "label",
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = a.join(b, "label").filter(
+        F.col("vec_id") != F.col("neighbor_id")
+    )
+    cs = sdot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    scored = pairs.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+        cs.alias("cs"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.round("cs", 4).alias("cos_sim"),
+            "rnk",
+        )
+    )

@@ -91,6 +91,16 @@ _PRIORITY = [
     "ext_dsir_weights",
     "ext_bpe_merges",
     "str_stream_join_outer",
+    "job_scd2",
+    "win_gap_fill_locf",
+    "ext_dedup_substring",
+    "ext_dedup_paragraph",
+    "ext_pmi_collocations",
+    "ext_bloom_prefilter",
+    "agg_funnel",
+    "win_anomaly_zscore",
+    "ext_minhash_accuracy",
+    "ext_knn_graph",
     # re-verify last round's fresh rows next, cheapest first
     "str_session_window",
     "str_stateful",

@@ -1281,3 +1281,361 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("bucket") * 10 + 10).cast("double").alias("hi"),
         "n",
     )
+
+
+@query(
+    "job_scd2",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+        SELECT user_id, ts, event_type,
+               sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS version
+        FROM flagged
+    ),
+    spans AS (
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(version AS BIGINT) AS version,
+               any_value(event_type) AS state,
+               min(ts) AS valid_from,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM runs GROUP BY user_id, version
+    )
+    SELECT user_id, version, state, valid_from,
+           lead(valid_from) OVER (
+               PARTITION BY user_id ORDER BY version) AS valid_to,
+           n_events,
+           lead(valid_from) OVER (
+               PARTITION BY user_id ORDER BY version) IS NULL AS is_current
+    FROM spans
+    """,
+)
+def job_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type-2 history build: collapse each key's
+    event stream into versioned state intervals [valid_from, valid_to)
+    with an is_current flag — the warehouse pattern for turning the
+    reference's per-poll train snapshots into an auditable state history
+    (the batch twin of win_change_points; SURVEY §2.5).
+
+    Plan shape: ONE shuffle on user_id serves every step — the change
+    flag (lag), the running version number (sum over rows-unbounded), the
+    per-run aggregate, and the lead() that closes each interval all
+    declare the same partitioning, so Catalyst plans a single exchange
+    followed by co-partitioned windows and a partial+final aggregate.
+    Rows out = number of state changes, not number of events — at 100 TB
+    the output is the compacted dimension, corpus-sized nothing. The
+    version counter is a running sum of 0/1 change flags with an explicit
+    ROWS frame, so both engines agree on tie handling ((ts, event_id) is
+    a unique sort key)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type"))
+    ).cast("int")
+    runs = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum(chg)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("version"),
+    )
+    spans = runs.groupBy(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("version").cast("bigint").alias("version"),
+    ).agg(
+        F.any_value("event_type").alias("state"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    valid_to = F.lead("valid_from").over(wv)
+    return spans.select(
+        "user_id",
+        "version",
+        "state",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        "n_events",
+        valid_to.isNull().alias("is_current"),
+    )
+
+
+@query(
+    "win_gap_fill_locf",
+    oracle="""
+    WITH obs AS (
+        SELECT user_id, date_trunc('minute', ts) AS minute, value
+        FROM events
+        WHERE user_id < 5
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id, date_trunc('minute', ts)
+            ORDER BY ts DESC, event_id DESC) = 1
+    ),
+    bounds AS (
+        SELECT user_id, min(minute) AS mn, max(minute) AS mx
+        FROM obs GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id, g.minute
+        FROM bounds,
+             unnest(generate_series(mn, mx, INTERVAL 1 MINUTE)) AS g(minute)
+    )
+    SELECT CAST(grid.user_id AS BIGINT) AS user_id, grid.minute,
+           last_value(obs.value IGNORE NULLS) OVER (
+               PARTITION BY grid.user_id ORDER BY grid.minute
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS value_filled,
+           obs.value IS NOT NULL AS is_observed
+    FROM grid LEFT JOIN obs
+      ON obs.user_id = grid.user_id AND obs.minute = grid.minute
+    """,
+)
+def win_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: resample each key's irregular observations
+    onto a per-minute grid and forward-fill missing readings
+    (last-observation-carried-forward) — the hypertable/metrics-rollup
+    primitive behind the reference's minute-cadence poller (a missed poll
+    should read as the previous train state, not a hole;
+    get_train_status.py's 1-minute EventBridge cadence).
+
+    Plan shape: the per-minute collapse, the grid explode, the
+    grid-to-observation join, and the LOCF window ALL partition by
+    user_id, so after the first exchange everything is co-partitioned —
+    the dense grid never reshuffles. Grid size is span × keys
+    (time-bounded, independent of event count): at 100 TB of events the
+    grid for a year × 1M keys is ~0.5T rows, generated in-row by
+    sequence() with zero shuffle, and LOCF is one sequential scan per
+    key. The per-minute dedup takes the LAST event in each minute by
+    (ts, event_id) — an explicit unique tiebreak, not engine arrival
+    order. value flows through untouched (no float arithmetic), so the
+    oracle hash is exact."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    minute = F.date_trunc("minute", F.col("ts"))
+    wdedup = Window.partitionBy("user_id", minute).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    obs = (
+        ev.select("user_id", minute.alias("minute"), "value", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(wdedup))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "minute", "value")
+    )
+    grid = (
+        obs.groupBy("user_id")
+        .agg(F.min("minute").alias("mn"), F.max("minute").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(mn, mx, interval 1 minute)")).alias(
+                "minute"
+            ),
+        )
+    )
+    wfill = (
+        Window.partitionBy("user_id")
+        .orderBy("minute")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, ["user_id", "minute"], "left")
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            "minute",
+            F.last("value", ignorenulls=True).over(wfill).alias("value_filled"),
+            F.col("value").isNotNull().alias("is_observed"),
+        )
+    )
+
+
+@query(
+    "agg_funnel",
+    oracle="""
+    WITH t1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN t1 ON t1.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > t1.t1
+        GROUP BY e.user_id
+    ),
+    t3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN t2 ON t2.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+        GROUP BY e.user_id
+    ),
+    c AS (
+        SELECT (SELECT count(*) FROM t1) AS n1,
+               (SELECT count(*) FROM t2) AS n2,
+               (SELECT count(*) FROM t3) AS n3
+    )
+    SELECT s.step, s.event_type,
+           CAST(CASE s.step WHEN 1 THEN n1 WHEN 2 THEN n2 ELSE n3 END
+                AS BIGINT) AS n_users,
+           round(CASE s.step WHEN 1 THEN n1 WHEN 2 THEN n2 ELSE n3 END
+                 / CAST(n1 AS DOUBLE), 4) AS conv_from_top
+    FROM (VALUES (1, 'view'), (2, 'click'), (3, 'purchase'))
+        AS s(step, event_type)
+    CROSS JOIN c
+    """,
+)
+def agg_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): a user
+    advances a step only with an event STRICTLY AFTER their previous
+    step's first completion — the product-analytics primitive behind
+    every "where do users drop off" dashboard, with real sequencing
+    semantics (a click before the first view does not count).
+
+    Plan shape: each stage is a filter + min() aggregate keyed on
+    user_id, then a join back to the event stream on the SAME key — so
+    after the first exchange on user_id every later join and aggregate
+    is co-partitioned and Catalyst reuses the partitioning instead of
+    re-shuffling the events (the stage tables themselves are
+    per-user-row-sized, tiny relative to events). Three passes over the
+    cached-by-the-OS event scan, zero corpus-sized shuffles beyond the
+    first, and the funnel summary collapses to one row before the 3-row
+    explode. At 100 TB this beats the collect_list-per-user pattern
+    (which materializes every user's full event array) by never holding
+    more than one timestamp per user per stage."""
+    ev = load(spark, sf_dir, "events")
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.join(t1, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.join(t2, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        t1.agg(F.count(F.lit(1)).alias("n1"))
+        .crossJoin(t2.agg(F.count(F.lit(1)).alias("n2")))
+        .crossJoin(t3.agg(F.count(F.lit(1)).alias("n3")))
+    )
+    steps = F.array(
+        F.struct(
+            F.lit(1).alias("step"),
+            F.lit("view").alias("event_type"),
+            F.col("n1").alias("n_users"),
+        ),
+        F.struct(
+            F.lit(2).alias("step"),
+            F.lit("click").alias("event_type"),
+            F.col("n2").alias("n_users"),
+        ),
+        F.struct(
+            F.lit(3).alias("step"),
+            F.lit("purchase").alias("event_type"),
+            F.col("n3").alias("n_users"),
+        ),
+    )
+    return counts.select(F.explode(steps).alias("s"), "n1").select(
+        F.col("s.step").alias("step"),
+        F.col("s.event_type").alias("event_type"),
+        F.col("s.n_users").cast("bigint").alias("n_users"),
+        F.round(
+            F.col("s.n_users") / F.col("n1").cast("double"), 4
+        ).alias("conv_from_top"),
+    )
+
+
+@query(
+    "win_anomaly_zscore",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, ts, event_id,
+               CAST(round(value * 100) AS BIGINT) AS v100
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, ts, event_id, v100,
+               sum(v100) OVER w AS s1,
+               sum(v100 * v100) OVER w AS s2,
+               count(*) OVER w AS n
+        FROM v
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    ),
+    z AS (
+        SELECT user_id, ts, event_id, v100, n,
+               (s2 - s1 * s1 / CAST(n AS DOUBLE)) / (n - 1) AS var,
+               s1 / CAST(n AS DOUBLE) AS mean
+        FROM s WHERE n >= 10
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, ts,
+           CAST(event_id AS BIGINT) AS event_id,
+           round(v100 / 100.0, 2) AS value,
+           round((v100 - mean) / sqrt(var), 4) AS zscore
+    FROM z
+    WHERE var > 0 AND abs((v100 - mean) / sqrt(var)) > 3
+    """,
+)
+def win_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: flag events whose value sits
+    more than 3 sigma from the trailing-20-observation mean of their own
+    key (warm-up guard: at least 10 prior observations) — the metrics
+    anomaly monitor pattern, per train/sensor/user.
+
+    Determinism design: the rolling mean/std are NOT float window
+    aggregates — Spark accumulates sliding frames sequentially while
+    DuckDB uses segment-tree combination, so float sums differ in the
+    low bits and a value hash would catch it. Instead the value is
+    cent-quantized to BIGINT and the window computes INTEGER s1 = Σv,
+    s2 = Σv² (exact in any summation order); mean and variance are then
+    derived from the same closed-form expression on both engines, so
+    the doubles are bit-identical. One shuffle on user_id; the frame is
+    ROWS-bounded so state per key is 21 rows regardless of corpus size.
+    At 100 TB this is the backfill twin of a streaming
+    applyInPandasWithState monitor (str_stateful)."""
+    ev = load(spark, sf_dir, "events")
+    v100 = F.round(F.col("value") * 100).cast("bigint")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    s = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        v100.alias("v100"),
+    ).select(
+        "*",
+        F.sum("v100").over(w).alias("s1"),
+        F.sum(F.col("v100") * F.col("v100")).over(w).alias("s2"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    ).filter(F.col("n") >= 10)
+    mean = F.col("s1") / F.col("n").cast("double")
+    var = (
+        F.col("s2") - F.col("s1") * F.col("s1") / F.col("n").cast("double")
+    ) / (F.col("n") - 1)
+    z = (F.col("v100") - mean) / F.sqrt(var)
+    return (
+        s.withColumn("var", var)
+        .filter((F.col("var") > 0) & (F.abs(z) > 3))
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            "ts",
+            F.col("event_id").cast("bigint").alias("event_id"),
+            F.round(F.col("v100") / 100.0, 2).alias("value"),
+            F.round(z, 4).alias("zscore"),
+        )
+    )
