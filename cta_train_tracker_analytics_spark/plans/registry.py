@@ -101,6 +101,8 @@ _PRIORITY = [
     "win_anomaly_zscore",
     "ext_minhash_accuracy",
     "ext_knn_graph",
+    "src_xml",
+    "proj_variant_json",
     # re-verify last round's fresh rows next, cheapest first
     "str_session_window",
     "str_stateful",

@@ -1405,10 +1405,13 @@ def win_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     should read as the previous train state, not a hole;
     get_train_status.py's 1-minute EventBridge cadence).
 
-    Plan shape: the per-minute collapse, the grid explode, the
-    grid-to-observation join, and the LOCF window ALL partition by
-    user_id, so after the first exchange everything is co-partitioned —
-    the dense grid never reshuffles. Grid size is span × keys
+    Plan shape: three key-aligned exchanges, each on a user_id-prefixed
+    key — the per-minute dedup window on (user_id, minute), the bounds
+    aggregate on user_id, and the grid-to-observation join feeding the
+    LOCF window — all partial-aggregated or group-limited (the dedup
+    row_number compiles to WindowGroupLimit) before they move. The dense
+    grid itself is generated in-row by sequence() and flows straight
+    into its join/window partitioning. Grid size is span × keys
     (time-bounded, independent of event count): at 100 TB of events the
     grid for a year × 1M keys is ~0.5T rows, generated in-row by
     sequence() with zero shuffle, and LOCF is one sequential scan per

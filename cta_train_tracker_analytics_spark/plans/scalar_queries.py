@@ -343,3 +343,49 @@ def f_geo_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.round(haversine_km(lat, lon, F.lit(41.8781), F.lit(-87.6298)), 4).alias("dist_km"),
     )
+
+
+@query(
+    "proj_variant_json",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           round(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                 / CAST(count(*) AS DOUBLE), 4) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def proj_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics over Spark 4's VARIANT type: the JSON
+    props payload is parsed ONCE into a binary variant (``parse_json``),
+    fields are extracted with typed path access
+    (``try_variant_get($.k)``), and the extracted metric aggregates per
+    event type — the open-schema pattern for event payloads whose shape
+    drifts faster than any StructType (the reference's API responses
+    would land exactly like this before schema contract hardening;
+    f_from_json is the closed-schema twin).
+
+    Scale shape: parse + extract are map-side scalar expressions over
+    the binary variant encoding (no shredding join, no second parse per
+    path at this single-path shape), then ONE partial+final aggregate
+    keyed on event_type. avg is derived explicitly from the exact
+    integer sum and count so both engines divide the same integers.
+    try_variant_get (not variant_get) makes malformed payloads NULL
+    instead of failing the job — at 100 TB there is always one bad
+    record."""
+    ev = load(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.round(
+                F.sum("k") / F.count(F.lit(1)).cast("double"), 4
+            ).alias("avg_k"),
+        )
+    )

@@ -419,3 +419,88 @@ def test_bpe_merges_takes_ordered(spark):
     p = plan(spark, "ext_bpe_merges")
     assert "TakeOrderedAndProject" in p
     assert "Join" not in p
+
+
+def test_scd2_single_exchange(spark):
+    """The whole SCD2 build — change flag, version sum, run aggregate,
+    interval lead — must share ONE hash exchange on user_id."""
+    p = plan(spark, "job_scd2")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_anomaly_zscore_single_exchange(spark):
+    """Integer rolling sums + the closed-form z all ride one window
+    exchange; no joins anywhere."""
+    p = plan(spark, "win_anomaly_zscore")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p
+
+
+def test_gap_fill_exchanges_are_key_aligned(spark):
+    """Dedup-window, bounds-agg, and grid-join partitionings only —
+    the generated grid must not add extra shuffles, and the per-minute
+    top-1 dedup must compile to a group-limit, not a full sort+filter."""
+    p = plan(spark, "win_gap_fill_locf")
+    assert p.count("Exchange hashpartitioning") <= 4
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p
+
+
+def test_funnel_no_cartesian_and_bounded_shuffles(spark):
+    """Stage joins key on user_id; the only nested-loop joins are the
+    1-row count combinations."""
+    p = plan(spark, "agg_funnel")
+    assert "CartesianProduct" not in p
+    assert p.count("Exchange hashpartitioning") <= 6
+
+
+def test_substring_dedup_prunes_and_bounds_shuffles(spark):
+    """Gram stream shuffles only for the frequency aggregate and the
+    per-doc rollup; the scan reads just (doc_id, text)."""
+    p = plan(spark, "ext_dedup_substring")
+    assert p.count("Exchange hashpartitioning") <= 3
+    assert "CartesianProduct" not in p
+    schemas = [
+        seg.splitlines()[0] for seg in p.split("ReadSchema: ")[1:]
+    ]
+    assert any("text" in s for s in schemas)
+    assert all("source" not in s and "lang" not in s for s in schemas)
+
+
+def test_paragraph_dedup_bounds_shuffles(spark):
+    p = plan(spark, "ext_dedup_paragraph")
+    assert p.count("Exchange hashpartitioning") <= 3
+    assert "CartesianProduct" not in p
+
+
+def test_pmi_takes_ordered_topk(spark):
+    """The top-20 cut must be TakeOrderedAndProject over the vocabulary-
+    bounded scored bigrams — never a global sort."""
+    p = plan(spark, "ext_pmi_collocations")
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
+def test_bloom_prefilter_corpus_never_shuffles(spark):
+    """The corpus side is a scan + broadcast-predicate filter: every hash
+    exchange in the plan belongs to the benchmark-side distinct (tiny);
+    the bloom itself arrives via a broadcast nested-loop of ONE row."""
+    p = plan(spark, "ext_bloom_prefilter")
+    assert p.count("BroadcastNestedLoopJoin") == 1
+    assert "SortMergeJoin" not in p
+    assert p.count("Exchange hashpartitioning") <= 2
+
+
+def test_knn_graph_block_join_is_equi_with_group_limit(spark):
+    """Blocked kNN: the self-join must be an equi-join on the block key
+    (never a cartesian), and the per-vector top-3 must compile to
+    WindowGroupLimit so full neighbor lists never materialize."""
+    p = plan(spark, "ext_knn_graph")
+    assert "CartesianProduct" not in p
+    assert "WindowGroupLimit" in p
+
+
+def test_minhash_accuracy_no_cartesian(spark):
+    p = plan(spark, "ext_minhash_accuracy")
+    assert "CartesianProduct" not in p
