@@ -101,6 +101,15 @@ HEADLINE = [
     "ext_pmi_collocations",
     "ext_minhash_accuracy",
     "ext_knn_graph",
+    "sql_ship_priority",
+    "sql_local_supplier_volume",
+    "sql_top_returned_customers",
+    "agg_heavy_hitters",
+    "snk_zorder",
+    "win_ewma",
+    "win_rolling_median",
+    "join_spatial_grid",
+    "ext_pagerank",
 ]
 # NOTE: the headline set GREW in round 5 (salted join, pivot, quantile and
 # pandas-UDAF aggregates, multi-probe IVF) — compare totals across rounds

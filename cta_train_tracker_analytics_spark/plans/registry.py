@@ -103,6 +103,22 @@ _PRIORITY = [
     "ext_knn_graph",
     "src_xml",
     "proj_variant_json",
+    "sql_ship_priority",
+    "sql_order_priority",
+    "sql_local_supplier_volume",
+    "sql_top_returned_customers",
+    "agg_heavy_hitters",
+    "snk_zorder",
+    "job_dq_checks",
+    "win_ewma",
+    "win_rolling_median",
+    "join_spatial_grid",
+    "ext_pagerank",
+    "win_cumulative_distinct",
+    "agg_attribution_last_touch",
+    "job_gdpr_cascade",
+    "sql_market_share",
+    "agg_rollup",
     # re-verify last round's fresh rows next, cheapest first
     "str_session_window",
     "str_stateful",
@@ -164,6 +180,7 @@ def _ensure_loaded() -> None:
     from . import streaming_queries  # noqa: F401
     from . import io_queries  # noqa: F401
     from . import llm  # noqa: F401
+    from . import warehouse  # noqa: F401
 
 
 def _ordered() -> dict[str, QuerySpec]:

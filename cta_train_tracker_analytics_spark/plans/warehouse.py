@@ -1,0 +1,1001 @@
+"""Warehouse-grade analytic queries: classic decision-support join/agg
+shapes (TPC-H-like Q3/Q4/Q5/Q10 forms over the synthetic star schema),
+exact distributed heavy hitters, Z-order layout clustering, a data-quality
+expectations job, weighted/median rolling windows, grid-bucketed spatial
+self-join, and fixed-iteration PageRank.
+
+These extend the reference's analytics surface (the reference computes
+daily train-arrival rollups — get_train_status.py's flatten + the Athena
+queries implied by its partitioned S3 layout) to the query shapes a
+warehouse user expects from the same star schema, each with a DuckDB
+oracle and an explicit 100 TB plan argument.
+
+Conventions follow plans/relational.py: identical aliases both sides,
+BIGINT casts for integer aggregates, round(x, k) on float outputs, unique
+sort tiebreakers wherever order matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..data import load
+from ..operators.layout import morton_key, morton_sql
+from .registry import query
+
+# --------------------------------------------------------------------------
+# classic decision-support shapes
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sql_ship_priority",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def sql_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unshipped-orders revenue priority (TPC-H Q3 shape): segment-filtered
+    customers restrict orders, date-filtered lineitems aggregate per order,
+    top-10 by revenue.
+
+    Scale: the segment filter keeps ~1/5 of customers — still too big to
+    broadcast at 100 TB, so customer⋈orders shuffles on custkey while
+    lineitem⋈orders shuffles on orderkey; both filters are pushed to the
+    parquet scans (date + segment in PushedFilters), and the top-10 is
+    TakeOrderedAndProject — per-partition heaps, no global sort."""
+    cutoff = F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    line = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        line.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "sql_order_priority",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority checking (TPC-H Q4 shape): count orders per priority
+    that have at least one returned lineitem, via EXISTS → left-semi join.
+
+    Scale: the semi join shuffles both sides on orderkey but emits each
+    order at most once (no fanout, no post-join dedup); lineitem is
+    pre-filtered to returnflag='R' at the scan, shrinking the probe side
+    ~3× before the shuffle. The final agg has 5 groups — partial map-side
+    agg collapses it to one row per task."""
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp_ntz"))
+    )
+    returned = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+    )
+
+
+@query(
+    "sql_local_supplier_volume",
+    oracle="""
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def sql_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier volume (TPC-H Q5 shape): revenue where customer and
+    supplier share a nation inside one region — the classic 6-table join
+    with a non-key equality (c_nationkey = s_nationkey) folded into the
+    supplier join.
+
+    Scale: nation⋈region is broadcast (tiny dims) and prunes suppliers to
+    one region BEFORE the big joins; supplier is then small enough to
+    broadcast into lineitem, so the only shuffles are lineitem⋈orders and
+    orders⋈customer on their keys. The nationkey equality rides along as a
+    join condition, not a post-filter, so mismatched rows never leave the
+    join."""
+    ntz = lambda s: F.lit(s).cast("timestamp_ntz")  # noqa: E731
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= ntz("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < ntz("1998-01-01 00:00:00"))
+    )
+    cust = load(spark, sf_dir, "customer")
+    line = load(spark, sf_dir, "lineitem")
+    return (
+        line.join(
+            F.broadcast(supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            cust,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "sql_top_returned_customers",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(c_acctbal, 2) AS acctbal
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name, c_acctbal
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def sql_top_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item reporting (TPC-H Q10 shape): top-20 customers by
+    revenue lost to returns in a quarter.
+
+    Scale: returnflag + date filters push to both scans; lineitem⋈orders
+    shuffles on orderkey, then ⋈customer on custkey; nation broadcasts.
+    Grouping carries the customer attributes in the key (cheaper than a
+    post-agg re-join to customer at this group count — the group key IS
+    roughly one row per customer). Top-20 is TakeOrderedAndProject."""
+    ntz = lambda s: F.lit(s).cast("timestamp_ntz")  # noqa: E731
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= ntz("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < ntz("1996-07-01 00:00:00"))
+    )
+    line = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        line.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            "revenue",
+            F.round(F.col("c_acctbal"), 2).alias("acctbal"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# exact distributed heavy hitters (Misra-Gries candidates + exact verify)
+# --------------------------------------------------------------------------
+
+_HH_K = 64  # keys with freq > N/_HH_K are guaranteed heavy hitters
+
+
+@query(
+    "agg_heavy_hitters",
+    oracle=f"""
+    SELECT CAST(least(user_id, 20) AS BIGINT) AS hot_key,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events
+    GROUP BY least(user_id, 20)
+    HAVING count(*) * {_HH_K} > (SELECT count(*) FROM events)
+    """,
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters (keys with frequency > N/64) in two passes:
+    (1) a per-partition Misra-Gries summary over ``mapInPandas`` emits a
+    small candidate set — each Arrow batch's exact counts are MERGED into
+    ≤64 running counters with the mergeable-summaries trim (add counts,
+    subtract the 65th-largest, drop ≤0; Agarwal et al., "Mergeable
+    Summaries", PODS'12), which preserves the MG guarantee that any key
+    with partition frequency > n_p/64 survives; a globally heavy key is
+    locally heavy in ≥1 partition by pigeonhole, so candidates ⊇ answers.
+    (2) one exact count restricted to candidates (broadcast semi join)
+    removes false positives. The demo key collapses users ≥20 into one hot
+    key so candidate pruning is non-trivial.
+
+    Scale: this is how you find hot keys in 100 TB without a full groupBy
+    of every distinct key — pass 1 moves only 64 counters per partition
+    (not per-key rows) and is vectorized (pandas value_counts per Arrow
+    batch, never a per-row Python loop); pass 2 shuffles only rows whose
+    key is one of the few candidates. Contrast with the oracle, which
+    pays a full all-keys aggregate."""
+    import pandas as pd
+
+    events = load(spark, sf_dir, "events").select(
+        F.least(F.col("user_id"), F.lit(20)).cast("bigint").alias("hot_key")
+    )
+
+    def mg_partition(batches):
+        counters = pd.Series(dtype="int64")
+        for pdf in batches:
+            counters = counters.add(pdf["hot_key"].value_counts(), fill_value=0)
+            if len(counters) > _HH_K:
+                # mergeable-summaries trim: subtracting the (K+1)-th largest
+                # count from every counter and dropping non-positives is the
+                # batch equivalent of MG's decrement-all loop.
+                offset = counters.nlargest(_HH_K + 1).iloc[-1]
+                counters = counters[counters > offset] - offset
+        yield pd.DataFrame({"hot_key": counters.index.astype("int64")})
+
+    candidates = events.mapInPandas(mg_partition, "hot_key bigint").distinct()
+    total = events.count()
+    return (
+        events.join(F.broadcast(candidates), "hot_key", "left_semi")
+        .groupBy("hot_key")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .filter(F.col("cnt") * _HH_K > F.lit(total))
+        .select(F.col("hot_key").cast("bigint"), "cnt")
+    )
+
+
+# --------------------------------------------------------------------------
+# Z-order clustered sink
+# --------------------------------------------------------------------------
+
+_Z_SQL = morton_sql(
+    "o_custkey % 1024",
+    "(CAST(o_orderdate AS DATE) - DATE '1970-01-01') % 1024",
+)
+
+
+@query(
+    "snk_zorder",
+    oracle=f"""
+    WITH z AS (
+      SELECT o_orderkey, o_custkey, o_orderdate,
+             {_Z_SQL} AS zkey
+      FROM orders
+    )
+    SELECT CAST(zkey // 65536 AS BIGINT) AS zbucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(o_custkey) AS BIGINT) AS min_custkey,
+           CAST(max(o_custkey) AS BIGINT) AS max_custkey,
+           CAST(min(zkey) AS BIGINT) AS min_zkey,
+           CAST(max(zkey) AS BIGINT) AS max_zkey
+    FROM z GROUP BY zkey // 65536
+    """,
+)
+def snk_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order-clustered parquet sink: orders written range-partitioned and
+    sorted by a Morton key interleaving (custkey % 1024) with the epoch-day
+    of o_orderdate, then read back and summarized per Z-range bucket.
+
+    Scale: one-dimensional sort layouts (snk_parquet_sorted) prune scans
+    for ONE predicate column; the Morton interleave clusters BOTH custkey
+    and date, so file min/max stats prune either predicate — the layout
+    behind OPTIMIZE ZORDER in lakehouse table formats.
+    ``repartitionByRange(zkey)`` is one range-exchange (sampled bounds,
+    balanced files regardless of key skew) and ``sortWithinPartitions``
+    spills, never OOMs. The read-back aggregate proves the round trip and
+    the bucket spans; the key itself is add/shift arithmetic inside
+    whole-stage codegen (operators/layout.py — same loop renders the
+    oracle SQL)."""
+    from .io_queries import _scratch
+
+    path = _scratch("snk_zorder", sf_dir)
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "zkey",
+        morton_key(
+            F.col("o_custkey") % 1024,
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+            % 1024,
+        ),
+    )
+    (
+        orders.repartitionByRange(16, "zkey")
+        .sortWithinPartitions("zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy((F.col("zkey") / 65536).cast("bigint").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("o_custkey").cast("bigint").alias("min_custkey"),
+            F.max("o_custkey").cast("bigint").alias("max_custkey"),
+            F.min("zkey").cast("bigint").alias("min_zkey"),
+            F.max("zkey").cast("bigint").alias("max_zkey"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# data-quality expectations job
+# --------------------------------------------------------------------------
+
+
+@query(
+    "job_dq_checks",
+    oracle="""
+    SELECT 'orders_fk_customer' AS check_name,
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+               AS violations
+    UNION ALL
+    SELECT 'customer_pk_unique',
+           CAST((SELECT coalesce(sum(cnt - 1), 0) FROM
+                 (SELECT count(*) AS cnt FROM customer GROUP BY c_custkey
+                  HAVING count(*) > 1)) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_qty_range',
+           CAST((SELECT count(*) FROM lineitem
+                 WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT)
+    UNION ALL
+    SELECT 'events_user_not_null',
+           CAST((SELECT count(*) FROM events WHERE user_id IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 'documents_text_nonempty',
+           CAST((SELECT count(*) FROM documents
+                 WHERE text IS NULL OR length(text) = 0) AS BIGINT)
+    """,
+)
+def job_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations report: referential integrity (orders →
+    customer), primary-key uniqueness, value-range, and not-null/non-empty
+    checks, one row per expectation with its violation count — the
+    Deequ/Great-Expectations job shape as a single declarative plan.
+
+    Scale: each check is scan + aggregate with its predicate pushed down;
+    the FK check is a broadcast anti join (customer keys broadcast — at
+    100 TB swap for a shuffled anti join, same code path minus the hint).
+    The five single-row aggregates union cheaply; Spark runs the branches
+    as independent stages, so wall time is the slowest scan, not the sum."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    line = load(spark, sf_dir, "lineitem")
+    events = load(spark, sf_dir, "events")
+    docs = load(spark, sf_dir, "documents")
+
+    def check(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).cast("bigint").alias("violations"),
+        )
+
+    fk = check(
+        "orders_fk_customer",
+        orders.join(
+            F.broadcast(cust.select("c_custkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        ),
+    )
+    pk = cust.groupBy("c_custkey").agg(F.count(F.lit(1)).alias("cnt")).filter(
+        F.col("cnt") > 1
+    ).select(
+        F.lit("customer_pk_unique").alias("check_name"),
+        F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0)).cast("bigint").alias("violations"),
+    )
+    qty = check(
+        "lineitem_qty_range",
+        line.filter((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)),
+    )
+    nn = check("events_user_not_null", events.filter(F.col("user_id").isNull()))
+    ne = check(
+        "documents_text_nonempty",
+        docs.filter(F.col("text").isNull() | (F.length("text") == 0)),
+    )
+    return fk.unionAll(pk).unionAll(qty).unionAll(nn).unionAll(ne)
+
+
+# --------------------------------------------------------------------------
+# weighted / median rolling windows
+# --------------------------------------------------------------------------
+
+
+@query(
+    "win_ewma",
+    oracle="""
+    WITH t AS (
+      SELECT event_id, user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT cur.user_id, cur.event_id,
+           round(sum(past.value * power(0.8, cur.rn - past.rn))
+                 / ((1 - power(0.8, count(*))) / 0.2), 6) AS ewma
+    FROM t cur
+    JOIN t past ON past.user_id = cur.user_id
+               AND past.rn BETWEEN cur.rn - 15 AND cur.rn
+    GROUP BY cur.user_id, cur.event_id
+    """,
+)
+def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (α decay 0.8, last-16 frame)
+    per user — the smoothing curve dashboards draw over noisy event values.
+    The frame's values are gathered with ``collect_list`` over a bounded
+    ROWS window and reduced with JVM-side higher-order functions
+    (transform-with-index for the decay weights, aggregate for the sum);
+    the normalizer is the closed-form geometric sum, so no second pass.
+
+    Scale: one shuffle on user_id, bounded 16-element arrays per row (no
+    unbounded state), all expression-level — no Python. The bounded frame
+    is what makes EWMA window-expressible at all: the infinite-history
+    recurrence is inherently sequential, but a 16-term tail approximates
+    it to 0.8^16 ≈ 2.8e-2 relative and keeps the operator embarrassingly
+    parallel. (Oracle replays the same finite sum via a bounded self-join
+    on row numbers.)"""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-15, 0)
+    vals = F.collect_list("value").over(w)
+    events = load(spark, sf_dir, "events").withColumn("frame", vals)
+    n = F.size("frame")
+    weighted = F.transform(
+        "frame", lambda x, i: x * F.pow(F.lit(0.8), (n - 1 - i).cast("double"))
+    )
+    num = F.aggregate(weighted, F.lit(0.0), lambda acc, x: acc + x)
+    denom = (F.lit(1.0) - F.pow(F.lit(0.8), n.cast("double"))) / F.lit(0.2)
+    return events.select(
+        "user_id", "event_id", F.round(num / denom, 6).alias("ewma")
+    )
+
+
+@query(
+    "win_rolling_median",
+    oracle="""
+    SELECT user_id, event_id,
+           round(quantile_disc(value, 0.5) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 14 PRECEDING AND CURRENT ROW), 6) AS rolling_median
+    FROM events
+    """,
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median (lower median, last-15 frame) per user. Spark
+    has no exact-percentile window aggregate, so the frame is gathered
+    with ``collect_list`` over a bounded ROWS window, sorted with
+    ``array_sort``, and indexed at ceil(n/2) — all JVM expression-level.
+    Lower-median convention matches DuckDB's ``quantile_disc(0.5)``
+    (element at 1-based index (n+1)÷2 of the sorted frame).
+
+    Scale: one shuffle on user_id; per-row cost O(w log w) on a bounded
+    w=15 frame — constant per row, linear overall. The bounded frame is
+    the scale contract: an UNBOUNDED PRECEDING exact median would hold
+    whole-partition state; a fixed window holds 15 values."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-14, 0)
+    events = load(spark, sf_dir, "events").withColumn(
+        "frame", F.array_sort(F.collect_list("value").over(w))
+    )
+    mid = F.floor((F.size("frame") + 1) / 2).cast("int")
+    return events.select(
+        "user_id",
+        "event_id",
+        F.round(F.element_at("frame", mid), 6).alias("rolling_median"),
+    )
+
+
+# --------------------------------------------------------------------------
+# grid-bucketed spatial self-join
+# --------------------------------------------------------------------------
+
+_EARTH_KM = 6371.0
+_RADIUS_KM = 100.0
+
+
+@query(
+    "join_spatial_grid",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey AS k,
+             ((c_custkey * 37) % 240) / 20.0 - 6.0  AS lat,
+             ((c_custkey * 73) % 480) / 20.0 - 12.0 AS lon
+      FROM customer
+    )
+    SELECT a.k AS custkey_a, b.k AS custkey_b,
+           round(2 * {_EARTH_KM} * asin(sqrt(
+               power(sin(radians(b.lat - a.lat) / 2), 2)
+               + cos(radians(a.lat)) * cos(radians(b.lat))
+                 * power(sin(radians(b.lon - a.lon) / 2), 2))), 3) AS dist_km
+    FROM pts a JOIN pts b ON a.k < b.k
+    WHERE 2 * {_EARTH_KM} * asin(sqrt(
+               power(sin(radians(b.lat - a.lat) / 2), 2)
+               + cos(radians(a.lat)) * cos(radians(b.lat))
+                 * power(sin(radians(b.lon - a.lon) / 2), 2))) <= {_RADIUS_KM}
+    """,
+)
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All point pairs within 100 km (haversine), found WITHOUT the
+    all-pairs join the oracle runs: each point is assigned a 1°×1° grid
+    cell, replicated to its 3×3 cell neighborhood on the left side, and
+    equi-joined to right-side home cells; haversine verifies only
+    co-located candidates. Complete because 100 km spans < 1 cell in both
+    axes over the demo extent (lat ∈ [-6,6): 0.90° lat, ≤ 0.91° lon at
+    cos 6°) — any qualifying pair shares adjacent cells. Coordinates are
+    derived deterministically from c_custkey (the synthetic tables carry
+    no geo columns); the derivation is integer-exact on both sides.
+
+    Scale: the oracle's all-pairs join is O(N²) and impossible at 100 TB;
+    the grid join shuffles on cell id — 9× replication of one side, then
+    candidates only. Skewed cells (urban density) are the known hazard:
+    mitigate with finer cells per dense region or AQE skew-join, same
+    code. The ka<kb filter emits each unordered pair exactly once (a
+    point's 9 replicas land in 9 distinct cells, so each candidate pair
+    meets in exactly one cell)."""
+    pts = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        (((F.col("c_custkey") * 37) % 240) / 20.0 - 6.0).alias("lat"),
+        (((F.col("c_custkey") * 73) % 480) / 20.0 - 12.0).alias("lon"),
+    )
+    cell = lambda df: df.withColumn("clat", F.floor("lat")).withColumn(  # noqa: E731
+        "clon", F.floor("lon")
+    )
+    right = cell(pts).select(
+        F.col("k").alias("kb"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        "clat",
+        "clon",
+    )
+    offsets = F.expr(
+        "explode(flatten(transform(sequence(-1,1), dy -> "
+        "transform(sequence(-1,1), dx -> struct(dy, dx)))))"
+    )
+    left = (
+        cell(pts)
+        .select(
+            F.col("k").alias("ka"),
+            F.col("lat").alias("lat_a"),
+            F.col("lon").alias("lon_a"),
+            "clat",
+            "clon",
+            offsets.alias("o"),
+        )
+        .select(
+            "ka",
+            "lat_a",
+            "lon_a",
+            (F.col("clat") + F.col("o.dy")).alias("clat"),
+            (F.col("clon") + F.col("o.dx")).alias("clon"),
+        )
+    )
+    dlat = F.radians(F.col("lat_b") - F.col("lat_a")) / 2
+    dlon = F.radians(F.col("lon_b") - F.col("lon_a")) / 2
+    dist = (
+        2
+        * _EARTH_KM
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(dlat), 2)
+                + F.cos(F.radians("lat_a"))
+                * F.cos(F.radians("lat_b"))
+                * F.pow(F.sin(dlon), 2)
+            )
+        )
+    )
+    return (
+        left.join(right, ["clat", "clon"])
+        .filter(F.col("ka") < F.col("kb"))
+        .withColumn("dist_km", dist)
+        .filter(F.col("dist_km") <= _RADIUS_KM)
+        .select(
+            F.col("ka").alias("custkey_a"),
+            F.col("kb").alias("custkey_b"),
+            F.round("dist_km", 3).alias("dist_km"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# fixed-iteration PageRank
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ext_pagerank",
+    oracle="""
+    WITH p AS (SELECT count(*) AS n FROM documents),
+    edges AS (
+      SELECT doc_id AS src, (doc_id * 3 + 1) % n AS dst FROM documents, p
+      UNION ALL SELECT doc_id, (doc_id * 7 + 2) % n FROM documents, p
+      UNION ALL SELECT doc_id, (doc_id * 11 + 3) % n FROM documents, p
+    ),
+    r0 AS (SELECT doc_id AS node, 1.0 / n AS r FROM documents, p),
+    r1 AS (SELECT d.doc_id AS node, 0.15 / p.n + 0.85 * coalesce(sum(r0.r / 3), 0) AS r
+           FROM documents d CROSS JOIN p
+           LEFT JOIN edges e ON e.dst = d.doc_id
+           LEFT JOIN r0 ON r0.node = e.src
+           GROUP BY d.doc_id, p.n),
+    r2 AS (SELECT d.doc_id AS node, 0.15 / p.n + 0.85 * coalesce(sum(r1.r / 3), 0) AS r
+           FROM documents d CROSS JOIN p
+           LEFT JOIN edges e ON e.dst = d.doc_id
+           LEFT JOIN r1 ON r1.node = e.src
+           GROUP BY d.doc_id, p.n),
+    r3 AS (SELECT d.doc_id AS node, 0.15 / p.n + 0.85 * coalesce(sum(r2.r / 3), 0) AS r
+           FROM documents d CROSS JOIN p
+           LEFT JOIN edges e ON e.dst = d.doc_id
+           LEFT JOIN r2 ON r2.node = e.src
+           GROUP BY d.doc_id, p.n)
+    SELECT node AS doc_id, round(r, 9) AS pagerank FROM r3
+    """,
+)
+def ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 3 synchronous iterations) over a
+    deterministic 3-regular link graph on documents (edges doc → (a·doc+b)
+    mod N for three affine maps — the tables carry no link column, so the
+    graph is derived, like join_spatial_grid's coordinates). Every node
+    has out-degree exactly 3, so contributions are rank/3 with no dangling
+    mass and no degree join.
+
+    Scale: the canonical iterate-as-joins shape — edges materialize once
+    and only ranks (one row per node) move per iteration: join ranks to
+    edges on src, shuffle contributions on dst, left-join back to nodes
+    for rank-0 sinks. ``localCheckpoint`` truncates lineage each round so
+    iteration N's plan doesn't replay rounds 1..N-1 (the same pattern as
+    operators/dedup.py connected components). 3 iterations is the demo
+    budget; the loop is O(E) per round regardless of round count."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                (F.col("doc_id") * 3 + 1) % n,
+                (F.col("doc_id") * 7 + 2) % n,
+                (F.col("doc_id") * 11 + 3) % n,
+            )
+        ).alias("dst"),
+    ).localCheckpoint(eager=False)
+    ranks = docs.select(F.col("doc_id").alias("node"), F.lit(1.0 / n).alias("r"))
+    for _ in range(3):
+        contribs = (
+            edges.join(ranks, F.col("src") == F.col("node"))
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") / 3).alias("c"))
+        )
+        ranks = (
+            docs.join(contribs, F.col("doc_id") == F.col("dst"), "left")
+            .select(
+                F.col("doc_id").alias("node"),
+                (F.lit(0.15 / n) + 0.85 * F.coalesce(F.col("c"), F.lit(0.0))).alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(F.col("node").alias("doc_id"), F.round("r", 9).alias("pagerank"))
+
+
+# --------------------------------------------------------------------------
+# cumulative distinct / attribution / cascade delete / market share
+# --------------------------------------------------------------------------
+
+
+@query(
+    "win_cumulative_distinct",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN row_number() OVER (
+                 PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_seen
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(sum(first_seen) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS distinct_types_so_far
+    FROM flagged
+    """,
+)
+def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) per user — how many distinct event types a
+    user has produced up to each event. Exact distinct is not a windowable
+    aggregate, so it is decomposed into two windowables: flag each (user,
+    type)'s first occurrence with row_number, then running-sum the flags
+    per user. Both passes are exact and deterministic (event_id tiebreak).
+
+    Scale: two window exchanges — (user_id, event_type) for the flag, then
+    user_id for the running sum. That second shuffle is unavoidable in
+    general (the keys differ), but state per row is one bit; contrast a
+    naive collect_set-over-window, which would carry the whole set per
+    row. At 100 TB both windows partition across executors by key."""
+    events = load(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        events.withColumn(
+            "first_seen",
+            F.when(F.row_number().over(w_first) == 1, F.lit(1)).otherwise(F.lit(0)),
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.sum("first_seen").over(w_run).cast("bigint").alias("distinct_types_so_far"),
+        )
+    )
+
+
+@query(
+    "agg_attribution_last_touch",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type IN ('click', 'view') THEN event_type END AS touch_type,
+             CASE WHEN event_type IN ('click', 'view') THEN ts END AS touch_ts,
+             event_type
+      FROM events
+    ),
+    enriched AS (
+      SELECT event_type, ts,
+             last_value(touch_type IGNORE NULLS) OVER w AS lt_type,
+             last_value(touch_ts IGNORE NULLS) OVER w AS lt_ts
+      FROM tagged
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT coalesce(CASE WHEN lt_ts >= ts - INTERVAL 7 DAY THEN lt_type END,
+                    'unattributed') AS channel,
+           CAST(count(*) AS BIGINT) AS purchases
+    FROM enriched
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def agg_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase is credited to the
+    user's most recent click/view within 7 days, else 'unattributed' —
+    computed with the union-and-sweep trick: ONE window over the unified
+    event stream carries the last non-null touch forward
+    (``last_value IGNORE NULLS``), so no purchases⋈touches join exists at
+    all.
+
+    Scale: the join formulation shuffles both sides and explodes on
+    (purchase × candidate-touch) before picking the max; the sweep is one
+    exchange on user_id and one pass — the same shape as join_asof's
+    union mode (operators/joins.py), applied to attribution. Ties at
+    identical ts resolve by event_id order on both sides."""
+    events = load(spark, sf_dir, "events")
+    is_touch = F.col("event_type").isin("click", "view")
+    tagged = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(is_touch, F.col("event_type")).alias("touch_type"),
+        F.when(is_touch, F.col("ts")).alias("touch_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    enriched = tagged.select(
+        "event_type",
+        "ts",
+        F.last("touch_type", ignorenulls=True).over(w).alias("lt_type"),
+        F.last("touch_ts", ignorenulls=True).over(w).alias("lt_ts"),
+    )
+    return (
+        enriched.filter(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce(
+                F.when(
+                    F.col("lt_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS"),
+                    F.col("lt_type"),
+                ),
+                F.lit("unattributed"),
+            ).alias("channel")
+        )
+        .groupBy("channel")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("purchases"))
+    )
+
+
+@query(
+    "job_gdpr_cascade",
+    oracle="""
+    WITH del_cust AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+    del_orders AS (SELECT o_orderkey FROM orders
+                   WHERE o_custkey IN (SELECT c_custkey FROM del_cust))
+    SELECT 'customer' AS table_name,
+           CAST((SELECT count(*) FROM del_cust) AS BIGINT) AS deleted,
+           CAST((SELECT count(*) FROM customer) -
+                (SELECT count(*) FROM del_cust) AS BIGINT) AS retained
+    UNION ALL
+    SELECT 'orders',
+           CAST((SELECT count(*) FROM del_orders) AS BIGINT),
+           CAST((SELECT count(*) FROM orders) -
+                (SELECT count(*) FROM del_orders) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem',
+           CAST((SELECT count(*) FROM lineitem
+                 WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders)) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem
+                 WHERE l_orderkey NOT IN (SELECT o_orderkey FROM del_orders)) AS BIGINT)
+    """,
+)
+def job_gdpr_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure cascade: a deterministic deletion list of customers
+    (custkey % 97 = 0 stands in for the request queue) propagates through
+    the foreign-key chain customer → orders → lineitem; the report counts
+    deleted vs retained rows per table — the audit artifact a deletion job
+    must produce.
+
+    Scale: the deletion list is tiny relative to each fact table, so every
+    cascade step is a BROADCAST semi/anti join against the accumulated key
+    set (customer keys → order keys); no fact table ever shuffles. The
+    order-key set is itself derived distributed and only collapses to a
+    broadcast at the join. At 100 TB this is the erasure pattern for
+    immutable parquet: compute retained sets, rewrite affected partitions."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    line = load(spark, sf_dir, "lineitem")
+    del_cust = cust.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    del_orders = orders.join(
+        F.broadcast(del_cust), F.col("o_custkey") == F.col("c_custkey"), "left_semi"
+    ).select("o_orderkey")
+
+    def report(name: str, deleted: DataFrame, total: DataFrame) -> DataFrame:
+        d = deleted.select(F.count(F.lit(1)).alias("deleted"))
+        t = total.select(F.count(F.lit(1)).alias("total"))
+        return d.crossJoin(t).select(
+            F.lit(name).alias("table_name"),
+            F.col("deleted").cast("bigint"),
+            (F.col("total") - F.col("deleted")).cast("bigint").alias("retained"),
+        )
+
+    del_line = line.join(
+        F.broadcast(del_orders), F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"
+    )
+    return (
+        report("customer", del_cust, cust)
+        .unionAll(report("orders", del_orders.select("o_orderkey"), orders))
+        .unionAll(report("lineitem", del_line, line))
+    )
+
+
+@query(
+    "sql_market_share",
+    oracle="""
+    WITH rev AS (
+      SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS order_year,
+             sum(l_extendedprice * (1 - l_discount)) AS revenue
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      GROUP BY n_name, year(o_orderdate)
+    )
+    SELECT n_name, order_year,
+           round(revenue, 2) AS revenue,
+           round(revenue / sum(revenue) OVER (PARTITION BY order_year), 6)
+               AS market_share
+    FROM rev
+    """,
+)
+def sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share per year (TPC-H Q8 shape): each nation's slice
+    of yearly revenue — aggregate then a whole-partition window normalizes
+    within the year.
+
+    Scale: the star join shuffles facts on their keys with nation
+    broadcast; the share window runs over the AGGREGATED table (≈ nations
+    × years rows), so the second exchange is negligible. Computing shares
+    post-aggregation — never windowing the fact table — is the difference
+    between shuffling kilobytes and terabytes."""
+    nation = load(spark, sf_dir, "nation")
+    rev = (
+        load(spark, sf_dir, "lineitem")
+        .join(
+            load(spark, sf_dir, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            load(spark, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "n_name", F.year("o_orderdate").cast("bigint").alias("order_year")
+        )
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+    )
+    w = Window.partitionBy("order_year")
+    return rev.select(
+        "n_name",
+        "order_year",
+        F.round("rev", 2).alias("revenue"),
+        F.round(F.col("rev") / F.sum("rev").over(w), 6).alias("market_share"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT r_name, n_name,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_balance
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP totals (region → nation → grand total) —
+    completes the multi-granularity family next to agg_cube and
+    agg_grouping_sets (plans/relational.py).
+
+    Scale: Spark expands rollup into grouping sets inside ONE aggregate —
+    partial map-side aggregation covers all three granularities in a
+    single shuffle; dims broadcast into the fact scan."""
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        )
+    )

@@ -1,0 +1,312 @@
+"""Unit + plan-shape tests for plans/warehouse.py (decision-support SQL
+shapes, heavy hitters, Z-order layout, DQ checks, rolling windows, spatial
+grid join, PageRank). Value-level parity with the DuckDB oracles is covered
+by test_oracle_parity.py; these tests pin the invariants parity can't see:
+algorithmic guarantees, layout properties, and 100 TB plan shapes.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cta_train_tracker_analytics_spark.data import load
+from cta_train_tracker_analytics_spark.operators.layout import morton_key, morton_sql
+from cta_train_tracker_analytics_spark.plans import registry
+
+from conftest import SF_DIR
+
+
+def plan(spark, name: str) -> str:
+    df = registry.all_queries()[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# -- morton key ------------------------------------------------------------
+
+
+def _morton_py(x: int, y: int, bits: int = 10) -> int:
+    out = 0
+    for i in range(bits):
+        out |= ((x >> i) & 1) << (2 * i)
+        out |= ((y >> i) & 1) << (2 * i + 1)
+    return out
+
+
+def test_morton_key_matches_reference_bits(spark):
+    rows = [(x, y) for x in (0, 1, 5, 511, 1023) for y in (0, 2, 7, 512, 1023)]
+    df = spark.createDataFrame(rows, "x int, y int").select(
+        "x", "y", morton_key(F.col("x"), F.col("y")).alias("z")
+    )
+    for r in df.collect():
+        assert r.z == _morton_py(r.x, r.y), (r.x, r.y)
+
+
+def test_morton_sql_renders_same_values():
+    """The SQL renderer must agree bit-for-bit with the Column builder
+    (single-source-of-truth contract of operators/layout.py)."""
+    expr = morton_sql("x", "y")
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT x, y, {expr} AS z FROM (SELECT unnest(range(0, 40)) AS x, "
+        "unnest(range(40, 0, -1)) AS y)"
+    ).fetchall()
+    for x, y, z in got:
+        assert z == _morton_py(x, y), (x, y)
+
+
+def test_zorder_files_are_sorted_runs(spark):
+    """The layout contract: after snk_zorder runs, every written parquet
+    file holds a nondecreasing zkey run and file zkey ranges don't overlap
+    (range partitioning) — that's what makes min/max pruning effective on
+    BOTH interleaved dimensions."""
+    registry.all_queries()["snk_zorder"](spark, SF_DIR).collect()
+    out = Path("/tmp/cta_spark_engine_scratch") / Path(SF_DIR).name / "snk_zorder"
+    spans = []
+    for f in sorted(out.glob("part-*.parquet")):
+        zs = pd.read_parquet(f, columns=["zkey"])["zkey"]
+        if len(zs) == 0:
+            continue
+        assert (zs.diff().dropna() >= 0).all(), f"{f.name} not sorted"
+        spans.append((zs.iloc[0], zs.iloc[-1]))
+    assert len(spans) > 1, "expected multiple range files"
+    spans.sort()
+    for (lo_a, hi_a), (lo_b, _) in zip(spans, spans[1:]):
+        assert hi_a <= lo_b, "file zkey ranges overlap"
+
+
+# -- heavy hitters ---------------------------------------------------------
+
+
+def test_heavy_hitters_exact_vs_full_groupby(spark):
+    """The two-pass MG result must EQUAL the exhaustive groupBy answer —
+    candidates are a superset of true heavy keys (MG guarantee) and the
+    exact second pass removes false positives, so no approximation
+    survives to the output."""
+    got = {
+        (r.hot_key, r.cnt)
+        for r in registry.all_queries()["agg_heavy_hitters"](spark, SF_DIR).collect()
+    }
+    events = load(spark, SF_DIR, "events").select(
+        F.least(F.col("user_id"), F.lit(20)).cast("bigint").alias("hot_key")
+    )
+    total = events.count()
+    want = {
+        (r.hot_key, r.cnt)
+        for r in events.groupBy("hot_key")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .filter(F.col("cnt") * 64 > F.lit(total))
+        .collect()
+    }
+    assert got == want
+
+
+def test_heavy_hitters_mg_trim_bounds_candidates(spark):
+    """Pass 1 must emit at most 64 candidates per partition — the whole
+    point is constant state per partition, not a disguised full distinct."""
+    events = load(spark, SF_DIR, "events").select(
+        F.least(F.col("user_id"), F.lit(20)).cast("bigint").alias("hot_key")
+    )
+    n_parts = events.rdd.getNumPartitions()
+    # candidate count bounded by 64 per partition
+    q = registry.all_queries()["agg_heavy_hitters"]
+    # count distinct candidates indirectly: result rows can't exceed 64,
+    # and with the demo key the exhaustive key count is small enough that
+    # the partition bound is the binding one.
+    assert q(spark, SF_DIR).count() <= 64 * n_parts
+
+
+# -- spatial grid join -----------------------------------------------------
+
+
+def test_spatial_pairs_unique_and_ordered(spark):
+    df = registry.all_queries()["join_spatial_grid"](spark, SF_DIR)
+    pdf = df.toPandas()
+    assert (pdf["custkey_a"] < pdf["custkey_b"]).all()
+    assert not pdf.duplicated(["custkey_a", "custkey_b"]).any()
+    assert (pdf["dist_km"] <= 100.0).all()
+
+
+def test_spatial_grid_join_is_equi_not_cartesian(spark):
+    p = plan(spark, "join_spatial_grid")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+# -- pagerank --------------------------------------------------------------
+
+
+def test_pagerank_mass_conserved(spark):
+    pdf = registry.all_queries()["ext_pagerank"](spark, SF_DIR).toPandas()
+    # with no dangling nodes (3-regular out-degree) total rank stays 1
+    assert abs(pdf["pagerank"].sum() - 1.0) < 1e-6
+    assert (pdf["pagerank"] > 0).all()
+
+
+# -- rolling windows -------------------------------------------------------
+
+
+def test_ewma_single_user_reference(spark):
+    """Tiny handwritten case: EWMA of [1, 2, 4] with alpha decay 0.8 —
+    pins the frame ordering assumption (collect_list over a ROWS frame is
+    oldest→newest) independently of the oracle replay."""
+    rows = [(1, "2024-01-01 00:00:0%d" % i, float(v)) for i, v in enumerate([1, 2, 4])]
+    df = spark.createDataFrame(rows, "user_id int, ts string, value double").withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    ).withColumn("event_id", F.col("value").cast("bigint"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-15, 0)
+    vals = F.collect_list("value").over(w)
+    n = F.size("frame")
+    out = (
+        df.withColumn("frame", vals)
+        .select(
+            "value",
+            (
+                F.aggregate(
+                    F.transform(
+                        "frame",
+                        lambda x, i: x * F.pow(F.lit(0.8), (n - 1 - i).cast("double")),
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                / ((F.lit(1.0) - F.pow(F.lit(0.8), n.cast("double"))) / F.lit(0.2))
+            ).alias("ewma"),
+        )
+        .orderBy("value")
+        .collect()
+    )
+    # hand-computed: [1] -> 1; [1,2] -> (1*.8 + 2)/1.8; [1,2,4] -> (1*.64+2*.8+4)/2.44
+    import math
+
+    assert math.isclose(out[0].ewma, 1.0)
+    assert math.isclose(out[1].ewma, (0.8 + 2.0) / 1.8)
+    assert math.isclose(out[2].ewma, (0.64 + 1.6 + 4.0) / 2.44)
+
+
+def test_rolling_windows_single_exchange(spark):
+    for name in ("win_ewma", "win_rolling_median"):
+        p = plan(spark, name)
+        assert p.count("Exchange") == 1, f"{name}: expected exactly one shuffle"
+        assert "Python" not in p, f"{name}: must stay JVM-side"
+
+
+# -- decision-support shapes -----------------------------------------------
+
+
+def test_q3_takes_ordered_topk(spark):
+    p = plan(spark, "sql_ship_priority")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q5_broadcasts_dims_and_supplier(spark):
+    p = plan(spark, "sql_local_supplier_volume")
+    # nation⋈region⋈supplier side must broadcast into lineitem
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q4_semi_join_no_fanout(spark):
+    p = plan(spark, "sql_order_priority")
+    assert "LeftSemi" in p
+
+
+def test_dq_checks_fk_is_broadcast_anti(spark):
+    p = plan(spark, "job_dq_checks")
+    assert "LeftAnti" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_pagerank_no_cartesian(spark):
+    p = plan(spark, "ext_pagerank")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+# -- batch 2: cumulative distinct / attribution / cascade / market share ---
+
+
+def test_attribution_hand_case(spark):
+    """Crafted stream: purchase after a click inside 7d attributes to the
+    click; a purchase with only a stale (>7d) view is unattributed; a
+    purchase with no prior touch is unattributed."""
+    rows = [
+        (1, "2024-01-01 00:00:00", "view", 1),
+        (1, "2024-01-20 00:00:00", "purchase", 2),   # stale view -> unattributed
+        (2, "2024-02-01 00:00:00", "click", 3),
+        (2, "2024-02-03 00:00:00", "purchase", 4),   # click within 7d
+        (3, "2024-03-01 00:00:00", "purchase", 5),   # no touch at all
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts string, event_type string, event_id bigint"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    from pyspark.sql import Window
+
+    is_touch = F.col("event_type").isin("click", "view")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        df.select(
+            "event_type",
+            "ts",
+            F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+            .over(w)
+            .alias("lt_type"),
+            F.last(F.when(is_touch, F.col("ts")), ignorenulls=True)
+            .over(w)
+            .alias("lt_ts"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce(
+                F.when(
+                    F.col("lt_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS"),
+                    F.col("lt_type"),
+                ),
+                F.lit("unattributed"),
+            ).alias("channel")
+        )
+        .groupBy("channel")
+        .count()
+        .collect()
+    )
+    got = {r.channel: r["count"] for r in out}
+    assert got == {"unattributed": 2, "click": 1}
+
+
+def test_attribution_has_no_join(spark):
+    """The union-and-sweep shape must contain NO join operator — that's
+    the whole scale argument vs the purchases⋈touches formulation."""
+    p = plan(spark, "agg_attribution_last_touch")
+    assert "Join" not in p
+
+
+def test_cumulative_distinct_two_exchanges_jvm_only(spark):
+    p = plan(spark, "win_cumulative_distinct")
+    assert p.count("Exchange") == 2
+    assert "Python" not in p
+
+
+def test_gdpr_cascade_never_shuffles_facts(spark):
+    p = plan(spark, "job_gdpr_cascade")
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_market_share_windows_aggregated_rows(spark):
+    """The share window must run over the post-aggregate table: in the
+    executed plan the Window's child chain contains the HashAggregate,
+    never a raw lineitem scan directly under Window."""
+    p = plan(spark, "sql_market_share")
+    w_idx = p.index("Window")
+    assert "HashAggregate" in p[w_idx:], "window must sit above the aggregate"
+    assert "CartesianProduct" not in p
