@@ -110,6 +110,12 @@ HEADLINE = [
     "win_rolling_median",
     "join_spatial_grid",
     "ext_pagerank",
+    "win_streak_days",
+    "job_backfill_idempotent",
+    "agg_attribution_last_touch",
+    "win_cumulative_distinct",
+    "job_gdpr_cascade",
+    "sql_market_share",
 ]
 # NOTE: the headline set GREW in round 5 (salted join, pivot, quantile and
 # pandas-UDAF aggregates, multi-probe IVF) — compare totals across rounds

@@ -119,6 +119,8 @@ _PRIORITY = [
     "job_gdpr_cascade",
     "sql_market_share",
     "agg_rollup",
+    "win_streak_days",
+    "job_backfill_idempotent",
     # re-verify last round's fresh rows next, cheapest first
     "str_session_window",
     "str_stateful",

