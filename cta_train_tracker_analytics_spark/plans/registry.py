@@ -121,6 +121,8 @@ _PRIORITY = [
     "agg_rollup",
     "win_streak_days",
     "job_backfill_idempotent",
+    "str_dedup_rocksdb",
+    "str_resume_stateful",
     # re-verify last round's fresh rows next, cheapest first
     "str_session_window",
     "str_stateful",

@@ -722,3 +722,98 @@ def str_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("lag_s"),
     )
+
+
+@query(
+    "str_dedup_rocksdb",
+    oracle="SELECT DISTINCT user_id, ts FROM events",
+)
+def str_dedup_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """str_dedup_late's watermarked dedup re-run on the RocksDB state
+    store provider — the 100 TB state path: the HDFS-backed default holds
+    every key's state in executor HEAP (state size is bounded by JVM
+    memory), while RocksDB keeps it off-heap on local SSD with
+    changelog/zip snapshot checkpointing, so keyed state scales to
+    billions of keys per executor. Same dataflow, same results —
+    swapping the provider is a conf, not a rewrite; the provider conf is
+    scoped to this query and restored afterwards.
+
+    The query asserts the swap actually engaged by checking the
+    checkpoint's state dir for RocksDB zip snapshots (the HDFS provider
+    writes .delta/.snapshot files instead) — a silent fallback would
+    invalidate the scale claim."""
+    src_dir, cp = _dirs("str_dedup_rocksdb", sf_dir, "src", "cp")
+    ev = _events(spark, sf_dir).select("user_id", "ts")
+    dup = ev.unionByName(ev)
+    src = parquet_stream(spark, dup, src_dir)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        deduped = (
+            src.withColumn("ts_wm", F.col("ts").cast("timestamp"))
+            .withWatermark("ts_wm", "10 minutes")
+            .dropDuplicates(["user_id", "ts_wm"])
+        )
+        out = run_to_memory(deduped, "append", cp)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    state = Path(cp) / "state"
+    zips = list(state.rglob("*.zip"))
+    deltas = list(state.rglob("*.delta"))
+    if not zips or deltas:
+        raise RuntimeError(
+            f"RocksDB state store did not engage (zips={len(zips)}, "
+            f"deltas={len(deltas)}) — state files indicate the default "
+            "HDFS-backed provider ran instead"
+        )
+    return out.select("user_id", F.col("ts_wm").cast("timestamp_ntz").alias("ts"))
+
+
+@query(
+    "str_resume_stateful",
+    oracle="""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY user_id
+    """,
+)
+def str_resume_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation-STATE recovery across a restart — the semantic
+    str_redelivery doesn't cover: that query proves offset tracking on a
+    stateless pipeline; this one proves the keyed aggregation state
+    itself survives. Run 1 drains half the events into a per-user
+    running aggregate and stops; more files land; run 2 is a NEW query
+    (new sink) resuming from the same checkpoint, reading ONLY the new
+    files — yet its complete-mode output equals the full-corpus
+    aggregate, which is only possible if run 2 restored run 1's state
+    store rather than recounting from scratch.
+
+    Scale: this is the operational contract that lets a 100 TB streaming
+    job upgrade/restart without replaying the source — state snapshots
+    (HDFS or RocksDB provider alike) checkpoint per micro-batch and
+    reload keyed, partitioned, in parallel."""
+    src_dir, cp = _dirs("str_resume_stateful", sf_dir, "src", "cp")
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "value")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+
+    def agg_of(src: DataFrame) -> DataFrame:
+        return src.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+
+    first.coalesce(1).write.mode("overwrite").parquet(src_dir)
+    run_to_memory(
+        agg_of(spark.readStream.schema(ev.schema).parquet(src_dir)), "complete", cp
+    )
+    second.coalesce(1).write.mode("append").parquet(src_dir)
+    out = run_to_memory(
+        agg_of(spark.readStream.schema(ev.schema).parquet(src_dir)), "complete", cp
+    )
+    return out

@@ -263,25 +263,16 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch, never a per-row Python loop); pass 2 shuffles only rows whose
     key is one of the few candidates. Contrast with the oracle, which
     pays a full all-keys aggregate."""
-    import pandas as pd
+    from ..operators.sketches import misra_gries_batches
 
     events = load(spark, sf_dir, "events").select(
         F.least(F.col("user_id"), F.lit(20)).cast("bigint").alias("hot_key")
     )
 
-    def mg_partition(batches):
-        counters = pd.Series(dtype="int64")
-        for pdf in batches:
-            counters = counters.add(pdf["hot_key"].value_counts(), fill_value=0)
-            if len(counters) > _HH_K:
-                # mergeable-summaries trim: subtracting the (K+1)-th largest
-                # count from every counter and dropping non-positives is the
-                # batch equivalent of MG's decrement-all loop.
-                offset = counters.nlargest(_HH_K + 1).iloc[-1]
-                counters = counters[counters > offset] - offset
-        yield pd.DataFrame({"hot_key": counters.index.astype("int64")})
-
-    candidates = events.mapInPandas(mg_partition, "hot_key bigint").distinct()
+    candidates = events.mapInPandas(
+        lambda batches: misra_gries_batches(batches, "hot_key", _HH_K),
+        "hot_key bigint",
+    ).distinct()
     total = events.count()
     return (
         events.join(F.broadcast(candidates), "hot_key", "left_semi")

@@ -359,3 +359,52 @@ def test_backfill_preserves_untouched_partition_files(spark):
     months = sorted(p.name for p in out.glob("month=*"))
     assert any(m.startswith("month=1996") for m in months)
     assert any(not m.startswith("month=1996") for m in months)
+
+
+# -- Misra-Gries property tests --------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+from cta_train_tracker_analytics_spark.operators.sketches import misra_gries_batches
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    data=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=400),
+    k=st.integers(min_value=2, max_value=16),
+    n_batches=st.integers(min_value=1, max_value=4),
+)
+def test_misra_gries_superset_property(data, k, n_batches):
+    """Every key with frequency > n/k must survive the summary, however
+    the stream is cut into batches — the guarantee the exact second pass
+    builds on."""
+    cuts = [len(data) * i // n_batches for i in range(n_batches + 1)]
+    batches = (
+        pd.DataFrame({"x": pd.Series(data[a:b], dtype="int64")})
+        for a, b in zip(cuts, cuts[1:])
+        if b > a
+    )
+    (out,) = list(misra_gries_batches(batches, "x", k))
+    survivors = set(out["x"])
+    assert len(survivors) <= k
+    n = len(data)
+    counts = pd.Series(data).value_counts()
+    heavy = set(counts[counts * k > n].index)
+    assert heavy <= survivors, (heavy, survivors, data, k)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    xs=st.lists(st.integers(min_value=0, max_value=1023), min_size=1, max_size=20),
+    ys=st.lists(st.integers(min_value=0, max_value=1023), min_size=1, max_size=20),
+)
+def test_morton_sql_property(xs, ys):
+    """morton_sql agrees with the pure-python interleave for arbitrary
+    in-range coordinates (hypothesis-driven; the Spark Column variant is
+    pinned separately against the same reference)."""
+    n = min(len(xs), len(ys))
+    con = duckdb.connect()
+    df = pd.DataFrame({"x": xs[:n], "y": ys[:n]})
+    got = con.execute(f"SELECT x, y, {morton_sql('x', 'y')} AS z FROM df").fetchall()
+    for x, y, z in got:
+        assert z == _morton_py(x, y)
