@@ -123,6 +123,8 @@ _PRIORITY = [
     "job_backfill_idempotent",
     "str_dedup_rocksdb",
     "str_resume_stateful",
+    "job_cdc_compact",
+    "ext_split_by_domain",
     # re-verify last round's fresh rows next, cheapest first
     "str_session_window",
     "str_stateful",

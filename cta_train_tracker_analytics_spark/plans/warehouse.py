@@ -1094,3 +1094,103 @@ def job_backfill_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         F.max("backfill_gen").cast("bigint").alias("backfill_gen"),
     )
+
+
+# --------------------------------------------------------------------------
+# CDC log compaction + leakage-safe group split
+# --------------------------------------------------------------------------
+
+
+@query(
+    "job_cdc_compact",
+    oracle="""
+    WITH ops AS (
+      SELECT user_id, ts, event_id, value,
+             CASE event_type WHEN 'signup' THEN 'I' WHEN 'click' THEN 'U'
+                             WHEN 'error' THEN 'D' END AS op
+      FROM events
+      WHERE event_type IN ('signup', 'click', 'error')
+    ),
+    ranked AS (
+      SELECT user_id, value, op,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+                 AS rn,
+             CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_changes
+      FROM ops
+    )
+    SELECT user_id, round(value, 2) AS value, n_changes
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def job_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture log compaction: a keyed change stream
+    (insert/update/delete ops derived from the event feed) collapses to
+    the latest-state snapshot — last writer wins, a trailing delete
+    removes the key entirely. This is the MERGE half of a lakehouse CDC
+    pipeline (job_scd2 keeps the history; this emits the current table).
+
+    Scale: one shuffle on the key, then a partition-local row_number —
+    compaction is the same plan as win_latest_state with delete
+    semantics added. Crucially the changes-per-key count rides the SAME
+    window partition (no second shuffle), and at 100 TB the change log
+    compacts per-partition-file via exactly this query run incrementally
+    (see ext_dedup_incremental for the batch-vs-corpus form)."""
+    events = load(spark, sf_dir, "events")
+    ops = events.filter(
+        F.col("event_type").isin("signup", "click", "error")
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "click", "U")
+        .otherwise("D")
+        .alias("op"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    wc = Window.partitionBy("user_id")
+    ranked = ops.select(
+        "user_id",
+        "value",
+        "op",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).cast("bigint").alias("n_changes"),
+    )
+    return ranked.filter((F.col("rn") == 1) & (F.col("op") != "D")).select(
+        "user_id", F.round("value", 2).alias("value"), "n_changes"
+    )
+
+
+@query(
+    "ext_split_by_domain",
+    oracle="""
+    SELECT doc_id, source,
+           CASE WHEN ('0x' || substr(md5(source), 1, 15))::BIGINT % 10 < 8
+                THEN 'train'
+                WHEN ('0x' || substr(md5(source), 1, 15))::BIGINT % 10 = 8
+                THEN 'valid' ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def ext_split_by_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/valid/test split: the split decision hashes the
+    DOMAIN (source), not the document, so near-duplicate documents from
+    one domain can never straddle the train/test boundary — the
+    contamination channel a doc-level hash split (ext_sample_hash) leaves
+    open. 80/10/10 via the portable md5-derived hash, reproducible across
+    engines and runs.
+
+    Scale: map-only — one expression per row, no shuffle, no state; the
+    split is a pure function of the key, so adding tomorrow's crawl never
+    reassigns yesterday's domains (stable under corpus growth, unlike
+    quota-based splits)."""
+    from ..functions.text import hash60
+
+    docs = load(spark, sf_dir, "documents")
+    h = hash60(F.col("source")) % 10
+    return docs.select(
+        "doc_id",
+        "source",
+        F.when(h < 8, "train").when(h == 8, "valid").otherwise("test").alias("split"),
+    )

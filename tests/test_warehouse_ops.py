@@ -408,3 +408,53 @@ def test_morton_sql_property(xs, ys):
     got = con.execute(f"SELECT x, y, {morton_sql('x', 'y')} AS z FROM df").fetchall()
     for x, y, z in got:
         assert z == _morton_py(x, y)
+
+
+# -- batch 4: CDC compaction + domain split --------------------------------
+
+
+def test_cdc_compact_single_exchange(spark):
+    """Latest-state compaction must be one shuffle on the key: both the
+    row_number and the per-key change count ride the same window
+    partition."""
+    p = plan(spark, "job_cdc_compact")
+    assert p.count("Exchange") == 1
+    assert "Python" not in p
+
+
+def test_cdc_compact_trailing_delete_removes_key(spark):
+    """A key whose latest op is a delete must be absent from the
+    snapshot."""
+    rows = [
+        (1, "2024-01-01 00:00:00", "signup", 1.0, 1),
+        (1, "2024-01-02 00:00:00", "error", 0.0, 2),   # delete last -> gone
+        (2, "2024-01-01 00:00:00", "signup", 2.0, 3),
+        (2, "2024-01-02 00:00:00", "click", 5.0, 4),   # update last -> 5.0
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts string, event_type string, value double, event_id bigint"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    snap = (
+        df.withColumn(
+            "op",
+            F.when(F.col("event_type") == "signup", "I")
+            .when(F.col("event_type") == "click", "U")
+            .otherwise("D"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .collect()
+    )
+    assert {r.user_id: r.value for r in snap} == {2: 5.0}
+
+
+def test_split_by_domain_is_map_only_and_group_consistent(spark):
+    p = plan(spark, "ext_split_by_domain")
+    assert "Exchange" not in p, "split must be map-only"
+    pdf = registry.all_queries()["ext_split_by_domain"](spark, SF_DIR).toPandas()
+    # leakage guarantee: every domain maps to exactly one split
+    assert (pdf.groupby("source")["split"].nunique() == 1).all()
+    assert set(pdf["split"]) <= {"train", "valid", "test"}
