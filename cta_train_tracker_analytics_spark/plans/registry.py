@@ -125,6 +125,7 @@ _PRIORITY = [
     "str_resume_stateful",
     "job_cdc_compact",
     "ext_split_by_domain",
+    "sql_recursive_reachability",
     # re-verify last round's fresh rows next, cheapest first
     "str_session_window",
     "str_stateful",

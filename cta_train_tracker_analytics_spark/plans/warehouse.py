@@ -1194,3 +1194,40 @@ def ext_split_by_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.when(h < 8, "train").when(h == 8, "valid").otherwise("test").alias("split"),
     )
+
+
+_REACH_SQL = """
+WITH RECURSIVE p AS (SELECT count(*) AS n FROM {t}),
+edges AS (
+  SELECT doc_id AS src, (doc_id * 3 + 1) % n AS dst FROM {t}, p
+  UNION ALL SELECT doc_id, (doc_id * 7 + 2) % n FROM {t}, p
+  UNION ALL SELECT doc_id, (doc_id * 11 + 3) % n FROM {t}, p
+),
+reach(node, d) AS (
+  SELECT CAST(0 AS BIGINT) AS node, 0 AS d
+  UNION ALL
+  SELECT e.dst AS node, r.d + 1 AS d
+  FROM reach r JOIN edges e ON e.src = r.node WHERE r.d < 4
+)
+SELECT node AS doc_id, CAST(min(d) AS BIGINT) AS hops FROM reach GROUP BY node
+"""
+
+
+@query("sql_recursive_reachability", oracle=_REACH_SQL.format(t="documents"))
+def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded transitive closure via WITH RECURSIVE (Spark 4's recursive
+    CTE support): minimum hop count from node 0 over the same
+    deterministic 3-regular link graph ext_pagerank walks, depth-capped
+    at 4. The IDENTICAL SQL text runs on Spark and the DuckDB oracle
+    (one table-name substitution) — recursion semantics, not a
+    hand-unrolled lookalike.
+
+    Scale: each recursive step is one equi-join of the frontier against
+    the edge table — the frontier shuffles, edges can be broadcast or
+    pre-partitioned by src; the depth cap bounds the iteration the way a
+    watermark bounds streaming state. For UNBOUNDED reachability on
+    adversarial graphs use the dedup-per-level loop of
+    ext_dedup_cluster_lsss instead (frontier dedup keeps rows ≤ N per
+    level; raw UNION ALL recursion multiplies by out-degree)."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents_v")
+    return spark.sql(_REACH_SQL.format(t="documents_v"))
