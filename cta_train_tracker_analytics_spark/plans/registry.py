@@ -126,6 +126,7 @@ _PRIORITY = [
     "job_cdc_compact",
     "ext_split_by_domain",
     "sql_recursive_reachability",
+    "src_statestore",
     # re-verify last round's fresh rows next, cheapest first
     "str_session_window",
     "str_stateful",

@@ -817,3 +817,35 @@ def str_resume_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg_of(spark.readStream.schema(ev.schema).parquet(src_dir)), "complete", cp
     )
     return out
+
+
+@query(
+    "src_statestore",
+    oracle="""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY user_id
+    """,
+)
+def src_statestore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store introspection (Spark 4 state data source): after a
+    streaming per-user count drains, the checkpoint's STATE files are
+    read back as a batch DataFrame — `format("statestore")` — and must
+    equal the batch aggregate. This is the ops capability that matters
+    when a 100 TB streaming job misbehaves: inspect keyed state directly
+    (skewed keys, stuck watermark entries, state size per key) without
+    stopping the job or adding probes; at scale it also powers state
+    repair/migration jobs (read state → transform → seed a new
+    checkpoint).
+
+    The read is partition-parallel over the state files, same as any
+    file source."""
+    src_dir, cp = _dirs("src_statestore", sf_dir, "src", "cp")
+    ev = _events(spark, sf_dir).select("user_id")
+    src = parquet_stream(spark, ev, src_dir)
+    agg = src.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    run_to_memory(agg, "complete", cp)
+    state = spark.read.format("statestore").load(cp)
+    return state.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.count").cast("bigint").alias("n"),
+    )
