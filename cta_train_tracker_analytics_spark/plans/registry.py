@@ -127,6 +127,7 @@ _PRIORITY = [
     "ext_split_by_domain",
     "sql_recursive_reachability",
     "src_statestore",
+    "src_rest_api_stream",
     # re-verify last round's fresh rows next, cheapest first
     "str_session_window",
     "str_stateful",

@@ -849,3 +849,63 @@ def src_statestore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key.user_id").alias("user_id"),
         F.col("value.count").cast("bigint").alias("n"),
     )
+
+
+@query(
+    "src_rest_api_stream",
+    oracle="""
+    SELECT poll.p AS poll_id, line.l AS train_line, CAST(2 AS BIGINT) AS n_trains
+    FROM (VALUES (0), (1), (2)) AS poll(p)
+    CROSS JOIN (VALUES ('Red'), ('Blue'), ('Brown'), ('Green'), ('Orange'),
+                       ('Purple'), ('Pink')) AS line(l)
+    """,
+)
+def src_rest_api_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's per-minute REST poll as a REAL streaming source
+    (Spark 4 SimpleDataSourceStreamReader, sources/rest_api.py): each
+    micro-batch is one poll cycle over all 7 train lines, offsets are the
+    poll counter, and checkpoint recovery replays poll ranges via
+    readBetweenOffsets — the closest Spark expression of the reference's
+    EventBridge-tick + SQS-redelivery loop (get_train_status.py:29-43,
+    main.tf:49). The fixture horizon is 3 polls so the drain is bounded;
+    live deployments let the offset advance forever and set
+    trigger(processingTime='60 seconds') as the poll cadence.
+
+    Each payload is parsed with from_json on the wire schema and reduced
+    to a per-(poll, line) train count — the same parse the batch
+    src_rest_api feeds into the flatten chain."""
+    from ..sources.rest_api import CTATrainLocationsStreamDataSource
+    from ..schemas import CTA_RESPONSE_SCHEMA
+
+    _dirs("src_rest_api_stream", sf_dir)  # wipe scratch root
+    (_cp,) = _dirs("src_rest_api_stream", sf_dir, "cp")
+    try:
+        spark.dataSource.register(CTATrainLocationsStreamDataSource)
+    except Exception:  # already registered in this session
+        pass
+    src = spark.readStream.format("cta_train_locations_stream").load()
+    parsed = src.select(
+        "poll_id",
+        "train_line",
+        F.size(
+            F.element_at(F.from_json("body", CTA_RESPONSE_SCHEMA)["ctatt"]["route"], 1)[
+                "train"
+            ]
+        )
+        .cast("bigint")
+        .alias("n_trains"),
+    )
+    import uuid
+
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        parsed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", _cp)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
