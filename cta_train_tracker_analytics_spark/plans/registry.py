@@ -128,6 +128,7 @@ _PRIORITY = [
     "sql_recursive_reachability",
     "src_statestore",
     "src_rest_api_stream",
+    "ext_frame_sample",
     # re-verify last round's fresh rows next, cheapest first
     "str_session_window",
     "str_stateful",

@@ -1231,3 +1231,66 @@ def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     level; raw UNION ALL recursion multiplies by out-degree)."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents_v")
     return spark.sql(_REACH_SQL.format(t="documents_v"))
+
+
+@query(
+    "ext_frame_sample",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text,
+             octet_length(encode(text)) // 100 AS n_frames,
+             least(8, octet_length(encode(text)) // 100) AS k
+      FROM documents
+      WHERE octet_length(encode(text)) >= 100
+    ),
+    j AS (SELECT doc_id, text, n_frames, k,
+                 unnest(generate_series(0, k - 1)) AS idx
+          FROM d)
+    SELECT doc_id,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(idx * n_frames // k AS BIGINT) AS frame_idx,
+           CAST(ascii(substr(text, (idx * n_frames // k) * 100 + 1, 1)) AS BIGINT)
+               AS frame_byte
+    FROM j
+    """,
+)
+def ext_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling plumbing (multimodal §: decode /
+    feature-extract / resize / FRAME-SAMPLE): each document's bytes stand
+    in for a video container whose header says one frame per 100 bytes;
+    up to 8 frames are sampled uniformly (frame j·n/k — the evenly-spaced
+    policy video training pipelines use) and each sampled frame is
+    'decoded' by the deterministic byte stub, exploding one media row
+    into k frame rows. A real deployment swaps the byte peek for an
+    ffmpeg seek-and-decode inside mapInPandas (the
+    operators/multimodal.py seam); the schema, the explode fanout, and
+    the per-frame addressing are the real thing.
+
+    Scale: map-only with bounded fanout (≤8 rows per item, chosen by
+    arithmetic, not by decoding the whole stream) — the point of
+    frame-SAMPLING at 100 TB is that you never materialize all frames;
+    sequence/transform/explode stay in whole-stage codegen."""
+    docs = load(spark, sf_dir, "documents")
+    nb = F.octet_length(F.encode(F.col("text"), "UTF-8"))
+    d = docs.select(
+        "doc_id",
+        "text",
+        (nb / 100).cast("bigint").alias("n_frames"),
+        F.least(F.lit(8), (nb / 100).cast("bigint")).alias("k"),
+    ).filter(F.col("n_frames") >= 1)
+    j = d.select(
+        "doc_id",
+        "text",
+        "n_frames",
+        "k",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("k") - 1)).alias("idx"),
+    )
+    frame_idx = (F.col("idx") * F.col("n_frames") / F.col("k")).cast("bigint")
+    return j.select(
+        "doc_id",
+        F.col("n_frames").cast("bigint"),
+        frame_idx.alias("frame_idx"),
+        F.ascii(F.substring(F.col("text"), (frame_idx * 100 + 1).cast("int"), 1))
+        .cast("bigint")
+        .alias("frame_byte"),
+    )
