@@ -129,6 +129,8 @@ _PRIORITY = [
     "src_statestore",
     "src_rest_api_stream",
     "ext_frame_sample",
+    "job_observed_metrics",
+    "sql_parameterized",
     # re-verify last round's fresh rows next, cheapest first
     "str_session_window",
     "str_stateful",

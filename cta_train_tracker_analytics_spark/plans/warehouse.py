@@ -1294,3 +1294,80 @@ def ext_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("frame_byte"),
     )
+
+
+@query(
+    "job_observed_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(max(l_orderkey) AS BIGINT) AS max_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def job_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability via the Observation API: metrics (row count,
+    max order key, revenue — mergeable aggregates only; observe() rejects
+    DISTINCT because accumulator merges must be associative) are collected as a SIDE EFFECT of one pass
+    over the filtered scan — the production pattern for emitting
+    data-quality counters from an ETL job without a second scan. The
+    observed values are returned as the result so the oracle can verify
+    that observe() measures exactly what a dedicated aggregate would.
+
+    Scale: observe() attaches an accumulator-backed aggregate to the
+    existing plan — zero extra shuffles, zero extra scans; the job's real
+    output (here discarded) pays the cost it already paid."""
+    from pyspark.sql import Observation
+
+    line = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    obs = Observation("returned_items")
+    observed = line.observe(
+        obs,
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.max("l_orderkey").cast("bigint").alias("max_orderkey"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the job's real action
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["max_orderkey"], m["revenue"])],
+        "n_rows bigint, max_orderkey bigint, revenue double",
+    )
+
+
+@query(
+    "sql_parameterized",
+    oracle="""
+    SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND c_acctbal >= 0.0
+    GROUP BY n_name
+    """,
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL binding (spark.sql(..., args={...})): the query
+    text carries :region and :min_bal placeholders, bound server-side as
+    literals — the injection-safe templating surface a SQL API user
+    expects; the bound literals still constant-fold and push down to the
+    scans like hand-written ones.
+
+    Scale: identical plan to the literal query — parameter binding happens
+    before analysis, so Catalyst sees constants."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation_v")
+    load(spark, sf_dir, "region").createOrReplaceTempView("region_v")
+    return spark.sql(
+        """
+        SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers
+        FROM customer_v
+        JOIN nation_v ON c_nationkey = n_nationkey
+        JOIN region_v ON n_regionkey = r_regionkey
+        WHERE r_name = :region AND c_acctbal >= :min_bal
+        GROUP BY n_name
+        """,
+        args={"region": "ASIA", "min_bal": 0.0},
+    )
