@@ -131,6 +131,8 @@ _PRIORITY = [
     "ext_frame_sample",
     "job_observed_metrics",
     "sql_parameterized",
+    "job_incremental_agg",
+    "job_snapshot_diff",
     # re-verify last round's fresh rows next, cheapest first
     "str_session_window",
     "str_stateful",

@@ -1371,3 +1371,134 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"region": "ASIA", "min_bal": 0.0},
     )
+
+
+# --------------------------------------------------------------------------
+# incremental view maintenance + snapshot diff
+# --------------------------------------------------------------------------
+
+
+@query(
+    "job_incremental_agg",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def job_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: a per-segment revenue rollup is
+    first materialized from the historical partition (orders before
+    1999), then ADVANCED by merging only the new partition's delta
+    aggregate — the stored view and the delta combine with a
+    sum-of-partials union-groupBy, never rescanning history. The result
+    must equal the full recompute (the oracle), which is the IVM
+    correctness contract.
+
+    Scale: the daily increment costs O(delta) + O(|view|), not O(table);
+    for a 100 TB fact table with a GB-sized view that is the difference
+    between minutes and a full-table job. Works for any
+    algebraic aggregate (sum/count/min/max — partials merge); avg is
+    derived sum/count at read time."""
+    from .io_queries import _scratch
+
+    view_path = _scratch("job_incremental_agg", sf_dir)
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    cutoff = F.lit("1999-01-01 00:00:00").cast("timestamp_ntz")
+
+    def rollup(part: DataFrame) -> DataFrame:
+        return (
+            part.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum("o_totalprice").alias("price_partial"),
+            )
+        )
+
+    # day 0: materialize the view from history
+    rollup(orders.filter(F.col("o_orderdate") < cutoff)).write.mode(
+        "overwrite"
+    ).parquet(view_path)
+    # day 1: merge ONLY the new partition's delta into the stored view
+    view = spark.read.parquet(view_path)
+    delta = rollup(orders.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        view.unionByName(delta)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.round(F.sum("price_partial"), 2).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "job_snapshot_diff",
+    oracle="""
+    WITH v1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+    v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 50 = 0 THEN 'X' ELSE o_orderstatus END
+                 AS o_orderstatus,
+             o_totalprice
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 1000000, 'N', 1.0
+      FROM orders WHERE o_orderkey % 200 = 0
+    )
+    SELECT coalesce(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+           CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+                WHEN v2.o_orderkey IS NULL THEN 'deleted'
+                ELSE 'changed' END AS change
+    FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+    WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+       OR v1.o_orderstatus <> v2.o_orderstatus
+       OR v1.o_totalprice <> v2.o_totalprice
+    """,
+)
+def job_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — generate a change feed by comparing two table
+    versions (v2 is v1 with deterministic edits/deletes/inserts standing
+    in for yesterday-vs-today): full outer join on the key, classify
+    added/deleted/changed, emit only differing keys. This is how CDC is
+    BOOTSTRAPPED when the source can't emit a change log (the inverse of
+    job_cdc_compact, which consumes one).
+
+    Scale: one co-partitioned full-outer shuffle on the key; comparing a
+    row hash instead of each column (sha2 over concatenated normalized
+    columns) keeps the shuffle narrow when tables are wide — shown here
+    with direct column compares since the demo projection is narrow."""
+    orders = load(spark, sf_dir, "orders")
+    v1 = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    v2 = orders.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 50 == 0, "X")
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        "o_totalprice",
+    ).unionByName(
+        orders.filter(F.col("o_orderkey") % 200 == 0).select(
+            (F.col("o_orderkey") + 1000000).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.lit(1.0).alias("o_totalprice"),
+        )
+    )
+    a = v1.alias("a")
+    b = v2.alias("b")
+    joined = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    return joined.filter(
+        F.col("a.o_orderkey").isNull()
+        | F.col("b.o_orderkey").isNull()
+        | (F.col("a.o_orderstatus") != F.col("b.o_orderstatus"))
+        | (F.col("a.o_totalprice") != F.col("b.o_totalprice"))
+    ).select(
+        F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
+        F.when(F.col("a.o_orderkey").isNull(), "added")
+        .when(F.col("b.o_orderkey").isNull(), "deleted")
+        .otherwise("changed")
+        .alias("change"),
+    )
