@@ -116,6 +116,13 @@ HEADLINE = [
     "win_cumulative_distinct",
     "job_gdpr_cascade",
     "sql_market_share",
+    "job_cdc_compact",
+    "ext_split_by_domain",
+    "sql_recursive_reachability",
+    "job_incremental_agg",
+    "job_snapshot_diff",
+    "ext_frame_sample",
+    "job_observed_metrics",
 ]
 # NOTE: the headline set GREW in round 5 (salted join, pivot, quantile and
 # pandas-UDAF aggregates, multi-probe IVF) — compare totals across rounds

@@ -133,6 +133,8 @@ _PRIORITY = [
     "sql_parameterized",
     "job_incremental_agg",
     "job_snapshot_diff",
+    "agg_theta_setops",
+    "agg_kll_quantiles",
     # re-verify last round's fresh rows next, cheapest first
     "str_session_window",
     "str_stateful",

@@ -877,7 +877,6 @@ def src_rest_api_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.rest_api import CTATrainLocationsStreamDataSource
     from ..schemas import CTA_RESPONSE_SCHEMA
 
-    _dirs("src_rest_api_stream", sf_dir)  # wipe scratch root
     (_cp,) = _dirs("src_rest_api_stream", sf_dir, "cp")
     try:
         spark.dataSource.register(CTATrainLocationsStreamDataSource)

@@ -1502,3 +1502,91 @@ def job_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("changed")
         .alias("change"),
     )
+
+
+# --------------------------------------------------------------------------
+# Datasketches: Theta set operations + KLL quantiles (Spark 4.1 built-ins)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_theta_setops",
+    oracle="""
+    WITH a AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'click' AND value > 250),
+    b AS (SELECT DISTINCT user_id FROM events
+          WHERE event_type = 'purchase' AND value > 250)
+    SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS n_a,
+           CAST((SELECT count(*) FROM b) AS BIGINT) AS n_b,
+           CAST((SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b))
+                AS BIGINT) AS n_union,
+           CAST((SELECT count(*) FROM a WHERE user_id IN (SELECT user_id FROM b))
+                AS BIGINT) AS n_intersect,
+           CAST((SELECT count(*) FROM a WHERE user_id NOT IN (SELECT user_id FROM b))
+                AS BIGINT) AS n_diff
+    """,
+)
+def agg_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set algebra via Theta sketches (Spark 4.1 Datasketches
+    integration): |A|, |B|, |A∪B|, |A∩B|, |A∖B| computed from two
+    mergeable sketches instead of shuffling raw membership sets — the
+    scale answer to 'how many users did X but not Y' when each side has
+    billions of members. Below the sketch's nominal capacity (2^12
+    entries by default) a Theta sketch is in EXACT mode, so with the demo
+    cohorts (≤150 users) the estimates are exactly the true counts and
+    the query is hash-verified like any other; a unit test guards the
+    exact-mode precondition.
+
+    Scale: each cohort collapses to one ~32 KB sketch at the map side and
+    merges associatively; the set algebra is sketch-to-sketch, never a
+    join. Above capacity the same code returns estimates with ~1.6%
+    relative error (document, don't hash)."""
+    events = load(spark, sf_dir, "events")
+    a = events.filter(
+        (F.col("event_type") == "click") & (F.col("value") > 250)
+    ).agg(F.theta_sketch_agg("user_id").alias("sa"))
+    b = events.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 250)
+    ).agg(F.theta_sketch_agg("user_id").alias("sb"))
+    return a.crossJoin(b).select(
+        F.theta_sketch_estimate("sa").cast("bigint").alias("n_a"),
+        F.theta_sketch_estimate("sb").cast("bigint").alias("n_b"),
+        F.theta_sketch_estimate(F.theta_union("sa", "sb"))
+        .cast("bigint")
+        .alias("n_union"),
+        F.theta_sketch_estimate(F.theta_intersection("sa", "sb"))
+        .cast("bigint")
+        .alias("n_intersect"),
+        F.theta_sketch_estimate(F.theta_difference("sa", "sb"))
+        .cast("bigint")
+        .alias("n_diff"),
+    )
+
+
+@query("agg_kll_quantiles", oracle=None)
+def agg_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-mergeable quantiles via KLL sketches (Spark 4.1
+    Datasketches): per-event-type median and p90 of value from one
+    mergeable sketch per group. Rows-only at the driver (sketch
+    compaction is internal state, not ANSI-SQL-replayable); the
+    accompanying unit test bounds each estimate against the exact
+    quantile by KLL's normalized rank error
+    (tests/test_warehouse_ops.py).
+
+    Scale: the quantile state per group is a fixed ~k·log(n/k) items
+    regardless of group size, merges associatively across partitions
+    (one aggregate, map-side partials), and — unlike percentile_approx's
+    GK sketch — carries a PROVEN rank-error bound, which is why KLL is
+    the sketch of record for telemetry pipelines."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(F.kll_sketch_agg_double("value").alias("s"),
+             F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            "event_type",
+            "n",
+            F.round(F.kll_sketch_get_quantile_double("s", F.lit(0.5)), 2).alias("p50"),
+            F.round(F.kll_sketch_get_quantile_double("s", F.lit(0.9)), 2).alias("p90"),
+        )
+    )

@@ -458,3 +458,45 @@ def test_split_by_domain_is_map_only_and_group_consistent(spark):
     # leakage guarantee: every domain maps to exactly one split
     assert (pdf.groupby("source")["split"].nunique() == 1).all()
     assert set(pdf["split"]) <= {"train", "valid", "test"}
+
+
+# -- Datasketches ops ------------------------------------------------------
+
+
+def test_theta_exact_mode_precondition(spark):
+    """agg_theta_setops is hash-verified only because both cohorts sit
+    far below the sketch's 2^12 nominal capacity (exact mode). Guard the
+    precondition so a test-data change can't silently turn exact counts
+    into estimates."""
+    events = load(spark, SF_DIR, "events")
+    n = (
+        events.filter(F.col("value") > 250)
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()[0]
+        .n
+    )
+    assert n < 2**12, "cohorts must stay in Theta exact mode"
+
+
+def test_kll_quantiles_within_rank_error(spark):
+    """Every KLL estimate must sit within 5% normalized rank of the exact
+    quantile (k=200 guarantees ~1.65%; 5% is a loose CI-stable bound)."""
+    got = {
+        r.event_type: r
+        for r in registry.all_queries()["agg_kll_quantiles"](spark, SF_DIR).collect()
+    }
+    events = load(spark, SF_DIR, "events")
+    for etype, row in got.items():
+        vals = sorted(
+            r.value
+            for r in events.filter(F.col("event_type") == etype)
+            .select("value")
+            .collect()
+        )
+        n = len(vals)
+        assert row.n == n
+        for q, est in ((0.5, row.p50), (0.9, row.p90)):
+            import bisect
+
+            rank = bisect.bisect_left(vals, est) / n
+            assert abs(rank - q) <= 0.05, (etype, q, est, rank)
