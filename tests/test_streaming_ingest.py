@@ -67,3 +67,45 @@ def test_rest_api_datasource(spark):
     )
     assert flat.count() == 14  # 7 lines × 2 fixture trains
     assert flat.filter(F.col("train_id") == "2025-06-25#Purple#110#5").count() == 1
+
+
+def test_stream_reader_replay_equals_prefetch_path():
+    """Checkpoint-recovery contract of the REST streaming source: replaying
+    an offset range via readBetweenOffsets must yield exactly the rows the
+    prefetch path produced for those polls — otherwise a restart silently
+    changes history."""
+    from cta_train_tracker_analytics_spark.sources.rest_api import (
+        CTATrainLocationsStreamReader,
+    )
+
+    r = CTATrainLocationsStreamReader()
+    prefetched = []
+    off = r.initialOffset()
+    while True:
+        rows, nxt = r.read(off)
+        rows = list(rows)
+        if not rows and nxt == off:
+            break
+        prefetched.extend(rows)
+        off = nxt
+    replayed = list(r.readBetweenOffsets({"poll": 0}, off))
+    assert replayed == prefetched
+    assert off == {"poll": 3}
+    assert len(prefetched) == 21  # 3 polls × 7 lines
+
+
+def test_stream_reader_iterators_are_copy_and_pickle_safe():
+    """The engine copy.copy()s and pickles prefetched iterators
+    (datasource_internal cache); generators break both — pin the list
+    iterator contract."""
+    import copy
+    import pickle
+
+    from cta_train_tracker_analytics_spark.sources.rest_api import (
+        CTATrainLocationsStreamReader,
+    )
+
+    r = CTATrainLocationsStreamReader()
+    it, _ = r.read({"poll": 0})
+    clone = copy.copy(it)
+    assert list(pickle.loads(pickle.dumps(clone))) == list(it)
