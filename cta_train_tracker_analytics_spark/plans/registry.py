@@ -135,6 +135,7 @@ _PRIORITY = [
     "job_snapshot_diff",
     "agg_theta_setops",
     "agg_kll_quantiles",
+    "ext_entity_resolution_snm",
     # re-verify last round's fresh rows next, cheapest first
     "str_session_window",
     "str_stateful",
