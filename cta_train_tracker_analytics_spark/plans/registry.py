@@ -136,6 +136,8 @@ _PRIORITY = [
     "agg_theta_setops",
     "agg_kll_quantiles",
     "ext_entity_resolution_snm",
+    "ext_auc",
+    "ext_drift_psi",
     # re-verify last round's fresh rows next, cheapest first
     "str_session_window",
     "str_stateful",

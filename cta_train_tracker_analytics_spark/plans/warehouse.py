@@ -1694,3 +1694,149 @@ def ext_entity_resolution_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key_b").cast("bigint"),
         F.col("dist").cast("bigint").alias("edit_distance"),
     )
+
+
+# --------------------------------------------------------------------------
+# ML evaluation / monitoring: exact AUC, PSI drift
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ext_auc",
+    oracle="""
+    WITH scored AS (
+      SELECT value AS score,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+      FROM events
+    ),
+    per_score AS (
+      SELECT score,
+             CAST(count(*) AS BIGINT) AS n_s,
+             CAST(sum(label) AS BIGINT) AS pos_s
+      FROM scored GROUP BY score
+    ),
+    ranked AS (
+      SELECT score, n_s, pos_s,
+             coalesce(sum(n_s) OVER (ORDER BY score
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM per_score
+    ),
+    tot AS (SELECT sum(pos_s) AS p, sum(n_s) - sum(pos_s) AS n FROM per_score)
+    SELECT round((sum(pos_s * (cum_before + (n_s + 1) / 2.0))
+                  - p * (p + 1) / 2.0) / (p * n), 6) AS auc,
+           CAST(p AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n_neg
+    FROM ranked, tot GROUP BY p, n
+    """,
+)
+def ext_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC AUC at scale via the Mann-Whitney rank-sum identity,
+    with proper average ranks for ties: AUC = (Σ ranks of positives −
+    P(P+1)/2) / (P·N). The trap this avoids: a global rank() window over
+    raw rows collapses to ONE partition. Instead scores aggregate to
+    per-distinct-score (count, positives) in one shuffle, and the rank
+    arithmetic runs over that small table — the same
+    window-over-aggregates discipline as sql_market_share. Demo scoring:
+    value as the model score, purchase as the label (AUC ≈ 0.5 on
+    independent synthetic data — the point is the machinery).
+
+    Scale: one shuffle on score for the aggregate; the ordered prefix
+    sum runs over |distinct scores| rows. With billions of distinct
+    float scores, quantize to ~1e6 bins first (ext_drift_psi's binning)
+    — the bound moves from exact to ±1/bins, a documented knob."""
+    scored = load(spark, sf_dir, "events").select(
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+    )
+    per_score = scored.groupBy("score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_s"),
+        F.sum("label").cast("bigint").alias("pos_s"),
+    )
+    w = (
+        Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = per_score.withColumn(
+        "cum_before", F.coalesce(F.sum("n_s").over(w), F.lit(0))
+    )
+    tot = per_score.agg(
+        F.sum("pos_s").alias("p"), (F.sum("n_s") - F.sum("pos_s")).alias("n")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy("p", "n")
+        .agg(
+            F.round(
+                (
+                    F.sum(F.col("pos_s") * (F.col("cum_before") + (F.col("n_s") + 1) / 2.0))
+                    - F.col("p") * (F.col("p") + 1) / 2.0
+                )
+                / (F.col("p") * F.col("n")),
+                6,
+            ).alias("auc")
+        )
+        .select(
+            "auc",
+            F.col("p").cast("bigint").alias("n_pos"),
+            F.col("n").cast("bigint").alias("n_neg"),
+        )
+    )
+
+
+@query(
+    "ext_drift_psi",
+    oracle="""
+    WITH binned AS (
+      SELECT CASE WHEN day(ts) < 16 THEN 'ref' ELSE 'cur' END AS period,
+             least(CAST(floor(value / 50.0) AS INTEGER), 9) AS bin
+      FROM events
+    ),
+    cnt AS (
+      SELECT bin,
+             CAST(count(*) FILTER (period = 'ref') AS BIGINT) AS n_ref,
+             CAST(count(*) FILTER (period = 'cur') AS BIGINT) AS n_cur
+      FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM cnt),
+    p AS (
+      SELECT bin, n_ref, n_cur,
+             (n_ref + 0.5) / (tr + 5.0) AS p_ref,
+             (n_cur + 0.5) / (tc + 5.0) AS p_cur
+      FROM cnt, tot
+    )
+    SELECT bin, n_ref, n_cur,
+           round((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_term
+    FROM p
+    """,
+)
+def ext_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index — the standard drift monitor between a
+    reference window (first half of the month) and the current one:
+    values bin into 10 fixed
+    buckets, and each bin contributes (p_cur − p_ref)·ln(p_cur/p_ref)
+    (smoothed +0.5/bin so empty bins stay finite); Σ psi_term > 0.2 is
+    the conventional retrain alarm. Emitting per-bin terms (not just the
+    scalar) is what makes the report actionable — the drifting bins are
+    visible.
+
+    Scale: one conditional aggregate over the scan (both periods counted
+    in a single pass — no self-join of two period scans), bin totals
+    broadcast; fixed bin edges mean no quantile pre-pass and bins are
+    mergeable across days for rolling windows."""
+    events = load(spark, sf_dir, "events")
+    binned = events.select(
+        F.when(F.dayofmonth("ts") < 16, "ref").otherwise("cur").alias("period"),
+        F.least(F.floor(F.col("value") / 50.0).cast("int"), F.lit(9)).alias("bin"),
+    )
+    cnt = binned.groupBy("bin").agg(
+        F.count(F.when(F.col("period") == "ref", 1)).cast("bigint").alias("n_ref"),
+        F.count(F.when(F.col("period") == "cur", 1)).cast("bigint").alias("n_cur"),
+    )
+    tot = cnt.agg(F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc"))
+    p_ref = (F.col("n_ref") + 0.5) / (F.col("tr") + 5.0)
+    p_cur = (F.col("n_cur") + 0.5) / (F.col("tc") + 5.0)
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
+    )
