@@ -138,6 +138,8 @@ _PRIORITY = [
     "ext_entity_resolution_snm",
     "ext_auc",
     "ext_drift_psi",
+    "sql_lateral_topk",
+    "ext_ks_test",
     # re-verify last round's fresh rows next, cheapest first
     "str_session_window",
     "str_stateful",

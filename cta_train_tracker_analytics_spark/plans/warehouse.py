@@ -1840,3 +1840,82 @@ def ext_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_cur",
         F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
     )
+
+
+_LATERAL_SQL = """
+SELECT c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS totalprice
+FROM {cust},
+LATERAL (SELECT o_orderkey, o_totalprice FROM {orders}
+         WHERE o_custkey = c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+"""
+
+
+@query(
+    "sql_lateral_topk",
+    oracle=_LATERAL_SQL.format(cust="customer", orders="orders"),
+)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer top-2 orders via a correlated LATERAL subquery with
+    ORDER BY + LIMIT — the same SQL text runs on Spark and DuckDB. Spark
+    decorrelates this into the join + per-key window/group-limit plan a
+    hand-written rank()-filter would produce, so the declarative form
+    costs nothing over the manual one — LATERAL is API surface, not a
+    different engine path.
+
+    Scale: decorrelation means one equi-shuffle on the key with a
+    per-key limit — never a per-customer subquery execution loop."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_lv")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_lv")
+    return spark.sql(_LATERAL_SQL.format(cust="customer_lv", orders="orders_lv"))
+
+
+@query(
+    "ext_ks_test",
+    oracle="""
+    WITH s AS (
+      SELECT value, CASE WHEN day(ts) < 16 THEN 1 ELSE 0 END AS is_ref
+      FROM events
+    ),
+    per_v AS (
+      SELECT value,
+             CAST(sum(is_ref) AS BIGINT) AS n_ref,
+             CAST(count(*) - sum(is_ref) AS BIGINT) AS n_cur
+      FROM s GROUP BY value
+    ),
+    tot AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM per_v),
+    cdf AS (
+      SELECT sum(n_ref) OVER (ORDER BY value) / (1.0 * tr) AS f_ref,
+             sum(n_cur) OVER (ORDER BY value) / (1.0 * tc) AS f_cur
+      FROM per_v, tot
+    )
+    SELECT round(max(abs(f_ref - f_cur)), 6) AS ks_stat
+    FROM cdf
+    """,
+)
+def ext_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the month's two
+    halves: max gap between the empirical CDFs — the sharper sibling of
+    ext_drift_psi (binless, detects any distributional shift, not just
+    binned mass movement). Same scale discipline as ext_auc: one
+    conditional aggregate to per-distinct-value counts, then the CDF
+    windows run over that small table; the max-gap reduce is one scalar
+    aggregate.
+
+    Scale: the ordered CDF window runs over |distinct values| rows (the
+    quantize-first knob applies verbatim when that explodes); the raw
+    scan is touched exactly once."""
+    s = load(spark, sf_dir, "events").select(
+        "value", F.when(F.dayofmonth("ts") < 16, 1).otherwise(0).alias("is_ref")
+    )
+    per_v = s.groupBy("value").agg(
+        F.sum("is_ref").cast("bigint").alias("n_ref"),
+        (F.count(F.lit(1)) - F.sum("is_ref")).cast("bigint").alias("n_cur"),
+    )
+    tot = per_v.agg(F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc"))
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cdf = per_v.crossJoin(F.broadcast(tot)).select(
+        (F.sum("n_ref").over(w) / (1.0 * F.col("tr"))).alias("f_ref"),
+        (F.sum("n_cur").over(w) / (1.0 * F.col("tc"))).alias("f_cur"),
+    )
+    return cdf.agg(F.round(F.max(F.abs(F.col("f_ref") - F.col("f_cur"))), 6).alias("ks_stat"))
