@@ -140,6 +140,7 @@ _PRIORITY = [
     "ext_drift_psi",
     "sql_lateral_topk",
     "ext_ks_test",
+    "ext_bootstrap_ci",
     # re-verify last round's fresh rows next, cheapest first
     "str_session_window",
     "str_stateful",

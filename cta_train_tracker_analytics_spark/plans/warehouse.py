@@ -1919,3 +1919,98 @@ def ext_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("n_cur").over(w) / (1.0 * F.col("tc"))).alias("f_cur"),
     )
     return cdf.agg(F.round(F.max(F.abs(F.col("f_ref") - F.col("f_cur"))), 6).alias("ks_stat"))
+
+
+@query(
+    "ext_bootstrap_ci",
+    oracle="""
+    WITH r AS (
+      SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents,
+             unnest(generate_series(0, 199)) AS rep
+      FROM events
+    ),
+    u AS (
+      SELECT rep, cents,
+             ((1103515245 * (event_id * 200 + rep) + 12345) % 2147483648)
+                 / 2147483648.0 AS unif
+      FROM r
+    ),
+    w AS (
+      SELECT rep, cents,
+             CASE WHEN unif < 0.367879441 THEN 0
+                  WHEN unif < 0.735758882 THEN 1
+                  WHEN unif < 0.919698603 THEN 2
+                  WHEN unif < 0.980940844 THEN 3
+                  WHEN unif < 0.996231909 THEN 4
+                  WHEN unif < 0.999289985 THEN 5
+                  ELSE 6 END AS wt
+      FROM u
+    ),
+    means AS (
+      SELECT rep, sum(wt * cents) / (100.0 * sum(wt)) AS m
+      FROM w GROUP BY rep
+    ),
+    sorted AS (SELECT list(m ORDER BY m) AS ms FROM means)
+    SELECT CAST(200 AS BIGINT) AS n_reps,
+           round((SELECT sum(CAST(round(value * 100) AS BIGINT)) / (100.0 * count(*))
+                  FROM events), 4) AS mean_value,
+           round(ms[5], 4) AS ci_low,
+           round(ms[196], 4) AS ci_high
+    FROM sorted
+    """,
+)
+def ext_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% confidence interval for the mean event value
+    — the resampling trick that makes bootstrap distributed: instead of
+    drawing 200 full resamples (impossible without 200 shuffles of the
+    corpus), each row draws an independent Poisson(1) weight per
+    replicate (inverse-CDF over a deterministic LCG uniform), so all 200
+    resample means come out of ONE aggregate over a 200-way exploded
+    scan. CI bounds are the 5th and 196th sorted replicate means.
+    Everything is integer-exact (values in cents, integer weights), so
+    both engines agree bitwise before the final division.
+
+    Scale: one wide scan (200× row explosion — at 100 TB run replicates
+    in column groups of 20 to cap the blowup), one shuffle of 200
+    partial sums per partition; the 200-row means table sorts anywhere.
+    The LCG replays in SQL, making a fundamentally randomized method
+    hash-verifiable (same discipline as the minhash family)."""
+    events = load(spark, sf_dir, "events")
+    r = events.select(
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        F.explode(F.sequence(F.lit(0), F.lit(199))).alias("rep"),
+    )
+    unif = (
+        (1103515245 * (F.col("event_id") * 200 + F.col("rep")) + 12345) % 2147483648
+    ) / 2147483648.0
+    wt = (
+        F.when(unif < 0.367879441, 0)
+        .when(unif < 0.735758882, 1)
+        .when(unif < 0.919698603, 2)
+        .when(unif < 0.980940844, 3)
+        .when(unif < 0.996231909, 4)
+        .when(unif < 0.999289985, 5)
+        .otherwise(6)
+    )
+    means = (
+        r.withColumn("wt", wt)
+        .groupBy("rep")
+        .agg(
+            (F.sum(F.col("wt") * F.col("cents")) / (100.0 * F.sum("wt"))).alias("m")
+        )
+    )
+    sorted_means = means.agg(F.array_sort(F.collect_list("m")).alias("ms"))
+    full_mean = events.agg(
+        F.round(
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            / (100.0 * F.count(F.lit(1))),
+            4,
+        ).alias("mean_value")
+    )
+    return sorted_means.crossJoin(F.broadcast(full_mean)).select(
+        F.lit(200).cast("bigint").alias("n_reps"),
+        "mean_value",
+        F.round(F.element_at("ms", 5), 4).alias("ci_low"),
+        F.round(F.element_at("ms", 196), 4).alias("ci_high"),
+    )
