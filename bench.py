@@ -123,6 +123,13 @@ HEADLINE = [
     "job_snapshot_diff",
     "ext_frame_sample",
     "job_observed_metrics",
+    "ext_entity_resolution_snm",
+    "agg_theta_setops",
+    "ext_auc",
+    "ext_drift_psi",
+    "ext_ks_test",
+    "sql_lateral_topk",
+    "ext_bootstrap_ci",
 ]
 # NOTE: the headline set GREW in round 5 (salted join, pivot, quantile and
 # pandas-UDAF aggregates, multi-probe IVF) — compare totals across rounds

@@ -141,6 +141,7 @@ _PRIORITY = [
     "sql_lateral_topk",
     "ext_ks_test",
     "ext_bootstrap_ci",
+    "ext_mad_outliers",
     # re-verify last round's fresh rows next, cheapest first
     "str_session_window",
     "str_stateful",

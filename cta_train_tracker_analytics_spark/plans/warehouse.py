@@ -2014,3 +2014,69 @@ def ext_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("ms", 5), 4).alias("ci_low"),
         F.round(F.element_at("ms", 196), 4).alias("ci_high"),
     )
+
+
+@query(
+    "ext_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type, med.med,
+             quantile_cont(abs(e.value - med.med), 0.5) AS mad
+      FROM events e JOIN med ON e.event_type = med.event_type
+      GROUP BY e.event_type, med.med
+    )
+    SELECT e.event_type,
+           round(mad.med, 4) AS med,
+           round(mad.mad, 4) AS mad,
+           CAST(count(*) FILTER (abs(e.value - mad.med) > 3 * 1.4826 * mad.mad)
+                AS BIGINT) AS n_outliers
+    FROM events e JOIN mad ON e.event_type = mad.event_type
+    GROUP BY e.event_type, mad.med, mad.mad
+    """,
+)
+def ext_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation: per group,
+    med = median(value), MAD = median(|value − med|), and points beyond
+    3·1.4826·MAD are counted — the robust z-score that mean/stddev
+    screens (win_anomaly_zscore) get wrong under heavy tails, since one
+    extreme value drags the mean but not the median. Exact medians via
+    Spark's percentile aggregate, interpolation-matched to DuckDB's
+    quantile_cont.
+
+    Scale: inherently two passes (MAD is a median OF residuals from a
+    median — not algebraic, no single-pass form exists); each pass is
+    one groupBy with the per-group constants broadcast back. For
+    approximate single-pass at extreme scale swap percentile →
+    percentile_approx and document the error, same plan."""
+    events = load(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    mad = (
+        events.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad"))
+    )
+    return (
+        events.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(
+                F.when(
+                    F.abs(F.col("value") - F.col("med")) > 3 * 1.4826 * F.col("mad"), 1
+                )
+            )
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+            "n_outliers",
+        )
+    )
