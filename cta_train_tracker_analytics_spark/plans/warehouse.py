@@ -1677,16 +1677,32 @@ def ext_entity_resolution_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.lead("side", i).over(w).alias(f"s{i}") for i in (1, 2, 3)],
         *[F.lead("k", i).over(w).alias(f"k{i}") for i in (1, 2, 3)],
     )
-    pairs = None
-    for i in (1, 2, 3):
-        p = s.filter(F.col(f"n{i}").isNotNull()).select(
+    # explode, NOT a 3-way union of selects over `s`: a union re-evaluates
+    # the windowed subplan once per branch (3 sorts + 3 exchanges); the
+    # exploded struct array keeps ONE Window and fans out after it
+    nb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.col(f"n{i}").alias("n"),
+                    F.col(f"s{i}").alias("s"),
+                    F.col(f"k{i}").alias("kk"),
+                )
+                for i in (1, 2, 3)
+            ]
+        )
+    )
+    pairs = (
+        s.select("k", "name", "side", nb.alias("nb"))
+        .filter(F.col("nb.n").isNotNull())
+        .select(
             F.col("k").alias("key_a"),
             F.col("side").alias("side_a"),
-            F.col(f"k{i}").alias("key_b"),
-            F.col(f"s{i}").alias("side_b"),
-            F.levenshtein("name", f"n{i}").alias("dist"),
+            F.col("nb.kk").alias("key_b"),
+            F.col("nb.s").alias("side_b"),
+            F.levenshtein("name", F.col("nb.n")).alias("dist"),
         )
-        pairs = p if pairs is None else pairs.unionByName(p)
+    )
     return pairs.filter(
         (F.col("side_a") != F.col("side_b")) & (F.col("dist") <= 2)
     ).select(

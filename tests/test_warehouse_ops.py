@@ -500,3 +500,12 @@ def test_kll_quantiles_within_rank_error(spark):
 
             rank = bisect.bisect_left(vals, est) / n
             assert abs(rank - q) <= 0.05, (etype, q, est, rank)
+
+
+def test_snm_single_window_single_exchange(spark):
+    """The sorted-neighborhood pairing must evaluate its window ONCE —
+    the explode-over-struct-array fanout, not a 3-way union that
+    re-sorts the block three times."""
+    p = plan(spark, "ext_entity_resolution_snm")
+    assert p.count("Window [") == 1
+    assert p.count("Exchange") == 1
