@@ -142,6 +142,8 @@ _PRIORITY = [
     "ext_ks_test",
     "ext_bootstrap_ci",
     "ext_mad_outliers",
+    "ext_graph_triangles",
+    "ext_ab_welch",
     # re-verify last round's fresh rows next, cheapest first
     "str_session_window",
     "str_stateful",

@@ -2096,3 +2096,170 @@ def ext_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+@query(
+    "ext_graph_triangles",
+    oracle="""
+    WITH p AS (SELECT count(*) AS n FROM documents),
+    raw AS (
+      SELECT doc_id AS u, (doc_id * 3 + 1) % n AS v FROM documents, p
+      UNION ALL SELECT doc_id, (doc_id * 7 + 2) % n FROM documents, p
+      UNION ALL SELECT doc_id, (doc_id * 11 + 3) % n FROM documents, p
+    ),
+    und AS (
+      SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+      FROM raw WHERE u <> v
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT a AS node FROM und UNION ALL SELECT b FROM und
+      ) GROUP BY node
+    ),
+    ordered AS (
+      -- orient each edge from lower (degree, id) to higher: every triangle
+      -- has exactly one wedge at its lowest-ranked vertex
+      SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END AS src,
+             CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END AS dst
+      FROM und e
+      JOIN deg da ON da.node = e.a
+      JOIN deg db ON db.node = e.b
+    ),
+    wedges AS (
+      SELECT w1.src AS x, w1.dst AS y, w2.dst AS z
+      FROM ordered w1 JOIN ordered w2
+        ON w2.src = w1.src AND w1.dst < w2.dst
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles,
+           CAST((SELECT count(*) FROM und) AS BIGINT) AS n_edges
+    FROM wedges w
+    WHERE EXISTS (SELECT 1 FROM ordered o
+                  WHERE (o.src = w.y AND o.dst = w.z)
+                     OR (o.src = w.z AND o.dst = w.y))
+    """,
+)
+def ext_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the deterministic document link graph with the
+    degree-ordered wedge optimization (Cohen's MapReduce formulation /
+    node-iterator++): orient each undirected edge from its lower-(degree,
+    id) endpoint, form wedges only at each vertex's out-neighbors, and
+    close them with a semi join against the edge set. Orientation bounds
+    out-degree by O(sqrt(E)) on any graph, so wedge count — the shuffle
+    volume — drops from Σ d(v)² (quadratic at hubs) to O(E^1.5), which is
+    what makes exact triangle counting feasible on a 100 TB social graph
+    where a hub vertex would otherwise generate 10^12 wedges.
+
+    Scale: three shuffles — degree aggregate, wedge self-join on src,
+    wedge-closure semi join on (y,z) — all equi-joins; no vertex ever
+    enumerates its full neighborhood pair set unless it is globally
+    low-degree."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    raw = docs.select(
+        F.col("doc_id").alias("u"),
+        F.explode(
+            F.array(
+                (F.col("doc_id") * 3 + 1) % n,
+                (F.col("doc_id") * 7 + 2) % n,
+                (F.col("doc_id") * 11 + 3) % n,
+            )
+        ).alias("v"),
+    ).filter(F.col("u") != F.col("v"))
+    und = raw.select(
+        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    ).distinct()
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    e = (
+        und.join(deg.select(F.col("node").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("d").alias("db")), "b")
+    )
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    ordered = e.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    )
+    w1 = ordered.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    w2 = ordered.select(F.col("src").alias("x"), F.col("dst").alias("z"))
+    wedges = w1.join(w2, "x").filter(F.col("y") < F.col("z"))
+    closures = ordered.select("src", "dst").unionAll(
+        ordered.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    tri = wedges.join(
+        closures,
+        (F.col("y") == F.col("src")) & (F.col("z") == F.col("dst")),
+        "left_semi",
+    )
+    n_edges = und.count()
+    return tri.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles"),
+        F.lit(n_edges).cast("bigint").alias("n_edges"),
+    )
+
+
+@query(
+    "ext_ab_welch",
+    oracle="""
+    WITH s AS (
+      SELECT CASE WHEN day(ts) < 16 THEN 'a' ELSE 'b' END AS grp, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n, avg(value) AS mean,
+             var_samp(value) AS var
+      FROM s GROUP BY grp
+    )
+    SELECT a.n AS n_a, b.n AS n_b,
+           round(a.mean, 4) AS mean_a, round(b.mean, 4) AS mean_b,
+           round((a.mean - b.mean)
+                 / sqrt(a.var / a.n + b.var / b.n), 4) AS t_stat
+    FROM (SELECT * FROM m WHERE grp = 'a') a,
+         (SELECT * FROM m WHERE grp = 'b') b
+    """,
+)
+def ext_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B comparison via Welch's t statistic (unequal variances) between
+    the month's two halves of purchase values: per-group n/mean/variance
+    from one aggregate, then pure scalar arithmetic — the experiment
+    readout every event pipeline ends in.
+
+    Scale: var_samp is algebraic (sum, sum of squares, count partials
+    merge map-side), so the whole test is one shuffle of 2 groups; the
+    two one-row sides cross-combine for free. Pair with ext_bootstrap_ci
+    when normality is doubtful and with ext_ks_test for whole-
+    distribution shifts."""
+    s = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.when(F.dayofmonth("ts") < 16, "a").otherwise("b").alias("grp"), "value"
+        )
+    )
+    m = s.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.avg("value").alias("mean"),
+        F.var_samp("value").alias("var"),
+    )
+    a = m.filter(F.col("grp") == "a").select(
+        F.col("n").alias("n_a"), F.col("mean").alias("mean_a"), F.col("var").alias("var_a")
+    )
+    b = m.filter(F.col("grp") == "b").select(
+        F.col("n").alias("n_b"), F.col("mean").alias("mean_b"), F.col("var").alias("var_b")
+    )
+    return a.crossJoin(b).select(
+        "n_a",
+        "n_b",
+        F.round("mean_a", 4).alias("mean_a"),
+        F.round("mean_b", 4).alias("mean_b"),
+        F.round(
+            (F.col("mean_a") - F.col("mean_b"))
+            / F.sqrt(F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")),
+            4,
+        ).alias("t_stat"),
+    )
