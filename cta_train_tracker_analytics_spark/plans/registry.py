@@ -144,6 +144,7 @@ _PRIORITY = [
     "ext_mad_outliers",
     "ext_graph_triangles",
     "ext_ab_welch",
+    "win_ohlc",
     # re-verify last round's fresh rows next, cheapest first
     "str_session_window",
     "str_stateful",

@@ -2263,3 +2263,52 @@ def ext_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("t_stat"),
     )
+
+
+@query(
+    "win_ohlc",
+    oracle="""
+    WITH k AS (
+      SELECT CAST(ts AS DATE) AS d, value,
+             CAST(epoch(ts) AS BIGINT) * 1000000 + event_id AS ord
+      FROM events
+    )
+    SELECT d,
+           round(arg_min(value, ord), 2) AS open,
+           round(max(value), 2) AS high,
+           round(min(value), 2) AS low,
+           round(arg_max(value, ord), 2) AS close,
+           CAST(count(*) AS BIGINT) AS volume
+    FROM k GROUP BY d
+    """,
+)
+def win_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC (open/high/low/close) rollup of event values — the
+    time-series compaction every metrics store runs. Open/close are
+    min_by/max_by on a single deterministic ordering key (epoch-seconds
+    scaled plus event_id tiebreak — NTZ-safe arithmetic, no session-tz
+    dependence), so the whole bar is ONE aggregate: no window, no sort,
+    no self-join back to the first/last row.
+
+    Scale: min_by/max_by are algebraic — partials carry (key, value)
+    pairs and merge map-side, so a day's bar costs the same shuffle as a
+    plain count regardless of row volume. The window-function
+    formulation (row_number = 1 ascending and descending) pays a full
+    sort per partition; this form replaces it outright."""
+    events = load(spark, sf_dir, "events")
+    ord_key = (
+        F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+        * 1000000
+        + F.col("event_id")
+    )
+    return (
+        events.select(F.col("ts").cast("date").alias("d"), "value", ord_key.alias("ord"))
+        .groupBy("d")
+        .agg(
+            F.round(F.min_by("value", "ord"), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max_by("value", "ord"), 2).alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("volume"),
+        )
+    )
