@@ -145,6 +145,7 @@ _PRIORITY = [
     "ext_graph_triangles",
     "ext_ab_welch",
     "win_ohlc",
+    "win_session_paths",
     # re-verify last round's fresh rows next, cheapest first
     "str_session_window",
     "str_stateful",

@@ -2312,3 +2312,76 @@ def win_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("volume"),
         )
     )
+
+
+@query(
+    "win_session_paths",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marked
+    ),
+    paths AS (
+      SELECT user_id, sid,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path ASC LIMIT 20
+    """,
+)
+def win_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session paths: sessionize per user (30-minute gap), join
+    each session's event types into an ordered path string, count
+    identical paths corpus-wide — the path-mining query behind every
+    product-analytics funnel explorer. Path order is pinned by sorting
+    (ts, event_id, type) structs inside the aggregate, not by assuming
+    collect order.
+
+    Scale: the gaps-and-islands windows shuffle once on user_id, the
+    path aggregate reuses that partitioning ((user, sid) ⊂ user
+    clustering — no second exchange), and only the tiny distinct-path
+    table shuffles for the final count; top-20 is
+    TakeOrderedAndProject. Paths are bounded by session length — at
+    100 TB cap them (slice(.., 1, 50)) to bound row width, same plan."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = events.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_s",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.expr("timestampdiff(SECOND, prev_ts, ts)") >= 1800),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn("sid", F.sum("new_s").over(run))
+    paths = (
+        sess.groupBy("user_id", "sid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(20)
+    )
