@@ -146,6 +146,7 @@ _PRIORITY = [
     "ext_ab_welch",
     "win_ohlc",
     "win_session_paths",
+    "agg_markov_transitions",
     # re-verify last round's fresh rows next, cheapest first
     "str_session_window",
     "str_stateful",

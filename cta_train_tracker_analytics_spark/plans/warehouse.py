@@ -2385,3 +2385,51 @@ def win_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
         .limit(20)
     )
+
+
+@query(
+    "agg_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_type
+      FROM events
+    ),
+    c AS (
+      SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, event_type, n,
+           round(n / (1.0 * sum(n) OVER (PARTITION BY prev_type)), 6) AS p
+    FROM c
+    """,
+)
+def agg_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: count (previous type → type) bigrams and row-normalize
+    into transition probabilities — the model behind next-action
+    prediction and the expected-path baseline win_session_paths' counts
+    get compared against.
+
+    Scale: one window exchange on user_id for the lag, one aggregate to
+    the K² transition-count table (K = event-type cardinality), and the
+    normalizing window runs over that tiny table — window-over-aggregates
+    again, never over raw rows. The probability denominator is an exact
+    integer sum, so normalization is reproducible."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    c = seq.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wn = Window.partitionBy("prev_type")
+    return c.select(
+        "prev_type",
+        "event_type",
+        "n",
+        F.round(F.col("n") / (1.0 * F.sum("n").over(wn)), 6).alias("p"),
+    )
