@@ -147,6 +147,7 @@ _PRIORITY = [
     "win_ohlc",
     "win_session_paths",
     "agg_markov_transitions",
+    "ext_tfidf_cosine_pairs",
     # re-verify last round's fresh rows next, cheapest first
     "str_session_window",
     "str_stateful",

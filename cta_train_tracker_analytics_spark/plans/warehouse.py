@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..data import load
+from ..functions.text import tokens
 from ..operators.layout import morton_key, morton_sql
 from .registry import query
 
@@ -2433,3 +2434,125 @@ def agg_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / (1.0 * F.sum("n").over(wn)), 6).alias("p"),
     )
+
+
+@query(
+    "ext_tfidf_cosine_pairs",
+    oracle="""
+    WITH toks0 AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS l
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, t.tok
+      FROM documents, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t(tok)
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+    n AS (SELECT count(*) AS n FROM documents),
+    w AS (
+      SELECT tf.doc_id, tf.tok, tf.tf * ln(n.n / (1.0 * df.df)) AS wt
+      FROM tf JOIN df USING (tok) CROSS JOIN n
+    ),
+    nrm AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nrm FROM w GROUP BY doc_id),
+    tg AS (
+      SELECT DISTINCT doc_id, g.gram
+      FROM toks0, unnest(list_transform(generate_series(1, len(l) - 2),
+                         i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS g(gram)
+    ),
+    gdf AS (SELECT gram, count(*) AS df FROM tg GROUP BY gram),
+    rare_pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM tg a JOIN tg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      JOIN gdf ON gdf.gram = a.gram
+      WHERE gdf.df <= 5
+    ),
+    dots AS (
+      SELECT p.id_a, p.id_b, sum(wa.wt * wb.wt) AS dot
+      FROM rare_pairs p
+      JOIN w wa ON wa.doc_id = p.id_a
+      JOIN w wb ON wb.doc_id = p.id_b AND wb.tok = wa.tok
+      GROUP BY p.id_a, p.id_b
+    )
+    SELECT d.id_a, d.id_b,
+           round(d.dot / (na.nrm * nb.nrm), 4) AS cos_sim
+    FROM dots d
+    JOIN nrm na ON na.doc_id = d.id_a
+    JOIN nrm nb ON nb.doc_id = d.id_b
+    WHERE d.dot / (na.nrm * nb.nrm) >= 0.8
+    """,
+)
+def ext_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse textual similarity: unigram tf-idf cosine between document
+    pairs that share at least one RARE TRIGRAM (df <= 5) - the lexical
+    complement to the embedding-space dedup family. Blocking lives one
+    n-gram order above scoring on purpose: this corpus's unigram
+    vocabulary is tiny (every term is common - rare-unigram blocking is
+    vacuous), but trigram contexts are nearly unique, so a shared rare
+    trigram is strong evidence of copied phrasing; the same split
+    (specific key for candidates, dense features for scoring) is how
+    production ER blocks on phone+zip but scores on full records.
+
+    Scale: tf/df/norms are single-shuffle aggregates over the token
+    explosion; a trigram with df <= 5 contributes at most C(5,2) pairs,
+    so candidates grow linearly with the corpus; the dot product joins
+    the weight table twice on (doc, term) restricted to candidates -
+    never all-pairs."""
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    ts = tokens(F.col("text"))
+    toks = docs.select("doc_id", F.explode(ts).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    w = tf.join(df, "tok").select(
+        "doc_id",
+        "tok",
+        (F.col("tf") * F.log(F.lit(n) / (1.0 * F.col("df")))).alias("wt"),
+    )
+    nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm"))
+    grams = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(ts) - 2, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ", F.element_at(ts, i), F.element_at(ts, i + 1), F.element_at(ts, i + 2)
+            ),
+        ),
+        lambda g: F.size(F.split(g, " ")) == 3,
+    )
+    tg = (
+        docs.filter(F.size(ts) >= 3)
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    gdf = tg.groupBy("gram").agg(F.count(F.lit(1)).alias("gdf"))
+    rare_tg = tg.join(F.broadcast(gdf.filter(F.col("gdf") <= 5)), "gram")
+    pairs = (
+        rare_tg.select("gram", F.col("doc_id").alias("id_a"))
+        .join(rare_tg.select("gram", F.col("doc_id").alias("id_b")), "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    wa = w.select(F.col("doc_id").alias("id_a"), "tok", F.col("wt").alias("wa"))
+    wb = w.select(F.col("doc_id").alias("id_b"), "tok", F.col("wt").alias("wb"))
+    dots = (
+        pairs.join(wa, "id_a")
+        .join(wb, ["id_b", "tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = nrm.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("nb"))
+    cos = F.col("dot") / (F.col("na") * F.col("nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(cos >= 0.8)
+        .select("id_a", "id_b", F.round(cos, 4).alias("cos_sim"))
+    )
+
