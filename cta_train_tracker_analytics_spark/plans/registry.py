@@ -148,6 +148,9 @@ _PRIORITY = [
     "win_session_paths",
     "agg_markov_transitions",
     "ext_tfidf_cosine_pairs",
+    "win_drawdown",
+    "agg_gini_coefficient",
+    "ext_rfm_segments",
     # re-verify last round's fresh rows next, cheapest first
     "str_session_window",
     "str_stateful",

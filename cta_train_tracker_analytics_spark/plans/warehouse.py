@@ -2556,3 +2556,166 @@ def ext_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.round(cos, 4).alias("cos_sim"))
     )
 
+
+
+@query(
+    "win_drawdown",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, ts, event_id,
+             sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, cum,
+             max(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      FROM c
+    )
+    SELECT user_id,
+           round(max(peak - cum), 2) AS max_drawdown,
+           round(max(peak), 2) AS peak_value
+    FROM r GROUP BY user_id
+    """,
+)
+def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user over the cumulative value series — the
+    running-peak-minus-current composition (cumulative sum → running max
+    → max gap) that prices risk in any monotone-peak metric: portfolio
+    value, cumulative reward, SLA credit burn.
+
+    Scale: both windows and the final aggregate share the user_id
+    partitioning — one exchange total; each window keeps O(1) state per
+    row (running sum, running max). Float note: cumulative sums are
+    order-fixed by the (ts, event_id) sort, so both engines add in the
+    same sequence and agree bitwise before rounding."""
+    events = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = events.withColumn("cum", F.sum("value").over(w))
+    r = c.withColumn("peak", F.max("cum").over(w))
+    return r.groupBy("user_id").agg(
+        F.round(F.max(F.col("peak") - F.col("cum")), 2).alias("max_drawdown"),
+        F.round(F.max("peak"), 2).alias("peak_value"),
+    )
+
+
+@query(
+    "agg_gini_coefficient",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey, sum(o_totalprice) AS s
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT s, row_number() OVER (ORDER BY s, o_custkey) AS i,
+             count(*) OVER () AS n, sum(s) OVER () AS tot
+      FROM spend
+    )
+    SELECT round(2.0 * sum(i * s) / (n * tot) - (n + 1.0) / n, 6) AS gini,
+           CAST(n AS BIGINT) AS n_customers
+    FROM ranked GROUP BY n, tot
+    """,
+)
+def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend concentration via the sorted
+    rank identity G = 2·Σ i·x_i / (n·Σx) − (n+1)/n — the one-number
+    answer to 'how concentrated is our revenue'. The global rank runs
+    over the PER-CUSTOMER aggregate (one row per customer), not raw
+    orders — window-over-aggregates again; the customer-key tiebreak
+    makes equal-spend ranks deterministic (rank assignment among ties
+    doesn't change the sum, but determinism keeps both engines
+    bit-aligned).
+
+    Scale: one shuffle to per-customer sums; the ranked window is a sort
+    of |customers| rows. For billions of customers, bucket spends first
+    (Gini over the histogram, exact given bucket granularity)."""
+    spend = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("s"))
+    )
+    w = Window.orderBy("s", "o_custkey")
+    ranked = spend.select(
+        "s",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        F.sum("s").over(Window.partitionBy()).alias("tot"),
+    )
+    return ranked.groupBy("n", "tot").agg(
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("s")) / (F.col("n") * F.col("tot"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            6,
+        ).alias("gini")
+    ).select("gini", F.col("n").cast("bigint").alias("n_customers"))
+
+
+@query(
+    "ext_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+      SELECT user_id,
+             max(ts) AS last_ts,
+             CAST(count(*) AS BIGINT) AS frequency,
+             round(sum(value), 2) AS monetary
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ),
+    scored AS (
+      SELECT user_id, frequency, monetary,
+             ntile(5) OVER (ORDER BY last_ts, user_id) AS r_score,
+             ntile(5) OVER (ORDER BY frequency, user_id) AS f_score,
+             ntile(5) OVER (ORDER BY monetary, user_id) AS m_score
+      FROM rfm
+    )
+    SELECT CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(sum(monetary), 2) AS segment_value
+    FROM scored GROUP BY r_score, f_score, m_score
+    """,
+)
+def ext_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-user recency/frequency/monetary from one
+    purchase aggregate, quintile-scored on each axis (user_id tiebreak
+    pins ntile boundaries deterministically), rolled up to segment
+    counts and value — the marketing-analytics workhorse.
+
+    Scale: the raw scan collapses to one row per user before any window;
+    the three ntile windows sort that small table (for billions of
+    users, replace ntile with bucketing by precomputed approx-quantile
+    edges — same output contract, no global sort)."""
+    rfm = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.round(F.sum("value"), 2).alias("monetary"),
+        )
+    )
+    scored = rfm.select(
+        "user_id",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(Window.orderBy("last_ts", "user_id")).alias("r_score"),
+        F.ntile(5).over(Window.orderBy("frequency", "user_id")).alias("f_score"),
+        F.ntile(5).over(Window.orderBy("monetary", "user_id")).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.round(F.sum("monetary"), 2).alias("segment_value"),
+    ).select(
+        F.col("r_score").cast("bigint"),
+        F.col("f_score").cast("bigint"),
+        F.col("m_score").cast("bigint"),
+        "n_users",
+        "segment_value",
+    )
