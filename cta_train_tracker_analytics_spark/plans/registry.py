@@ -151,6 +151,8 @@ _PRIORITY = [
     "win_drawdown",
     "agg_gini_coefficient",
     "ext_rfm_segments",
+    "agg_weighted_median",
+    "win_time_weighted_avg",
     # re-verify last round's fresh rows next, cheapest first
     "str_session_window",
     "str_stateful",

@@ -2719,3 +2719,113 @@ def ext_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         "segment_value",
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH g AS (
+      SELECT c_mktsegment, o_totalprice AS v, 1.0 AS w, o_orderkey
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    cum AS (
+      SELECT c_mktsegment, v, o_orderkey,
+             sum(w) OVER (PARTITION BY c_mktsegment ORDER BY v, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             sum(w) OVER (PARTITION BY c_mktsegment) AS tw
+      FROM g
+    ),
+    hit AS (
+      SELECT c_mktsegment, v,
+             row_number() OVER (PARTITION BY c_mktsegment ORDER BY v, o_orderkey)
+                 AS rn
+      FROM cum WHERE cw >= tw / 2.0
+    )
+    SELECT c_mktsegment, round(v, 2) AS weighted_median
+    FROM hit WHERE rn = 1
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median by cumulative-weight crossing: sort each group by
+    value, accumulate weights, and take the first value whose cumulative
+    weight reaches half the total — the general form that handles
+    arbitrary weights (demo uses unit weights; swap ``w`` for revenue,
+    duration, or importance and nothing else changes), where
+    percentile()/quantile aggregates only do the unweighted case.
+
+    Scale: one exchange on the group key; cumulative weight and the
+    crossing pick are partition-local windows; the orderkey tiebreak
+    pins which of several equal values crosses first on both engines."""
+    g = (
+        load(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(load(spark, sf_dir, "customer")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("c_mktsegment", F.col("o_totalprice").alias("v"), F.lit(1.0).alias("w"), "o_orderkey")
+    )
+    w_cum = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("v", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = g.select(
+        "c_mktsegment",
+        "v",
+        "o_orderkey",
+        F.sum("w").over(w_cum).alias("cw"),
+        F.sum("w").over(Window.partitionBy("c_mktsegment")).alias("tw"),
+    )
+    hit = cum.filter(F.col("cw") >= F.col("tw") / 2.0).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("c_mktsegment").orderBy("v", "o_orderkey")
+        ),
+    )
+    return hit.filter(F.col("rn") == 1).select(
+        "c_mktsegment", F.round("v", 2).alias("weighted_median")
+    )
+
+
+@query(
+    "win_time_weighted_avg",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, value, ts,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+      FROM events
+    ),
+    d AS (
+      SELECT user_id, value,
+             epoch_us(next_ts) - epoch_us(ts) AS dur_us
+      FROM g WHERE next_ts IS NOT NULL
+    )
+    SELECT user_id,
+           round(sum(value * dur_us) / sum(dur_us), 4) AS twap,
+           CAST(sum(dur_us) AS BIGINT) AS covered_us
+    FROM d GROUP BY user_id
+    """,
+)
+def win_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP): each reading holds until the next
+    one, so its weight is its holding duration — the correct average for
+    irregularly-sampled telemetry (a sensor that reports hourly then
+    every second would otherwise be dominated by the chatty period).
+    Durations from a lead() window, NTZ-safe epoch arithmetic, integer
+    MICROseconds so the weights are exact at sub-second event spacing.
+
+    Scale: one exchange on user_id shared by the lead window and the
+    final aggregate; numerators/denominators are algebraic partials."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = events.withColumn("next_ts", F.lead("ts").over(w)).filter(
+        F.col("next_ts").isNotNull()
+    )
+    dur = F.expr("timestampdiff(MICROSECOND, ts, next_ts)").cast("bigint")
+    d = g.select("user_id", "value", dur.alias("dur_us"))
+    return d.groupBy("user_id").agg(
+        F.round(F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us"), 4).alias(
+            "twap"
+        ),
+        F.sum("dur_us").cast("bigint").alias("covered_us"),
+    )
