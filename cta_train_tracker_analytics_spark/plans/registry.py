@@ -153,6 +153,8 @@ _PRIORITY = [
     "ext_rfm_segments",
     "agg_weighted_median",
     "win_time_weighted_avg",
+    "job_incremental_agg_retract",
+    "agg_pareto_8020",
     # re-verify last round's fresh rows next, cheapest first
     "str_session_window",
     "str_stateful",

@@ -2829,3 +2829,113 @@ def win_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum("dur_us").cast("bigint").alias("covered_us"),
     )
+
+
+@query(
+    "job_incremental_agg_retract",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE NOT (o_orderkey % 113 = 0 AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00')
+    GROUP BY c_mktsegment
+    """,
+)
+def job_incremental_agg_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance WITH RETRACTIONS: after the view is
+    materialized from history (job_incremental_agg's day-0 step), a
+    correction arrives that DELETES some historical orders (orderkey %
+    113, standing in for chargebacks/GDPR erasure). Instead of
+    recomputing history, the deleted rows' aggregate is applied as a
+    NEGATED delta — counts and sums subtract — and the merged view must
+    equal the full recompute over the corrected table. This is the
+    retraction half of IVM that append-only deltas can't express; it
+    works because count/sum partials form a group (inverses exist) —
+    min/max do NOT retract and need a recompute-affected-groups path,
+    which is the documented limit.
+
+    Scale: the correction costs O(|deleted|) + O(|view|); the history
+    partition is never rescanned."""
+    from .io_queries import _scratch
+
+    view_path = _scratch("job_incremental_agg_retract", sf_dir)
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    cutoff = F.lit("1999-01-01 00:00:00").cast("timestamp_ntz")
+
+    def rollup(part: DataFrame, sign: int) -> DataFrame:
+        return (
+            part.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("c_mktsegment")
+            .agg(
+                (F.lit(sign) * F.count(F.lit(1))).cast("bigint").alias("n_orders"),
+                (F.lit(sign) * F.sum("o_totalprice")).alias("price_partial"),
+            )
+        )
+
+    hist = orders.filter(F.col("o_orderdate") < cutoff)
+    rollup(hist, 1).write.mode("overwrite").parquet(view_path)
+    view = spark.read.parquet(view_path)
+    retract = rollup(hist.filter(F.col("o_orderkey") % 113 == 0), -1)
+    append = rollup(orders.filter(F.col("o_orderdate") >= cutoff), 1)
+    return (
+        view.unionByName(retract)
+        .unionByName(append)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.round(F.sum("price_partial"), 2).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "agg_pareto_8020",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey, sum(o_totalprice) AS s FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT s,
+             sum(s) OVER (ORDER BY s DESC, o_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(s) OVER () AS tot,
+             row_number() OVER (ORDER BY s DESC, o_custkey) AS rn,
+             count(*) OVER () AS n
+      FROM spend
+    )
+    SELECT CAST(min(rn) AS BIGINT) AS top_customers,
+           CAST(max(n) AS BIGINT) AS all_customers,
+           round(CAST(min(rn) AS DOUBLE) / max(n), 4) AS customer_share
+    FROM ranked WHERE cum >= 0.8 * tot
+    """,
+)
+def agg_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: the smallest set of top customers covering
+    80% of revenue — sort per-customer spend descending, accumulate, and
+    find the crossing rank (the same cumulative-crossing machinery as
+    agg_weighted_median, pointed at the business's favorite question).
+
+    Scale: raw orders collapse to per-customer sums first; the ordered
+    windows run over that one-row-per-customer table. The descending
+    cumulative sum is order-pinned by the custkey tiebreak, so the
+    crossing rank is deterministic on both engines."""
+    spend = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("s"))
+    )
+    w = Window.orderBy(F.col("s").desc(), "o_custkey")
+    ranked = spend.select(
+        "s",
+        F.sum("s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("cum"),
+        F.sum("s").over(Window.partitionBy()).alias("tot"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.filter(F.col("cum") >= 0.8 * F.col("tot")).agg(
+        F.min("rn").cast("bigint").alias("top_customers"),
+        F.max("n").cast("bigint").alias("all_customers"),
+        F.round(F.min("rn").cast("double") / F.max("n"), 4).alias("customer_share"),
+    )
