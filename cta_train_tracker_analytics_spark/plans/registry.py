@@ -155,6 +155,7 @@ _PRIORITY = [
     "win_time_weighted_avg",
     "job_incremental_agg_retract",
     "agg_pareto_8020",
+    "job_skew_report",
     # re-verify last round's fresh rows next, cheapest first
     "str_session_window",
     "str_stateful",

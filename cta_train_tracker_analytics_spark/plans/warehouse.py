@@ -2939,3 +2939,61 @@ def agg_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("bigint").alias("all_customers"),
         F.round(F.min("rn").cast("double") / F.max("n"), 4).alias("customer_share"),
     )
+
+
+@query(
+    "job_skew_report",
+    oracle="""
+    WITH k AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_custkey
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(max(n) AS BIGINT) AS max_rows,
+             round(avg(n), 4) AS mean_rows,
+             CAST(quantile_disc(n, 0.99) AS BIGINT) AS p99_rows
+      FROM k
+    )
+    SELECT n_keys, max_rows, mean_rows, p99_rows,
+           round(max_rows / mean_rows, 4) AS skew_factor
+    FROM stats
+    """,
+)
+def job_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew preflight: per-key row counts reduced to the
+    numbers that decide a join strategy — key count, max/mean/p99 rows
+    per key, and the max/mean skew factor. At 100 TB you run THIS before
+    the join: skew_factor near 1 → plain shuffle join; tens → AQE
+    skew-join handles it; thousands (a null key, a default value) →
+    salt the hot keys (join_salted_skew) or filter-and-union them. The
+    report is the decision input, produced for the cost of one count
+    aggregate.
+
+    Scale: groupBy count collapses the table map-side; the stats
+    aggregate runs over one row per key. quantile_disc/percentile pick
+    the same discrete element on both engines (the lower-median
+    convention pinned by win_rolling_median)."""
+    k = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    stats = k.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("n").cast("bigint").alias("max_rows"),
+        F.round(F.avg("n"), 4).alias("mean_rows"),
+        # quantile_disc convention: 1-based index ceil(n*q) — verified
+        # empirically against DuckDB across n (floor((n-1)*q) does not match)
+        F.expr(
+            "CAST(element_at(array_sort(collect_list(n)),"
+            " CAST(ceil(count(n) * 0.99) AS INT)) AS BIGINT)"
+        ).alias("p99_rows"),
+    )
+    return stats.select(
+        "n_keys",
+        "max_rows",
+        "mean_rows",
+        "p99_rows",
+        F.round(F.col("max_rows") / F.col("mean_rows"), 4).alias("skew_factor"),
+    )
