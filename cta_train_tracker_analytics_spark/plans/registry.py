@@ -156,6 +156,9 @@ _PRIORITY = [
     "job_incremental_agg_retract",
     "agg_pareto_8020",
     "job_skew_report",
+    "ext_cohort_ltv",
+    "ext_text_readability",
+    "agg_benford_deviation",
     # re-verify last round's fresh rows next, cheapest first
     "str_session_window",
     "str_stateful",

@@ -2997,3 +2997,173 @@ def job_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p99_rows",
         F.round(F.col("max_rows") / F.col("mean_rows"), 4).alias("skew_factor"),
     )
+
+
+@query(
+    "ext_cohort_ltv",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+    ),
+    rev AS (
+      SELECT f.cohort_day,
+             CAST(CAST(e.ts AS DATE) - f.cohort_day AS BIGINT) AS day_offset,
+             e.value
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id
+      WHERE e.event_type = 'purchase'
+    ),
+    daily AS (
+      SELECT cohort_day, day_offset, sum(value) AS v
+      FROM rev GROUP BY cohort_day, day_offset
+    )
+    SELECT cohort_day, day_offset,
+           round(sum(v) OVER (PARTITION BY cohort_day ORDER BY day_offset
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS cum_revenue
+    FROM daily
+    """,
+)
+def ext_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users grouped by first-seen day,
+    purchase revenue accumulated over days-since-signup — the LTV table
+    behind every growth dashboard (job_retention counts who comes back;
+    this measures what they spend). The cumulative window runs over the
+    per-(cohort, offset) DAILY aggregate, not raw purchases.
+
+    Scale: first-seen is one aggregate; the cohort join broadcasts (one
+    row per user); the running sum touches cohorts × offsets rows.
+    Cumulative floats are order-pinned by the offset sort."""
+    events = load(spark, sf_dir, "events")
+    first_seen = events.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    rev = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(first_seen), "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day"))
+            .cast("bigint")
+            .alias("day_offset"),
+            "value",
+        )
+    )
+    daily = rev.groupBy("cohort_day", "day_offset").agg(F.sum("value").alias("v"))
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("day_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "cohort_day",
+        "day_offset",
+        F.round(F.sum("v").over(w), 2).alias("cum_revenue"),
+    )
+
+
+@query(
+    "ext_text_readability",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT)
+                 AS n_words,
+             CAST(greatest(length(regexp_replace(text, '[^.!?]', '', 'g')), 1)
+                 AS BIGINT) AS n_sents,
+             CAST(greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+                 AS BIGINT) AS n_syll
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sents, n_syll,
+           round(206.835 - 1.015 * (n_words / (1.0 * n_sents))
+                 - 84.6 * (n_syll / (1.0 * n_words)), 4) AS flesch
+    FROM m
+    """,
+)
+def ext_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scoring with the standard cheap proxies:
+    vowel-group runs approximate syllables, terminal punctuation counts
+    approximate sentences — the readability signal quality-filter stacks
+    (alongside ext_quality_model's logistic score) use to stratify
+    training corpora by difficulty. All regexp counting, no Python.
+
+    Scale: map-only — three regexp passes per document fused into one
+    projection; no shuffle at all."""
+    docs = load(spark, sf_dir, "documents")
+    n_words = F.size(tokens(F.col("text"))).cast("bigint")
+    n_sents = F.greatest(
+        F.length(F.regexp_replace("text", r"[^.!?]", "")), F.lit(1)
+    ).cast("bigint")
+    n_syll = F.greatest(
+        F.size(F.expr(r"regexp_extract_all(lower(text), '[aeiouy]+', 0)")), F.lit(1)
+    ).cast("bigint")
+    m = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sents.alias("n_sents"),
+        n_syll.alias("n_syll"),
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        "n_sents",
+        "n_syll",
+        F.round(
+            206.835
+            - 1.015 * (F.col("n_words") / (1.0 * F.col("n_sents")))
+            - 84.6 * (F.col("n_syll") / (1.0 * F.col("n_words"))),
+            4,
+        ).alias("flesch"),
+    )
+
+
+@query(
+    "agg_benford_deviation",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
+    t AS (SELECT sum(n) AS tot FROM c)
+    SELECT digit, n,
+           round(n / (1.0 * tot), 6) AS observed_p,
+           round(log10(1.0 + 1.0 / digit), 6) AS benford_p,
+           round(abs(n / (1.0 * tot) - log10(1.0 + 1.0 / digit)), 6) AS abs_dev
+    FROM c, t
+    """,
+)
+def agg_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit (Benford's law) audit of order totals: observed
+    leading-digit frequencies against log10(1 + 1/d) — the forensic
+    screen auditors run on financial populations, where fabricated
+    numbers betray themselves with uniform-ish leading digits. Per-digit
+    absolute deviation makes the anomalous digit visible, not just a
+    summary statistic.
+
+    Scale: leading-digit extraction is string arithmetic on the scan;
+    the aggregate has nine groups. (Synthetic uniform prices deviate
+    from Benford wildly — which is itself the point of the audit.)"""
+    d = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+            )
+            .cast("bigint")
+            .alias("digit")
+        )
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    t = c.agg(F.sum("n").alias("tot"))
+    obs = F.col("n") / (1.0 * F.col("tot"))
+    ben = F.log10(1.0 + 1.0 / F.col("digit"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        F.round(obs, 6).alias("observed_p"),
+        F.round(ben, 6).alias("benford_p"),
+        F.round(F.abs(obs - ben), 6).alias("abs_dev"),
+    )
