@@ -159,6 +159,8 @@ _PRIORITY = [
     "ext_cohort_ltv",
     "ext_text_readability",
     "agg_benford_deviation",
+    "win_wow_change",
+    "agg_seasonality_profile",
     # re-verify last round's fresh rows next, cheapest first
     "str_session_window",
     "str_stateful",

@@ -3167,3 +3167,74 @@ def agg_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ben, 6).alias("benford_p"),
         F.round(F.abs(obs - ben), 6).alias("abs_dev"),
     )
+
+
+@query(
+    "win_wow_change",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, round(sum(value), 2) AS revenue
+      FROM events WHERE event_type = 'purchase' GROUP BY CAST(ts AS DATE)
+    )
+    SELECT d, revenue,
+           round(lag(revenue, 7) OVER (ORDER BY d), 2) AS revenue_prev_week,
+           round(revenue / lag(revenue, 7) OVER (ORDER BY d) - 1.0, 6) AS wow_change
+    FROM daily
+    """,
+)
+def win_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week change: daily purchase revenue against the same
+    weekday last week (lag 7 over the daily series) — the
+    seasonality-aware delta that a lag-1 comparison gets wrong on
+    weekends. NULL for the first week by design.
+
+    Scale: the lag window runs over the DAILY aggregate (one row per
+    day), so the global ordering is over days, not events; the raw scan
+    pays one groupBy."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.round(F.sum("value"), 2).alias("revenue"))
+    )
+    w = Window.orderBy("d")
+    prev = F.lag("revenue", 7).over(w)
+    return daily.select(
+        "d",
+        "revenue",
+        F.round(prev, 2).alias("revenue_prev_week"),
+        F.round(F.col("revenue") / prev - 1.0, 6).alias("wow_change"),
+    )
+
+
+@query(
+    "agg_seasonality_profile",
+    oracle="""
+    SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS hod,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(avg(value), 4) AS avg_value
+    FROM events GROUP BY dayofweek(ts), hour(ts)
+    """,
+)
+def agg_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity matrix — the seasonality
+    fingerprint capacity planning and anomaly baselines start from
+    (win_anomaly_zscore flags deviations; this is the expected shape
+    they deviate from). NTZ date-part extraction, so the profile is
+    timezone-stable.
+
+    Scale: single aggregate with 168 groups — pure map-side collapse;
+    DuckDB's Sunday=0 dayofweek convention matches Spark's
+    dayofweek()-1, aligned below."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            (F.dayofweek("ts") - 1).cast("bigint").alias("dow"),
+            F.hour("ts").cast("bigint").alias("hod"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
