@@ -130,6 +130,26 @@ HEADLINE = [
     "ext_ks_test",
     "sql_lateral_topk",
     "ext_bootstrap_ci",
+    "ext_mad_outliers",
+    "ext_graph_triangles",
+    "ext_ab_welch",
+    "win_ohlc",
+    "win_session_paths",
+    "agg_markov_transitions",
+    "ext_tfidf_cosine_pairs",
+    "win_drawdown",
+    "agg_gini_coefficient",
+    "ext_rfm_segments",
+    "agg_weighted_median",
+    "win_time_weighted_avg",
+    "job_incremental_agg_retract",
+    "agg_pareto_8020",
+    "job_skew_report",
+    "ext_cohort_ltv",
+    "ext_text_readability",
+    "agg_benford_deviation",
+    "win_wow_change",
+    "agg_seasonality_profile",
 ]
 # NOTE: the headline set GREW in round 5 (salted join, pivot, quantile and
 # pandas-UDAF aggregates, multi-probe IVF) — compare totals across rounds
