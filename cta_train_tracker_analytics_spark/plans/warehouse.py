@@ -2503,8 +2503,17 @@ def ext_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     never all-pairs."""
     docs = load(spark, sf_dir, "documents")
     n = docs.count()
-    ts = tokens(F.col("text"))
-    toks = docs.select("doc_id", F.explode(ts).alias("tok"))
+    # tokenize ONCE behind a lineage barrier: transform lambdas that index
+    # an outer array expression get that expression INLINED per element
+    # access by projection collapse (split() re-evaluated per position -
+    # O(len^2) per document, measured 4x slower at sf0.1); the checkpoint
+    # pins the token arrays, the Spark analogue of persisting the
+    # tokenized bronze layer that every downstream stage reads
+    base = docs.select("doc_id", tokens(F.col("text")).alias("toks")).localCheckpoint(
+        eager=True
+    )
+    tk = F.col("toks")
+    toks = base.select("doc_id", F.explode(tk).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf")
     )
@@ -2517,15 +2526,15 @@ def ext_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm"))
     grams = F.filter(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(ts) - 2, F.lit(1))),
+            F.sequence(F.lit(1), F.greatest(F.size(tk) - 2, F.lit(1))),
             lambda i: F.concat_ws(
-                " ", F.element_at(ts, i), F.element_at(ts, i + 1), F.element_at(ts, i + 2)
+                " ", F.element_at(tk, i), F.element_at(tk, i + 1), F.element_at(tk, i + 2)
             ),
         ),
         lambda g: F.size(F.split(g, " ")) == 3,
     )
     tg = (
-        docs.filter(F.size(ts) >= 3)
+        base.filter(F.size(tk) >= 3)
         .select("doc_id", F.explode(grams).alias("gram"))
         .distinct()
     )
