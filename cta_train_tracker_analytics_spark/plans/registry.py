@@ -161,6 +161,9 @@ _PRIORITY = [
     "agg_benford_deviation",
     "win_wow_change",
     "agg_seasonality_profile",
+    "agg_runs_test",
+    "ext_ngram_novelty",
+    "win_leave_one_out",
     # re-verify last round's fresh rows next, cheapest first
     "str_session_window",
     "str_stateful",

@@ -3247,3 +3247,187 @@ def agg_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("value"), 4).alias("avg_value"),
         )
     )
+
+
+@query(
+    "agg_runs_test",
+    oracle="""
+    WITH med AS (SELECT quantile_cont(value, 0.5) AS m FROM events),
+    s AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN value > med.m THEN 1 ELSE 0 END AS above
+      FROM events, med WHERE value <> med.m
+    ),
+    flips AS (
+      SELECT user_id, above,
+             CASE WHEN lag(above) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS DISTINCT FROM above THEN 1 ELSE 0 END AS new_run
+      FROM s
+    )
+    SELECT user_id,
+           CAST(sum(new_run) AS BIGINT) AS n_runs,
+           CAST(sum(above) AS BIGINT) AS n_above,
+           CAST(count(*) - sum(above) AS BIGINT) AS n_below
+    FROM flips GROUP BY user_id
+    """,
+)
+def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs statistic per user: the sequence of
+    above/below-median values is segmented into maximal runs — too few
+    runs means streaky/autocorrelated data, too many means oscillation;
+    either breaks the i.i.d. assumption most downstream statistics lean
+    on (compare ext_ab_welch, which assumes it). Values equal to the
+    global median are excluded per the classical test.
+
+    Scale: the global median is one exact-percentile aggregate broadcast
+    into the scan; run boundaries are a lag window on user_id — one
+    exchange, integer outputs only, so parity is exact."""
+    events = load(spark, sf_dir, "events")
+    med = events.agg(F.percentile("value", F.lit(0.5)).alias("m"))
+    s = (
+        events.crossJoin(F.broadcast(med))
+        .filter(F.col("value") != F.col("m"))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(F.col("value") > F.col("m"), 1).otherwise(0).alias("above"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flips = s.withColumn(
+        "new_run",
+        F.when(
+            ~F.lag("above").over(w).eqNullSafe(F.col("above")), 1
+        ).otherwise(0),
+    )
+    return flips.groupBy("user_id").agg(
+        F.sum("new_run").cast("bigint").alias("n_runs"),
+        F.sum("above").cast("bigint").alias("n_above"),
+        (F.count(F.lit(1)) - F.sum("above")).cast("bigint").alias("n_below"),
+    )
+
+
+@query(
+    "ext_ngram_novelty",
+    oracle="""
+    WITH toks0 AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS l
+      FROM documents
+    ),
+    tg AS (
+      SELECT DISTINCT doc_id, g.gram
+      FROM toks0, unnest(list_transform(generate_series(1, len(l) - 2),
+                         i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS g(gram)
+      WHERE len(l) >= 3
+    ),
+    first_use AS (SELECT gram, min(doc_id) AS first_doc FROM tg GROUP BY gram)
+    SELECT tg.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(*) FILTER (f.first_doc = tg.doc_id) AS BIGINT) AS n_novel,
+           round(count(*) FILTER (f.first_doc = tg.doc_id) / (1.0 * count(*)), 6)
+               AS novelty
+    FROM tg JOIN first_use f ON f.gram = tg.gram
+    GROUP BY tg.doc_id
+    """,
+)
+def ext_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty scoring for data curation: in doc_id order (the
+    crawl order stand-in), each document's novelty is the fraction of
+    its distinct trigrams never seen in any earlier document — the
+    cheap-and-effective 'is this new content or recombined boilerplate'
+    signal used when ranking crawl snapshots for training value.
+
+    Scale: one aggregate assigns each gram its first-seen document; one
+    join back to the gram table and a per-doc conditional count — both
+    shuffles keyed on the gram hash, candidates never pair up (contrast
+    ext_dedup_ngram, which materializes pairs; novelty only needs the
+    min). Incremental form: keep first_use as the corpus index and only
+    the new batch's grams probe it (ext_dedup_incremental's shape)."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokens(F.col("text")).alias("toks")).localCheckpoint(
+        eager=True
+    )
+    tk = F.col("toks")
+    grams = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(tk) - 2, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ", F.element_at(tk, i), F.element_at(tk, i + 1), F.element_at(tk, i + 2)
+            ),
+        ),
+        lambda g: F.size(F.split(g, " ")) == 3,
+    )
+    tg = (
+        base.filter(F.size(tk) >= 3)
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    first_use = tg.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1))
+    return (
+        tg.join(first_use, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            novel.cast("bigint").alias("n_novel"),
+            F.round(novel / (1.0 * F.count(F.lit(1))), 6).alias("novelty"),
+        )
+    )
+
+
+@query(
+    "win_leave_one_out",
+    oracle="""
+    WITH spend AS (
+      SELECT c_mktsegment, c_custkey,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sc
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment, c_custkey
+    )
+    SELECT c_custkey, c_mktsegment,
+           round(sc / 100.0, 2) AS spend,
+           round((sum(sc) OVER (PARTITION BY c_mktsegment) - sc)
+                 / (100.0 * (count(*) OVER (PARTITION BY c_mktsegment) - 1)), 2)
+               AS peer_avg,
+           round(sc * (count(*) OVER (PARTITION BY c_mktsegment) - 1)
+                 / (1.0 * (sum(sc) OVER (PARTITION BY c_mktsegment) - sc)), 4)
+               AS vs_peers
+    FROM spend
+    """,
+)
+def win_leave_one_out(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out peer comparison: each customer's spend against the
+    average of everyone ELSE in their segment — computed with the
+    (sum − x)/(n − 1) identity over two whole-partition window
+    aggregates, so no self-exclusion subquery or anti-join exists; this
+    is also the leakage-safe way to build target-encoding features (the
+    row's own label never contributes to its feature).
+
+    Scale: the window runs over the per-customer aggregate; sum and
+    count partials are shared by all three output columns in one window
+    node; one exchange on the segment."""
+    spend = (
+        load(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(load(spark, sf_dir, "customer")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(
+            # integer cents: double sums differ across engines in the last
+            # ulp, which flips round() at .xx5 boundaries; exact bigint sums
+            # make every derived ratio bit-identical before rounding
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias("sc")
+        )
+    )
+    w = Window.partitionBy("c_mktsegment")
+    others_sum = F.sum("sc").over(w) - F.col("sc")
+    others_n = F.count(F.lit(1)).over(w) - 1
+    return spend.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("sc") / 100.0, 2).alias("spend"),
+        F.round(others_sum / (100.0 * others_n), 2).alias("peer_avg"),
+        F.round(F.col("sc") * others_n / (1.0 * others_sum), 4).alias("vs_peers"),
+    )
