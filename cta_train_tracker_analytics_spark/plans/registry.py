@@ -164,6 +164,7 @@ _PRIORITY = [
     "agg_runs_test",
     "ext_ngram_novelty",
     "win_leave_one_out",
+    "agg_autocorr",
     # re-verify last round's fresh rows next, cheapest first
     "str_session_window",
     "str_stateful",

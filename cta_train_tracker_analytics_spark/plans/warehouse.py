@@ -3431,3 +3431,50 @@ def win_leave_one_out(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(others_sum / (100.0 * others_n), 2).alias("peer_avg"),
         F.round(F.col("sc") * others_n / (1.0 * others_sum), 4).alias("vs_peers"),
     )
+
+
+@query(
+    "agg_autocorr",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, sum(value) AS v
+      FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    lagged AS (
+      SELECT v, lag(v) OVER (ORDER BY d) AS v1,
+             lag(v, 7) OVER (ORDER BY d) AS v7
+      FROM daily
+    )
+    SELECT round(corr(v, v1), 6) AS autocorr_lag1,
+           round(corr(v, v7), 6) AS autocorr_lag7,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM lagged
+    """,
+)
+def agg_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily revenue series at lag 1 and lag 7 —
+    the two numbers that say whether yesterday predicts today and
+    whether the series has weekly seasonality (feeding
+    agg_seasonality_profile's shape and win_wow_change's choice of lag).
+    Pearson corr over the lagged pairs; corr ignores the NULL-lag
+    leading rows on both engines.
+
+    Scale: the raw scan collapses to one row per day; lags and corr run
+    over that tiny series. corr is algebraic (co-moment partials), so
+    even the raw-row variant would be one shuffle."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.sum("value").alias("v"))
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "v",
+        F.lag("v", 1).over(w).alias("v1"),
+        F.lag("v", 7).over(w).alias("v7"),
+    )
+    return lagged.agg(
+        F.round(F.corr("v", "v1"), 6).alias("autocorr_lag1"),
+        F.round(F.corr("v", "v7"), 6).alias("autocorr_lag7"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
