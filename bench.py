@@ -150,6 +150,10 @@ HEADLINE = [
     "agg_benford_deviation",
     "win_wow_change",
     "agg_seasonality_profile",
+    "agg_runs_test",
+    "ext_ngram_novelty",
+    "win_leave_one_out",
+    "agg_autocorr",
 ]
 # NOTE: the headline set GREW in round 5 (salted join, pivot, quantile and
 # pandas-UDAF aggregates, multi-probe IVF) — compare totals across rounds
