@@ -22,9 +22,9 @@ from cta_train_tracker_analytics_spark.plans import registry  # noqa: E402
 #: name prefix maps to (fallback: the prefix itself, appended at the end).
 SECTIONS = [
     ("flagship", ["flagship_region_pricing"]),
-    ("SQL text API", ["sql_pricing_summary"]),
+    ("SQL text API", ["sql_"]),
     ("§2.1 sources", ["src_"]),
-    ("§2.1 sinks", ["snk_jsonl_append", "snk_keyed_store", "snk_parquet", "snk_parquet_partitioned", "snk_queue"]),
+    ("§2.1 sinks", ["snk_"]),
     ("§3.3 jobs", ["job_"]),
     ("§2.2 projections/filters", ["arr_", "explode_", "filter_", "nav_", "proj_"]),
     ("§2.3 joins", ["join_"]),
