@@ -165,6 +165,8 @@ _PRIORITY = [
     "ext_ngram_novelty",
     "win_leave_one_out",
     "agg_autocorr",
+    "win_peak_detection",
+    "ext_survival_km",
     # re-verify last round's fresh rows next, cheapest first
     "str_session_window",
     "str_stateful",

@@ -3478,3 +3478,121 @@ def agg_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("v", "v7"), 6).alias("autocorr_lag7"),
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
     )
+
+
+@query(
+    "win_peak_detection",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, ts, value,
+             lag(value) OVER w AS prev_v,
+             lead(value) OVER w AS next_v
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id, round(value, 2) AS value
+    FROM s
+    WHERE prev_v IS NOT NULL AND next_v IS NOT NULL
+      AND value > prev_v AND value > next_v
+    """,
+)
+def win_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maximum detection: events strictly greater than both
+    sequence neighbors — the primitive under alerting debounce,
+    heartbeat detection, and cycle counting (win_change_points finds
+    level shifts; this finds spikes). Boundary rows are excluded (no
+    defined neighbor).
+
+    Scale: one exchange on user_id; lag and lead share the window sort;
+    the predicate is a post-window filter with no further shuffle."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = events.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.lag("value").over(w).alias("prev_v"),
+        F.lead("value").over(w).alias("next_v"),
+    )
+    return s.filter(
+        F.col("prev_v").isNotNull()
+        & F.col("next_v").isNotNull()
+        & (F.col("value") > F.col("prev_v"))
+        & (F.col("value") > F.col("next_v"))
+    ).select("user_id", "event_id", F.round("value", 2).alias("value"))
+
+
+@query(
+    "ext_survival_km",
+    oracle="""
+    WITH life AS (
+      SELECT user_id,
+             CAST(max(CAST(ts AS DATE)) - min(CAST(ts AS DATE)) AS BIGINT)
+                 AS last_day
+      FROM events GROUP BY user_id
+    ),
+    horizon AS (SELECT max(CAST(ts AS DATE)) - min(CAST(ts AS DATE)) AS h FROM events),
+    days AS (SELECT unnest(generate_series(0, h)) AS k FROM horizon),
+    risk AS (
+      SELECT d.k,
+             CAST((SELECT count(*) FROM life WHERE last_day >= d.k) AS BIGINT) AS n_at_risk,
+             CAST((SELECT count(*) FROM life l2, horizon
+                   WHERE l2.last_day = d.k AND l2.last_day < h) AS BIGINT) AS n_events
+      FROM days d
+    )
+    SELECT k AS day_k, n_at_risk, n_events,
+           round(exp(sum(ln(1.0 - n_events / (1.0 * n_at_risk)))
+                     OVER (ORDER BY k
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+               AS survival
+    FROM risk WHERE n_at_risk > 0 AND n_events < n_at_risk
+    """,
+)
+def ext_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over user lifetimes (days from first
+    to last activity; users still active at the observation horizon are
+    censored, the estimator's defining feature): S(k) = Π_{j≤k}
+    (1 − d_j/n_j). The running PRODUCT is computed as exp of a running
+    sum of logs — the trick that makes product-aggregation windowable at
+    all (no product window aggregate exists in either engine).
+
+    Scale: lifetimes are one aggregate; the at-risk/event counts per day
+    collapse to horizon-many rows (a month here; even 10 years is ~4k
+    rows), and the log-sum window runs over that tiny table — the
+    window-over-aggregates discipline once more."""
+    events = load(spark, sf_dir, "events")
+    life = events.groupBy("user_id").agg(
+        F.datediff(F.max(F.col("ts").cast("date")), F.min(F.col("ts").cast("date")))
+        .cast("bigint")
+        .alias("last_day")
+    )
+    bounds = events.agg(
+        F.datediff(F.max(F.col("ts").cast("date")), F.min(F.col("ts").cast("date"))).alias("h")
+    )
+    days = bounds.select(F.explode(F.sequence(F.lit(0), F.col("h"))).alias("k"), "h")
+    joined = days.join(F.broadcast(life), F.col("last_day") >= F.col("k"), "left")
+    risk = joined.groupBy("k", "h").agg(
+        F.count("last_day").cast("bigint").alias("n_at_risk"),
+        F.count(
+            F.when((F.col("last_day") == F.col("k")) & (F.col("last_day") < F.col("h")), 1)
+        )
+        .cast("bigint")
+        .alias("n_events"),
+    )
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        risk.filter((F.col("n_at_risk") > 0) & (F.col("n_events") < F.col("n_at_risk")))
+        .select(
+            F.col("k").alias("day_k"),
+            "n_at_risk",
+            "n_events",
+            F.round(
+                F.exp(
+                    F.sum(
+                        F.log(1.0 - F.col("n_events") / (1.0 * F.col("n_at_risk")))
+                    ).over(w)
+                ),
+                6,
+            ).alias("survival"),
+        )
+    )
