@@ -167,6 +167,8 @@ _PRIORITY = [
     "agg_autocorr",
     "win_peak_detection",
     "ext_survival_km",
+    "ext_calibration_bins",
+    "ext_basket_lift",
     # re-verify last round's fresh rows next, cheapest first
     "str_session_window",
     "str_stateful",

@@ -3596,3 +3596,129 @@ def ext_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("survival"),
         )
     )
+
+
+@query(
+    "ext_calibration_bins",
+    oracle="""
+    WITH s AS (
+      SELECT least(CAST(floor(value / 50.0) AS INTEGER), 9) AS bin,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
+             value
+      FROM events
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(value), 4) AS mean_score,
+           round(avg(label), 6) AS purchase_rate
+    FROM s GROUP BY bin
+    """,
+)
+def ext_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration table: mean 'score' vs observed label rate per fixed
+    score bin — read next to ext_auc (ranking quality) to see whether
+    the score's MAGNITUDE is trustworthy, the property AUC is blind to.
+    Fixed bin edges (ext_drift_psi's) rather than deciles: mergeable
+    across days and no quantile pre-pass.
+
+    Scale: one conditional aggregate over the scan, ten groups out."""
+    s = load(spark, sf_dir, "events").select(
+        F.least(F.floor(F.col("value") / 50.0).cast("int"), F.lit(9)).alias("bin"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+        "value",
+    )
+    return s.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.avg("value"), 4).alias("mean_score"),
+        F.round(F.avg("label"), 6).alias("purchase_rate"),
+    ).select(F.col("bin").cast("bigint"), "n", "mean_score", "purchase_rate")
+
+
+@query(
+    "ext_basket_lift",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_type,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marked
+    ),
+    items AS (SELECT DISTINCT user_id, sid, event_type FROM sess),
+    n_sess AS (SELECT count(DISTINCT (user_id, sid)) AS ns FROM sess),
+    singles AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM items GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS item_a, b.event_type AS item_b,
+             CAST(count(*) AS BIGINT) AS n_ab
+      FROM items a JOIN items b
+        ON a.user_id = b.user_id AND a.sid = b.sid AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT item_a, item_b, n_ab,
+           round((n_ab * ns) / (1.0 * sa.n * sb.n), 4) AS lift
+    FROM pairs
+    JOIN singles sa ON sa.event_type = item_a
+    JOIN singles sb ON sb.event_type = item_b
+    CROSS JOIN n_sess
+    """,
+)
+def ext_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lift: for each pair of event types co-occurring in a
+    session, lift = P(a,b)/(P(a)·P(b)) over sessions — the association
+    measure behind 'frequently bought together'. Sessions are the same
+    30-minute islands as win_session_paths; the in-session self-join is
+    bounded by the ITEM VOCABULARY per session (≤5 types here; in retail,
+    dozens), never by session length — the distinct-items projection
+    before pairing is what keeps basket mining linear-ish at 100 TB.
+
+    Scale: sessionize is one exchange on user_id; the pair join is
+    session-local (equi-join on (user, sid)); supports and the session
+    count broadcast into the lift arithmetic."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = events.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_s",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.expr("timestampdiff(SECOND, prev_ts, ts)") >= 1800),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn("sid", F.sum("new_s").over(run))
+    items = sess.select("user_id", "sid", "event_type").distinct()
+    ns = sess.select("user_id", "sid").distinct().count()
+    singles = items.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a = items.select("user_id", "sid", F.col("event_type").alias("item_a"))
+    b = items.select("user_id", "sid", F.col("event_type").alias("item_b"))
+    pairs = (
+        a.join(b, ["user_id", "sid"])
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+    )
+    sa = singles.select(F.col("event_type").alias("item_a"), F.col("n").alias("na"))
+    sb = singles.select(F.col("event_type").alias("item_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(F.broadcast(sa), "item_a")
+        .join(F.broadcast(sb), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            F.round(
+                (F.col("n_ab") * ns) / (1.0 * F.col("na") * F.col("nb")), 4
+            ).alias("lift"),
+        )
+    )
