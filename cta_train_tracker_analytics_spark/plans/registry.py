@@ -169,6 +169,8 @@ _PRIORITY = [
     "ext_survival_km",
     "ext_calibration_bins",
     "ext_basket_lift",
+    "agg_quantile_bands",
+    "win_cusum",
     # re-verify last round's fresh rows next, cheapest first
     "str_session_window",
     "str_stateful",

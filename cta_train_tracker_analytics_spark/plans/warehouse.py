@@ -3722,3 +3722,89 @@ def ext_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "agg_quantile_bands",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS d,
+           round(quantile_cont(value, 0.1), 4) AS p10,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY CAST(ts AS DATE)
+    """,
+)
+def agg_quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily p10/p50/p90 bands of event values — the percentile ribbon
+    every latency/spend dashboard draws, and the envelope
+    win_anomaly_zscore-style detectors compare against. Exact
+    percentiles, interpolation-matched to quantile_cont (the
+    ext_mad_outliers pairing).
+
+    Scale: one aggregate; Spark's percentile is a sort-based exact
+    aggregate per group — at extreme per-day volume swap to
+    percentile_approx (t-digest-class sketch) with a documented error,
+    same single-shuffle plan."""
+    events = load(spark, sf_dir, "events")
+    return events.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.round(F.percentile("value", F.lit(0.1)), 4).alias("p10"),
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+
+
+@query(
+    "win_cusum",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, avg(value) AS v
+      FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    m AS (SELECT avg(v) AS mu FROM daily),
+    c AS (
+      SELECT d, v,
+             sum(v - mu) OVER (ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_dev
+      FROM daily, m
+    )
+    SELECT d, round(v, 4) AS daily_mean,
+           round(cum_dev, 4) + 0.0 AS cum_dev,
+           round(cum_dev - min(cum_dev) OVER (ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) + 0.0
+               AS cusum_stat
+    FROM c
+    """,
+)
+def win_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change detection on the daily mean: cumulative deviation
+    from the overall mean, with the one-sided statistic cum_dev −
+    running_min(cum_dev) — it stays near zero under a stable mean and
+    climbs persistently after a level shift, catching SMALL sustained
+    drifts that the per-point z-score (win_anomaly_zscore) never flags.
+    Threshold crossing is the alarm; this emits the trajectory.
+
+    Scale: the raw scan collapses to one row per day; the global mean
+    broadcasts; both windows run over the daily series. Order-pinned
+    cumulative sums keep both engines bit-aligned pre-round."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.avg("value").alias("v"))
+    )
+    m = daily.agg(F.avg("v").alias("mu"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = daily.crossJoin(F.broadcast(m)).withColumn(
+        "cum_dev", F.sum(F.col("v") - F.col("mu")).over(w)
+    )
+    return c.select(
+        "d",
+        F.round("v", 4).alias("daily_mean"),
+        # + 0.0 canonicalizes IEEE negative zero (round(-1e-13) is -0.0 in
+        # one engine and 0.0 in the other; the hash distinguishes them)
+        (F.round("cum_dev", 4) + 0.0).alias("cum_dev"),
+        (F.round(F.col("cum_dev") - F.min("cum_dev").over(w), 4) + 0.0).alias(
+            "cusum_stat"
+        ),
+    )
