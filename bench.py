@@ -154,6 +154,12 @@ HEADLINE = [
     "ext_ngram_novelty",
     "win_leave_one_out",
     "agg_autocorr",
+    "win_peak_detection",
+    "ext_survival_km",
+    "ext_calibration_bins",
+    "ext_basket_lift",
+    "agg_quantile_bands",
+    "win_cusum",
 ]
 # NOTE: the headline set GREW in round 5 (salted join, pivot, quantile and
 # pandas-UDAF aggregates, multi-probe IVF) — compare totals across rounds
