@@ -171,6 +171,7 @@ _PRIORITY = [
     "ext_basket_lift",
     "agg_quantile_bands",
     "win_cusum",
+    "ext_compression_quality",
     # re-verify last round's fresh rows next, cheapest first
     "str_session_window",
     "str_stateful",

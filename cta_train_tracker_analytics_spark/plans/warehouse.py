@@ -3808,3 +3808,45 @@ def win_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cusum_stat"
         ),
     )
+
+
+@query("ext_compression_quality", oracle=None)
+def ext_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressibility as a text-quality signal (the Gopher/CCNet-family
+    repetitiveness filter): zlib-compressed size over raw size per
+    document — boilerplate and template spam compress far better than
+    natural prose, so a LOW ratio flags low-information text from one
+    cheap pass, complementing ext_repetition_stats' explicit n-gram
+    ratios. Computed in an Arrow-batched mapInPandas pass (zlib is the
+    deliberate Python surface here — there is no JVM-side SQL
+    compressor), level pinned for determinism.
+
+    Driver check is rows-only (no DuckDB zlib to replay); the unit test
+    bounds the signal instead: ratios in (0, ~1.1], and a document
+    repeated 10x must compress strictly better than its single copy
+    (tests/test_warehouse_ops.py).
+
+    Scale: map-only over Arrow batches — each executor compresses its
+    partition's documents vectorized, no shuffle; the 100 TB cost is one
+    decompression-speed-class pass, the same budget CCNet spends."""
+    def zratio(batches):
+        import zlib
+
+        def r(t):
+            b = (t or "").encode("utf-8")
+            if not b:
+                return None
+            return round(len(zlib.compress(b, 6)) / len(b), 6)
+
+        for pdf in batches:
+            pdf = pdf[["doc_id", "n_chars"]].assign(
+                compress_ratio=pdf["text"].map(r)
+            )
+            yield pdf
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("n_chars"), "text"
+    )
+    return docs.mapInPandas(
+        zratio, "doc_id bigint, n_chars bigint, compress_ratio double"
+    )

@@ -509,3 +509,23 @@ def test_snm_single_window_single_exchange(spark):
     p = plan(spark, "ext_entity_resolution_snm")
     assert p.count("Window [") == 1
     assert p.count("Exchange") == 1
+
+
+def test_compression_quality_bounds_and_monotonicity(spark):
+    """Rows-only op's real verification: ratios land in (0, 1.1] on the
+    corpus, and a 10x-repeated document compresses strictly better than
+    its single copy (repetition must lower the ratio — that's the
+    signal's entire premise)."""
+    pdf = registry.all_queries()["ext_compression_quality"](spark, SF_DIR).toPandas()
+    assert (pdf["compress_ratio"] > 0).all()
+    # header overhead dominates very short texts; the bound is meaningful
+    # only once the payload outweighs the zlib framing
+    assert (pdf.loc[pdf["n_chars"] >= 100, "compress_ratio"] <= 1.1).all()
+
+    import zlib
+
+    text = "the quick brown fox jumps over the lazy dog. " * 4
+    single = len(zlib.compress(text.encode(), 6)) / len(text.encode())
+    rep = text * 10
+    repeated = len(zlib.compress(rep.encode(), 6)) / len(rep.encode())
+    assert repeated < single
