@@ -172,6 +172,7 @@ _PRIORITY = [
     "agg_quantile_bands",
     "win_cusum",
     "ext_compression_quality",
+    "ext_winsorized_mean",
     # re-verify last round's fresh rows next, cheapest first
     "str_session_window",
     "str_stateful",

@@ -3850,3 +3850,52 @@ def ext_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         zratio, "doc_id bigint, n_chars bigint, compress_ratio double"
     )
+
+
+@query(
+    "ext_winsorized_mean",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           round(avg(e.value), 4) AS raw_mean,
+           round(avg(least(greatest(e.value, b.lo), b.hi)), 4) AS winsorized_mean,
+           CAST(count(*) FILTER (e.value < b.lo OR e.value > b.hi) AS BIGINT)
+               AS n_clipped
+    FROM events e JOIN b ON e.event_type = b.event_type
+    GROUP BY e.event_type
+    """,
+)
+def ext_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per group: values clipped to the [p5, p95] band
+    before averaging — the robust location estimate that keeps sample
+    size (unlike trimming) while capping outlier leverage; read next to
+    ext_mad_outliers (which counts the tail this op neutralizes).
+
+    Scale: one exact-percentile pass for the per-group bounds (5 rows,
+    broadcast back), one clipped aggregate — the same
+    two-pass-with-broadcast shape as MAD; percentile_approx swaps in at
+    extreme cardinality."""
+    events = load(spark, sf_dir, "events")
+    b = events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        events.join(F.broadcast(b), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("value"), 4).alias("raw_mean"),
+            F.round(F.avg(clipped), 4).alias("winsorized_mean"),
+            F.count(
+                F.when((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1)
+            )
+            .cast("bigint")
+            .alias("n_clipped"),
+        )
+    )
