@@ -52,11 +52,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: cutoff (the r4 flatten-family rewrite and the connected-components
 #: non-convergence raise) — with these re-hashed, every registered
 #: query's *current* code carries a driver hash. THEN queries whose
-#: implementation changes this round (adaptive LSH bucket sizing under
-#: ext_dedup_embed, the two-phase stratified top-k, the amortized
-#: connected-components loop under both cluster variants), then round-6
-#: additions that have never had a driver row, then last round's
-#: verified set for freshness.
+#: implementation changed this round (adaptive LSH bucket sizing,
+#: stratified top-k, amortized CC, the DSIR/tf-idf tokenize-once
+#: barriers), then round-6 additions in landing order — the tail of
+#: that block overflows the ~50-query budget and waits for round 7+;
+#: every overflow entry is covered meanwhile by the local full-registry
+#: parity replay (tests/test_oracle_parity.py) and by the non-UTC
+#: driver simulation run before each commit.
 _PRIORITY = [
     # stale r3 hash on r4/r5-changed code — re-hash first (r5 verdict #1)
     "proj_flatten",
