@@ -175,6 +175,7 @@ _PRIORITY = [
     "win_cusum",
     "ext_compression_quality",
     "ext_winsorized_mean",
+    "agg_regression_ols",
     # re-verify last round's fresh rows next, cheapest first
     "str_session_window",
     "str_stateful",

@@ -3899,3 +3899,35 @@ def ext_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_clipped"),
         )
     )
+
+
+@query(
+    "agg_regression_ols",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_regression_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group simple linear regression (price on quantity) via the
+    built-in regr_* aggregates — slope, intercept, and R² from one pass,
+    because OLS in one variable is pure algebraic moments (Σx, Σy, Σxy,
+    Σx², Σy²) that merge map-side like any sum. The 100 TB lesson: a
+    regression over billions of rows is NOT an ML-library job — it is
+    one hash aggregate, and the same moment trick extends to small
+    multivariate fits (normal equations over k² moment columns).
+
+    Scale: single shuffle of five moment partials per group; both
+    engines implement the identical textbook estimators, so parity
+    holds at round-4/6 precision."""
+    line = load(spark, sf_dir, "lineitem")
+    return line.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+    )
