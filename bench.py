@@ -160,6 +160,9 @@ HEADLINE = [
     "ext_basket_lift",
     "agg_quantile_bands",
     "win_cusum",
+    "ext_winsorized_mean",
+    "ext_compression_quality",
+    "agg_regression_ols",
 ]
 # NOTE: the headline set GREW in round 5 (salted join, pivot, quantile and
 # pandas-UDAF aggregates, multi-probe IVF) — compare totals across rounds
