@@ -176,6 +176,8 @@ _PRIORITY = [
     "ext_compression_quality",
     "ext_winsorized_mean",
     "agg_regression_ols",
+    "set_intersect_all",
+    "set_except_all",
     # re-verify last round's fresh rows next, cheapest first
     "str_session_window",
     "str_stateful",

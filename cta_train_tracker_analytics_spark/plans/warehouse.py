@@ -3931,3 +3931,52 @@ def agg_regression_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("intercept"),
         F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
     )
+
+
+@query(
+    "set_intersect_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag semantics: each nation key appears
+    min(customer-count, supplier-count) times, completing §2.7's set-op
+    family next to the DISTINCT forms (plans/relational.py). The
+    difference matters whenever multiplicity is data (inventory
+    reconciliation, per-occurrence billing).
+
+    Scale: one shuffle on the key with per-side counts — Spark compiles
+    intersectAll to an aggregate-then-generate, never a join fanout."""
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.intersectAll(supp)
+
+
+@query(
+    "set_except_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag difference: customer nation-key occurrences
+    minus supplier occurrences, keeping surplus multiplicity (the
+    reconciliation primitive: 'which occurrences are unmatched', not
+    'which keys'). Same single-shuffle counted-aggregate plan as
+    INTERSECT ALL."""
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.exceptAll(supp)
