@@ -170,6 +170,30 @@ HEADLINE = [
 # stable signal.
 
 
+def driver_line(timings: dict[str, float], total: float, sf: float) -> str:
+    """The ONE stdout JSON line the driver records. Kept deliberately
+    small — summary plus the 15 slowest queries (the ones worth a plan
+    audit) — because round 6's full 137-query line exceeded the driver's
+    output-tail capture and was truncated mid-object, destroying the
+    round's official perf evidence. Full per-query timings live in
+    BENCH_DETAIL.json. tests/test_util.py pins the size bound."""
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:15]
+    )
+    return json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "n_queries": len(timings),
+            "queries": slowest,
+            "detail": "BENCH_DETAIL.json",
+        },
+        separators=(",", ":"),
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -218,27 +242,53 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+
+    # Full per-query evidence goes to BENCH_DETAIL.json in-repo; the stdout
+    # line stays small. Round 6's official bench evidence was lost because
+    # the 137-query JSON line exceeded the driver's output-tail capture and
+    # was truncated mid-object — the driver line now carries only the
+    # summary plus the 15 slowest queries (the ones worth a plan audit).
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    best_ever: dict[str, float] = {}
+    try:
+        with open(detail_path) as f:
+            prior = json.load(f)
+        best_ever = dict(prior.get("best_ever", {}))
+    except (OSError, ValueError):
+        pass
+    for name, sec in timings_min.items():
+        # best-of-history on the min-of-runs timing: distinguishes noise
+        # from structural drift (e.g. flagship_region_pricing's 1.15→1.64 s
+        # wobble across rounds with an unchanged plan).
+        if name not in best_ever or sec < best_ever[name]:
+            best_ever[name] = sec
+    with open(detail_path, "w") as f:
+        json.dump(
             {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
+                "sf": sf,
+                "total_sec": total,
                 "queries": timings,
-                # min-of-runs per query: the method rounds <=5 used
-                # (min-of-3); kept alongside the median-based headline so
-                # cross-round totals stay comparable after the round-6
-                # method change (median-of-5 for sub-second queries is
-                # systematically higher than min-of-3 by construction)
+                # min-of-runs per query: kept alongside the median-based
+                # headline so cross-round totals stay comparable after the
+                # round-6 method change (median-of-5 for sub-second queries
+                # is systematically higher than min-of-3 by construction)
                 "queries_min": timings_min,
+                "best_ever": best_ever,
                 "method": {
                     "sub_second": "median_of_5",
                     "above_1s": "min_of_3",
+                    "best_ever": "min over all recorded runs (queries_min)",
                 },
-                "sf": sf,
-            }
+            },
+            f,
+            indent=1,
+            sort_keys=True,
         )
-    )
+        f.write("\n")
+
+    print(driver_line(timings, total, sf))
 
 
 if __name__ == "__main__":

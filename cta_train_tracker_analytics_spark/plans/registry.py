@@ -60,7 +60,89 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: parity replay (tests/test_oracle_parity.py) and by the non-UTC
 #: driver simulation run before each commit.
 _PRIORITY = [
-    # stale r3 hash on r4/r5-changed code — re-hash first (r5 verdict #1)
+    # ---- Round 7: burn down the driver-verification backlog (r6 verdict
+    # #1). 64 round-6 queries had never had a CORRECTNESS row; the ~50-
+    # query/round budget is spent on them (and on re-hashing the four
+    # already-verified queries whose code changed this round) instead of
+    # on new queries. Front block, in order:
+    #   1-2   the two no-oracle sketches with no driver row of any kind
+    #   3-4   already-hashed queries whose code changed this round
+    #         (agg_heavy_hitters lazy total, job_dq_checks unhinted
+    #         growing-dim anti-join) — re-hash so nothing is stale
+    #   5-12  never-verified queries whose code ALSO changed this round
+    #         (ADVICE LCG/frame-unit fixes, lazy plan builders,
+    #         maybe_broadcast on customer joins)
+    #   13-66 the remaining never-verified round-6 additions in landing
+    #         order; entries past the ~50 budget spill to round 8, all
+    #         covered meanwhile by the local full-registry parity replay
+    #         (tests/test_oracle_parity.py).
+    "agg_kll_quantiles",
+    "ext_compression_quality",
+    "agg_heavy_hitters",
+    "job_dq_checks",
+    "ext_bootstrap_ci",
+    "ext_frame_sample",
+    "ext_pagerank",
+    "ext_graph_triangles",
+    "agg_weighted_median",
+    "win_leave_one_out",
+    "job_incremental_agg",
+    "job_incremental_agg_retract",
+    "join_spatial_grid",
+    "win_cumulative_distinct",
+    "agg_attribution_last_touch",
+    "job_gdpr_cascade",
+    "sql_market_share",
+    "agg_rollup",
+    "win_streak_days",
+    "job_backfill_idempotent",
+    "str_dedup_rocksdb",
+    "str_resume_stateful",
+    "job_cdc_compact",
+    "ext_split_by_domain",
+    "sql_recursive_reachability",
+    "src_statestore",
+    "src_rest_api_stream",
+    "job_observed_metrics",
+    "sql_parameterized",
+    "job_snapshot_diff",
+    "agg_theta_setops",
+    "ext_entity_resolution_snm",
+    "ext_auc",
+    "ext_drift_psi",
+    "sql_lateral_topk",
+    "ext_ks_test",
+    "ext_mad_outliers",
+    "ext_ab_welch",
+    "win_ohlc",
+    "win_session_paths",
+    "agg_markov_transitions",
+    "ext_tfidf_cosine_pairs",
+    "win_drawdown",
+    "agg_gini_coefficient",
+    "ext_rfm_segments",
+    "win_time_weighted_avg",
+    "agg_pareto_8020",
+    "job_skew_report",
+    "ext_cohort_ltv",
+    "ext_text_readability",
+    "agg_benford_deviation",
+    "win_wow_change",
+    "agg_seasonality_profile",
+    "agg_runs_test",
+    "ext_ngram_novelty",
+    "agg_autocorr",
+    "win_peak_detection",
+    "ext_survival_km",
+    "ext_calibration_bins",
+    "ext_basket_lift",
+    "agg_quantile_bands",
+    "win_cusum",
+    "ext_winsorized_mean",
+    "agg_regression_ols",
+    "set_intersect_all",
+    "set_except_all",
+    # ---- verified in earlier rounds, unchanged: re-verify cheapest-first
     "proj_flatten",
     "nav_struct",
     "arr_element",
@@ -68,12 +150,9 @@ _PRIORITY = [
     "filter_nonempty",
     "ext_dedup_cluster",
     "ext_dedup_minhash_mllib",
-    # changed this round (round 6)
     "ext_dedup_embed",
     "ext_sample_stratified",
     "ext_dedup_cluster_lsss",
-    # new in round 6 (never driver-verified by construction) — entries
-    # appended here as they land
     "str_stateful_crossings",
     "ext_dedup_minhash_twostage",
     "ext_dedup_embed_banded",
@@ -109,76 +188,9 @@ _PRIORITY = [
     "sql_order_priority",
     "sql_local_supplier_volume",
     "sql_top_returned_customers",
-    "agg_heavy_hitters",
     "snk_zorder",
-    "job_dq_checks",
     "win_ewma",
     "win_rolling_median",
-    "join_spatial_grid",
-    "ext_pagerank",
-    "win_cumulative_distinct",
-    "agg_attribution_last_touch",
-    "job_gdpr_cascade",
-    "sql_market_share",
-    "agg_rollup",
-    "win_streak_days",
-    "job_backfill_idempotent",
-    "str_dedup_rocksdb",
-    "str_resume_stateful",
-    "job_cdc_compact",
-    "ext_split_by_domain",
-    "sql_recursive_reachability",
-    "src_statestore",
-    "src_rest_api_stream",
-    "ext_frame_sample",
-    "job_observed_metrics",
-    "sql_parameterized",
-    "job_incremental_agg",
-    "job_snapshot_diff",
-    "agg_theta_setops",
-    "agg_kll_quantiles",
-    "ext_entity_resolution_snm",
-    "ext_auc",
-    "ext_drift_psi",
-    "sql_lateral_topk",
-    "ext_ks_test",
-    "ext_bootstrap_ci",
-    "ext_mad_outliers",
-    "ext_graph_triangles",
-    "ext_ab_welch",
-    "win_ohlc",
-    "win_session_paths",
-    "agg_markov_transitions",
-    "ext_tfidf_cosine_pairs",
-    "win_drawdown",
-    "agg_gini_coefficient",
-    "ext_rfm_segments",
-    "agg_weighted_median",
-    "win_time_weighted_avg",
-    "job_incremental_agg_retract",
-    "agg_pareto_8020",
-    "job_skew_report",
-    "ext_cohort_ltv",
-    "ext_text_readability",
-    "agg_benford_deviation",
-    "win_wow_change",
-    "agg_seasonality_profile",
-    "agg_runs_test",
-    "ext_ngram_novelty",
-    "win_leave_one_out",
-    "agg_autocorr",
-    "win_peak_detection",
-    "ext_survival_km",
-    "ext_calibration_bins",
-    "ext_basket_lift",
-    "agg_quantile_bands",
-    "win_cusum",
-    "ext_compression_quality",
-    "ext_winsorized_mean",
-    "agg_regression_ols",
-    "set_intersect_all",
-    "set_except_all",
-    # re-verify last round's fresh rows next, cheapest first
     "str_session_window",
     "str_stateful",
     "str_stream_join",

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from ..data import load
 from ..functions.text import tokens
 from ..operators.layout import morton_key, morton_sql
+from ..operators.util import maybe_broadcast
 from .registry import query
 
 # --------------------------------------------------------------------------
@@ -274,12 +275,17 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda batches: misra_gries_batches(batches, "hot_key", _HH_K),
         "hot_key bigint",
     ).distinct()
-    total = events.count()
+    # total N as a broadcast one-row aggregate, not a driver-side
+    # events.count(): the plan stays LAZY (constructing the DataFrame runs
+    # no jobs) and self-consistent if the underlying data changes between
+    # plan build and execution. The broadcast of a single row is free.
+    total = events.agg(F.count(F.lit(1)).alias("_total_n"))
     return (
         events.join(F.broadcast(candidates), "hot_key", "left_semi")
         .groupBy("hot_key")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-        .filter(F.col("cnt") * _HH_K > F.lit(total))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * _HH_K > F.col("_total_n"))
         .select(F.col("hot_key").cast("bigint"), "cnt")
     )
 
@@ -413,7 +419,9 @@ def job_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     fk = check(
         "orders_fk_customer",
         orders.join(
-            F.broadcast(cust.select("c_custkey")),
+            # full customer key set grows with SF: a forced broadcast of a
+            # 100 TB dim's keys would OOM the driver — unhinted, AQE decides
+            maybe_broadcast(cust.select("c_custkey")),
             F.col("o_custkey") == F.col("c_custkey"),
             "left_anti",
         ),
@@ -681,18 +689,27 @@ def ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/dedup.py connected components). 3 iterations is the demo
     budget; the loop is O(E) per round regardless of round count."""
     docs = load(spark, sf_dir, "documents").select("doc_id")
-    n = docs.count()
-    edges = docs.select(
-        F.col("doc_id").alias("src"),
-        F.explode(
-            F.array(
-                (F.col("doc_id") * 3 + 1) % n,
-                (F.col("doc_id") * 7 + 2) % n,
-                (F.col("doc_id") * 11 + 3) % n,
-            )
-        ).alias("dst"),
-    ).localCheckpoint(eager=False)
-    ranks = docs.select(F.col("doc_id").alias("node"), F.lit(1.0 / n).alias("r"))
+    # node count as a broadcast one-row aggregate, not a driver-side
+    # docs.count(): the plan-builder stays lazy (constructing the
+    # DataFrame runs no jobs) and N is never baked in as a stale literal.
+    nrow = docs.agg(F.count(F.lit(1)).alias("_n"))
+    edges = (
+        docs.crossJoin(F.broadcast(nrow))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.array(
+                    (F.col("doc_id") * 3 + 1) % F.col("_n"),
+                    (F.col("doc_id") * 7 + 2) % F.col("_n"),
+                    (F.col("doc_id") * 11 + 3) % F.col("_n"),
+                )
+            ).alias("dst"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    ranks = docs.crossJoin(F.broadcast(nrow)).select(
+        F.col("doc_id").alias("node"), (1.0 / F.col("_n")).alias("r")
+    )
     for _ in range(3):
         contribs = (
             edges.join(ranks, F.col("src") == F.col("node"))
@@ -700,10 +717,13 @@ def ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.col("r") / 3).alias("c"))
         )
         ranks = (
-            docs.join(contribs, F.col("doc_id") == F.col("dst"), "left")
+            docs.crossJoin(F.broadcast(nrow))
+            .join(contribs, F.col("doc_id") == F.col("dst"), "left")
             .select(
                 F.col("doc_id").alias("node"),
-                (F.lit(0.15 / n) + 0.85 * F.coalesce(F.col("c"), F.lit(0.0))).alias("r"),
+                (0.15 / F.col("_n") + 0.85 * F.coalesce(F.col("c"), F.lit(0.0))).alias(
+                    "r"
+                ),
             )
             .localCheckpoint(eager=False)
         )
@@ -1051,9 +1071,10 @@ def win_streak_days(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def job_backfill_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition backfill with dynamic partition overwrite — the engine's
-    version of the reference's backfill job (amolrairikar/
-    cta-train-tracker-analytics backfill_historical_data.py, which
-    re-fetches a date range and rewrites those S3 date prefixes): an
+    version of re-running the reference's daily bucketing job for a past
+    date range (bucket_raw_data.py:85-112 rewrites one
+    ``processed/load_date=YYYY-MM-DD/`` prefix per run; replaying it over
+    old dates IS a backfill that replaces exactly those prefixes): an
     initial load writes every month partition (generation 1), then a
     corrected backfill rewrites ONLY the 1996 months (generation 2) with
     ``partitionOverwriteMode=dynamic`` so untouched months survive. The
@@ -1239,10 +1260,10 @@ def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH d AS (
       SELECT doc_id, text,
-             octet_length(encode(text)) // 100 AS n_frames,
-             least(8, octet_length(encode(text)) // 100) AS k
+             length(text) // 100 AS n_frames,
+             least(8, length(text) // 100) AS k
       FROM documents
-      WHERE octet_length(encode(text)) >= 100
+      WHERE length(text) >= 100
     ),
     j AS (SELECT doc_id, text, n_frames, k,
                  unnest(generate_series(0, k - 1)) AS idx
@@ -1258,21 +1279,25 @@ def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling plumbing (multimodal §: decode /
     feature-extract / resize / FRAME-SAMPLE): each document's bytes stand
-    in for a video container whose header says one frame per 100 bytes;
-    up to 8 frames are sampled uniformly (frame j·n/k — the evenly-spaced
-    policy video training pipelines use) and each sampled frame is
-    'decoded' by the deterministic byte stub, exploding one media row
-    into k frame rows. A real deployment swaps the byte peek for an
-    ffmpeg seek-and-decode inside mapInPandas (the
-    operators/multimodal.py seam); the schema, the explode fanout, and
-    the per-frame addressing are the real thing.
+    in for a video container whose header says one frame per 100
+    CHARACTERS; up to 8 frames are sampled uniformly (frame j·n/k — the
+    evenly-spaced policy video training pipelines use) and each sampled
+    frame is 'decoded' by the deterministic stub (code point of the
+    frame's first character), exploding one media row into k frame rows.
+    Frame count and frame addressing use the SAME unit (characters) —
+    deriving the count from UTF-8 bytes but addressing with char substr,
+    the earlier shape, let multibyte text compute offsets past the char
+    length, silently degrading frame_byte to ascii('')=0. A real
+    deployment swaps the char peek for an ffmpeg seek-and-decode inside
+    mapInPandas (the operators/multimodal.py seam); the schema, the
+    explode fanout, and the per-frame addressing are the real thing.
 
     Scale: map-only with bounded fanout (≤8 rows per item, chosen by
     arithmetic, not by decoding the whole stream) — the point of
     frame-SAMPLING at 100 TB is that you never materialize all frames;
     sequence/transform/explode stay in whole-stage codegen."""
     docs = load(spark, sf_dir, "documents")
-    nb = F.octet_length(F.encode(F.col("text"), "UTF-8"))
+    nb = F.length(F.col("text"))
     d = docs.select(
         "doc_id",
         "text",
@@ -1412,7 +1437,7 @@ def job_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def rollup(part: DataFrame) -> DataFrame:
         return (
-            part.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+            part.join(maybe_broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
             .groupBy("c_mktsegment")
             .agg(
                 F.count(F.lit(1)).cast("bigint").alias("n_orders"),
@@ -1938,6 +1963,20 @@ def ext_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdf.agg(F.round(F.max(F.abs(F.col("f_ref") - F.col("f_cur"))), 6).alias("ks_stat"))
 
 
+def _bootstrap_unif(event_id, rep):
+    """Deterministic per-(row, replicate) uniform for the Poisson
+    bootstrap. The LCG state is reduced into [0, 2^31) BEFORE the
+    multiplier: the raw product 1103515245 * (event_id*200 + rep) exceeds
+    2^63 for event_id ≳ 42M, where Spark silently wraps negative (every
+    weight becomes 0, so the CI collapses) while DuckDB raises on BIGINT
+    overflow — the engines would diverge at larger scale factors.
+    Reducing first bounds the product by 1103515245 * 2^31 < 2^62 on both
+    engines at any corpus size. The oracle SQL replays the same reduced
+    form."""
+    state = ((event_id % 2147483648) * 200 + rep) % 2147483648
+    return ((1103515245 * state + 12345) % 2147483648) / 2147483648.0
+
+
 @query(
     "ext_bootstrap_ci",
     oracle="""
@@ -1948,7 +1987,8 @@ def ext_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     u AS (
       SELECT rep, cents,
-             ((1103515245 * (event_id * 200 + rep) + 12345) % 2147483648)
+             ((1103515245 * (((event_id % 2147483648) * 200 + rep) % 2147483648)
+                 + 12345) % 2147483648)
                  / 2147483648.0 AS unif
       FROM r
     ),
@@ -1998,9 +2038,7 @@ def ext_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
         F.explode(F.sequence(F.lit(0), F.lit(199))).alias("rep"),
     )
-    unif = (
-        (1103515245 * (F.col("event_id") * 200 + F.col("rep")) + 12345) % 2147483648
-    ) / 2147483648.0
+    unif = _bootstrap_unif(F.col("event_id"), F.col("rep"))
     wt = (
         F.when(unif < 0.367879441, 0)
         .when(unif < 0.735758882, 1)
@@ -2155,17 +2193,23 @@ def ext_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     enumerates its full neighborhood pair set unless it is globally
     low-degree."""
     docs = load(spark, sf_dir, "documents").select("doc_id")
-    n = docs.count()
-    raw = docs.select(
-        F.col("doc_id").alias("u"),
-        F.explode(
-            F.array(
-                (F.col("doc_id") * 3 + 1) % n,
-                (F.col("doc_id") * 7 + 2) % n,
-                (F.col("doc_id") * 11 + 3) % n,
-            )
-        ).alias("v"),
-    ).filter(F.col("u") != F.col("v"))
+    # node count via broadcast one-row aggregate — plan-builder stays lazy
+    # (no jobs at construction, no stale-literal N); see ext_pagerank.
+    nrow = docs.agg(F.count(F.lit(1)).alias("_n"))
+    raw = (
+        docs.crossJoin(F.broadcast(nrow))
+        .select(
+            F.col("doc_id").alias("u"),
+            F.explode(
+                F.array(
+                    (F.col("doc_id") * 3 + 1) % F.col("_n"),
+                    (F.col("doc_id") * 7 + 2) % F.col("_n"),
+                    (F.col("doc_id") * 11 + 3) % F.col("_n"),
+                )
+            ).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+    )
     und = raw.select(
         F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
     ).distinct()
@@ -2197,11 +2241,10 @@ def ext_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("y") == F.col("src")) & (F.col("z") == F.col("dst")),
         "left_semi",
     )
-    n_edges = und.count()
+    n_edges = und.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
     return tri.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_triangles"),
-        F.lit(n_edges).cast("bigint").alias("n_edges"),
-    )
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    ).crossJoin(F.broadcast(n_edges))
 
 
 @query(
@@ -2768,7 +2811,8 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = (
         load(spark, sf_dir, "orders")
         .join(
-            F.broadcast(load(spark, sf_dir, "customer")),
+            # customer grows with SF — unhinted, optimizer/AQE decides
+            maybe_broadcast(load(spark, sf_dir, "customer")),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .select("c_mktsegment", F.col("o_totalprice").alias("v"), F.lit(1.0).alias("w"), "o_orderkey")
@@ -2875,7 +2919,7 @@ def job_incremental_agg_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def rollup(part: DataFrame, sign: int) -> DataFrame:
         return (
-            part.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+            part.join(maybe_broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
             .groupBy("c_mktsegment")
             .agg(
                 (F.lit(sign) * F.count(F.lit(1))).cast("bigint").alias("n_orders"),
@@ -3410,7 +3454,8 @@ def win_leave_one_out(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend = (
         load(spark, sf_dir, "orders")
         .join(
-            F.broadcast(load(spark, sf_dir, "customer")),
+            # customer grows with SF — unhinted, optimizer/AQE decides
+            maybe_broadcast(load(spark, sf_dir, "customer")),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("c_mktsegment", "c_custkey")

@@ -34,8 +34,17 @@ POLL_SCHEMA = T.StructType(
 def _fetch(train_line_abbrev: str) -> str:
     """One poll for one line. Fixture-backed here (no network in this
     environment); the live implementation issues the HTTPS request with
-    the key from options and backoff on 429/5xx."""
-    return json.dumps(fixtures.HAPPY_DOC)
+    the key from options and backoff on 429/5xx.
+
+    The requested line's abbrev is stamped into the payload's route
+    ``@name`` (the real API echoes the requested ``rt`` the same way), so
+    per-line partition routing is observable: a bug that crossed payloads
+    between line partitions now shows up as a mismatched route name in
+    tests instead of being invisible behind identical fixture bodies."""
+    doc = json.loads(json.dumps(fixtures.HAPPY_DOC))  # deep copy
+    for route in doc["ctatt"].get("route", []):
+        route["@name"] = train_line_abbrev.lower()
+    return json.dumps(doc)
 
 
 class _LinePartition(InputPartition):

@@ -504,3 +504,18 @@ def test_knn_graph_block_join_is_equi_with_group_limit(spark):
 def test_minhash_accuracy_no_cartesian(spark):
     p = plan(spark, "ext_minhash_accuracy")
     assert "CartesianProduct" not in p
+
+
+def test_sim_search_pq_codes_pinned_not_reinlined(spark):
+    """ext_sim_search_pq's compile-vs-execute split (r6 verdict #6): the
+    PQ code table is pinned (localCheckpoint) BEFORE the query crossJoin,
+    so the search plan scans materialized codes and must contain NO trace
+    of the assignment expressions — if a refactor drops the pin, project
+    collapsing re-inlines the 128 argmin folds into the post-join
+    projection (recomputed once per (query, vector) pair — the measured
+    2× trap, O(|Q|)× in general) and `array_position` reappears here."""
+    p = plan(spark, "ext_sim_search_pq")
+    assert "array_position" not in p, "PQ assignment folds re-inlined past the pin"
+    assert "Scan ExistingRDD" in p  # the pinned code table
+    # the build step, by contrast, legitimately carries the assignment
+    assert "array_position" in plan(spark, "ext_embed_pq")

@@ -56,6 +56,24 @@ def test_rest_api_datasource(spark):
     assert polls.count() == 7  # one row per train line
     assert polls.rdd.getNumPartitions() == 7  # fan-out as task parallelism
 
+    # per-line payload routing: each partition's payload must carry ITS
+    # line's route — a bug that crossed payloads between line partitions
+    # would show up here as a mismatched route name (the fixture fetch
+    # stamps the requested abbrev into route '@name', like the real API
+    # echoes the requested rt)
+    from cta_train_tracker_analytics_spark.schemas import TRAIN_LINES
+
+    abbrev_by_line = {line: abbrev.lower() for abbrev, line in TRAIN_LINES}
+    routed = polls.select(
+        "train_line",
+        F.element_at(
+            F.from_json("body", CTA_RESPONSE_SCHEMA)["ctatt"]["route"], 1
+        )["@name"].alias("route_name"),
+    ).collect()
+    assert len(routed) == 7
+    for row in routed:
+        assert row["route_name"] == abbrev_by_line[row["train_line"]]
+
     parsed = polls.select(
         F.from_json("body", CTA_RESPONSE_SCHEMA).getField("ctatt").alias("ctatt"),
         "train_line",

@@ -24,3 +24,21 @@ def test_spread_noop_on_well_partitioned_input(spark):
     assert spread(wide) is wide  # no repartition inserted
     narrow = spark.range(0, 1000, 1, 1)
     assert spread(narrow) is not narrow
+
+
+def test_bench_driver_line_is_bounded_and_parseable():
+    """bench.py's stdout JSON line must stay far under output-tail capture
+    limits at ANY registry size (r6's 137-query line was truncated
+    mid-object, destroying the round's perf evidence): 15-slowest only,
+    parseable, and < 2 KiB even with 500 registered queries."""
+    import json as _json
+
+    import bench
+
+    timings = {f"query_name_padded_{i:04d}": i / 1000.0 for i in range(500)}
+    line = bench.driver_line(timings, sum(timings.values()), 0.1)
+    assert len(line) < 2048, len(line)
+    parsed = _json.loads(line)
+    assert parsed["n_queries"] == 500
+    assert len(parsed["queries"]) == 15
+    assert parsed["value"] > 0
