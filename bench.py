@@ -208,9 +208,14 @@ def main() -> None:
         load(spark, sf_dir, t).count()
 
     queries = registry.all_queries()
+    # iteration aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 times just those queries
+    # (skips the full 137-query sweep while tuning one plan). The BENCH_DETAIL
+    # merge below still updates best_ever for only the queries actually run.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    headline = [n for n in HEADLINE if n in set(only.split(","))] if only else HEADLINE
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         fn = queries[name]
         # min of 3 runs: the first execution pays plan compile + codegen for
         # this query's operators; min measures engine capability, not JIT
