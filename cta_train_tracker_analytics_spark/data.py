@@ -82,3 +82,19 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view (for the SQL API surface)."""
     for name in TABLES:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_back(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Read an engine-written parquet directory back with its KNOWN schema
+    (data columns + partition columns, e.g. the pre-write frame's
+    ``df.schema``). Schema-on-read serves two purposes at scale: no
+    footer-inference pass over the directory listing, and an EMPTY
+    increment — a partitioned write whose input had zero rows, which lays
+    down only a ``_SUCCESS`` marker with no part files or partition dirs —
+    reads back as an empty typed frame instead of killing the job with a
+    schema-inference AnalysisException. Empty increments are routine in
+    incremental/backfill/retention pipelines (a day with no data, a
+    filter that matched nothing), so every read-after-write in the engine
+    goes through this helper. Partition-column values are still discovered
+    from directory names and cast to the declared type."""
+    return spark.read.schema(schema).parquet(path)

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..data import load
+from ..data import load, read_back
 from ..operators.flatten import flatten_positions
 from ..operators.windows import latest_state
 from ..schemas import TRIGGER_SCHEMA, train_lines_df
@@ -277,7 +277,8 @@ def snk_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").withColumn("load_date", F.to_date("ts"))
     path = _scratch("snk_parquet_partitioned", sf_dir)
     ev.write.mode("overwrite").partitionBy("load_date").parquet(path)
-    back = spark.read.parquet(path)
+    # schema-on-read (no inference pass; an empty publish reads back clean)
+    back = read_back(spark, path, ev.schema)
     return back.groupBy(F.col("load_date").cast("date").alias("load_date")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
@@ -377,7 +378,15 @@ def job_compact_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     write_jsonl(day_events, date_path(raw, day.year, day.month, day.day))
     compact_day(spark, raw, curated, day, schema)
-    back = spark.read.parquet(curated).filter(F.col("load_date") == F.lit(day))
+    # schema-on-read: curated = declared columns + the load_date partition
+    # (a day with zero raw records compacts to an empty publish and must
+    # still read back — the no-op daily run)
+    curated_schema = T.StructType(
+        schema.fields + [T.StructField("load_date", T.DateType())]
+    )
+    back = read_back(spark, curated, curated_schema).filter(
+        F.col("load_date") == F.lit(day)
+    )
     return back.select("event_id", "user_id", "value")
 
 
@@ -407,7 +416,9 @@ def job_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.write.mode("overwrite").partitionBy("load_date").parquet(root)
     # events span 2024-01-01..2024-01-30; keep the trailing 18 days
     expire_partitions(root, keep_days=18, today=dt.date(2024, 1, 31))
-    back = spark.read.parquet(root)
+    # schema-on-read: retention that expired EVERY partition must read
+    # back as an empty typed frame, not die on schema inference
+    back = read_back(spark, root, ev.schema)
     return back.groupBy(F.col("load_date").cast("date").alias("load_date")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..data import load
+from ..data import load, read_back
 from ..functions.text import (
     bpe_ish_token_count,
     fingerprint,
@@ -1502,7 +1502,9 @@ def snk_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).repartition(8, "shard")
     path = _scratch("snk_training_shards", sf_dir)
     sharded.write.mode("overwrite").partitionBy("shard").parquet(path)
-    back = spark.read.parquet(path)
+    # schema-on-read (an empty corpus shards to an empty publish and must
+    # still read back for verification)
+    back = read_back(spark, path, sharded.schema)
     return back.groupBy(F.col("shard").cast("bigint").alias("shard")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(token_count(F.col("text"))).cast("bigint").alias("n_tokens"),

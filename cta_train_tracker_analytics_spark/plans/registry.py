@@ -66,9 +66,11 @@ _PRIORITY = [
     # already-verified queries whose code changed this round) instead of
     # on new queries. Front block, in order:
     #   1-2   the two no-oracle sketches with no driver row of any kind
-    #   3-4   already-hashed queries whose code changed this round
+    #   3-9   already-hashed queries whose code changed this round
     #         (agg_heavy_hitters lazy total, job_dq_checks unhinted
-    #         growing-dim anti-join) — re-hash so nothing is stale
+    #         growing-dim anti-join, and the partitioned-sink family's
+    #         schema-on-read read-backs — an empty increment no longer
+    #         dies on schema inference) — re-hash so nothing is stale
     #   5-12  never-verified queries whose code ALSO changed this round
     #         (ADVICE LCG/frame-unit fixes, lazy plan builders,
     #         maybe_broadcast on customer joins)
@@ -80,6 +82,11 @@ _PRIORITY = [
     "ext_compression_quality",
     "agg_heavy_hitters",
     "job_dq_checks",
+    "job_retention",
+    "join_dpp_partitioned",
+    "snk_parquet_partitioned",
+    "job_compact_day",
+    "snk_training_shards",
     "ext_bootstrap_ci",
     "ext_frame_sample",
     "ext_pagerank",
@@ -200,7 +207,6 @@ _PRIORITY = [
     "agg_pivot",
     "agg_approx_quantile",
     "snk_parquet_sorted",
-    "job_retention",
     "ext_seq_pack",
     "ext_repetition_stats",
     "ext_bm25",
@@ -215,7 +221,6 @@ _PRIORITY = [
     "snk_orc",
     "job_prep_training_corpus",
     "ext_dedup_containment",
-    "join_dpp_partitioned",
     "win_session_gap",
     "agg_bitmap_distinct",
     "agg_cube",

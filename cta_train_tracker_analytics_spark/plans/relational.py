@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..data import load
+from ..data import load, read_back
 from ..operators.joins import asof_join, range_join
 from ..operators.windows import (
     lag_gap_seconds,
@@ -1033,8 +1033,12 @@ def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = ev.select("d").distinct().withColumn("dow", F.weekday("d") + 1)
     dim.write.mode("overwrite").parquet(dim_path)
 
-    fact = spark.read.parquet(fact_path)
-    wednesdays = spark.read.parquet(dim_path).filter(F.col("dow") == 3).select("d")
+    # schema-on-read on both sides (an empty publish reads back clean;
+    # partition discovery for DPP is unaffected by the declared schema)
+    fact = read_back(spark, fact_path, ev.schema)
+    wednesdays = (
+        read_back(spark, dim_path, dim.schema).filter(F.col("dow") == 3).select("d")
+    )
     return (
         fact.join(wednesdays, "d")
         .groupBy("d")

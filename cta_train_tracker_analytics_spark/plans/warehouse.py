@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..data import load
+from ..data import load, read_back
 from ..functions.text import tokens
 from ..operators.layout import morton_key, morton_sql
 from ..operators.util import maybe_broadcast
@@ -1093,9 +1093,9 @@ def job_backfill_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").withColumn(
         "month", F.date_format("o_orderdate", "yyyy-MM")
     )
+    initial = orders.withColumn("backfill_gen", F.lit(1))
     (
-        orders.withColumn("backfill_gen", F.lit(1))
-        .repartition("month")
+        initial.repartition("month")
         .write.partitionBy("month")
         .mode("overwrite")
         .parquet(path)
@@ -1111,7 +1111,9 @@ def job_backfill_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("partitionOverwriteMode", "dynamic")
         .parquet(path)
     )
-    back = spark.read.parquet(path)
+    # read back with the written schema: no inference pass, and a backfill
+    # whose corrected range matched zero rows still reads back cleanly
+    back = read_back(spark, path, initial.schema)
     return back.groupBy("month").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         F.max("backfill_gen").cast("bigint").alias("backfill_gen"),

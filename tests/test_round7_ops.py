@@ -164,3 +164,49 @@ def test_frame_sample_consistent_char_units(spark, duck):
     ).fetchone()
     con.close()
     assert oracle[0] == 1 and oracle[1] == 233
+
+
+def test_partitioned_sinks_survive_empty_input(spark, tmp_path):
+    """Empty increments are routine at scale (a day with no data, a
+    retention sweep that expired everything, a backfill range matching
+    zero rows). A partitioned write of zero rows lays down only _SUCCESS —
+    no part files, no partition dirs — and the old inference-based
+    read-back died with AnalysisException. Every read-after-write now goes
+    through data.read_back (schema-on-read): the whole registry must
+    BUILD AND RUN against fully-empty tables. This sweeps the exact six
+    queries that failed (job_backfill_idempotent, job_retention,
+    join_dpp_partitioned, snk_parquet_partitioned, job_compact_day,
+    snk_training_shards) plus representatives of every operator family."""
+    from cta_train_tracker_analytics_spark.data import TABLES
+
+    empty_dir = str(tmp_path / "empty_sf")
+    for t in TABLES:
+        load(spark, SF_DIR, t).limit(0).write.parquet(f"{empty_dir}/{t}.parquet")
+
+    names = [
+        # the six previously-crashing partitioned write→read round trips
+        "job_backfill_idempotent",
+        "job_retention",
+        "join_dpp_partitioned",
+        "snk_parquet_partitioned",
+        "job_compact_day",
+        "snk_training_shards",
+        # family representatives: agg, window, join, dedup, ANN, text,
+        # sketch, stats, graph, incremental
+        "flagship_region_pricing",
+        "win_latest_state",
+        "join_asof",
+        "ext_dedup_minhash",
+        "ext_dedup_embed",
+        "ext_sim_search",
+        "ext_text_stats",
+        "agg_heavy_hitters",
+        "agg_kll_quantiles",
+        "ext_auc",
+        "ext_pagerank",
+        "job_incremental_agg",
+    ]
+    queries = registry.all_queries()
+    for name in names:
+        n = queries[name](spark, empty_dir).count()
+        assert n >= 0, name  # must not raise; zero-or-aggregate rows ok
