@@ -74,15 +74,28 @@ def decode_features(media: DataFrame, real_codec: bool = False) -> DataFrame:
 
         for pdf in batches:
             data = pdf["data"]
-            n_bytes = data.map(len).astype("int64")
-            first = data.map(lambda b: b[0] if len(b) else 0).astype("int64")
+            # null payloads (missing/corrupt media — routine in dirty
+            # corpora) decode to null features, NOT a worker crash; pandas
+            # nullable Int64 carries the nulls through Arrow to Spark, and
+            # the semantics match the SQL oracle, where every feature of a
+            # NULL blob is NULL (octet_length(NULL) etc.)
+            n_bytes = _pd.array(
+                [len(b) if b is not None else None for b in data], dtype="Int64"
+            )
+            first = _pd.array(
+                [
+                    (b[0] if len(b) else 0) if b is not None else None
+                    for b in data
+                ],
+                dtype="Int64",
+            )
             yield _pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
                     "n_bytes": n_bytes,
                     "first_byte": first,
-                    "width": (n_bytes % 640).astype("int64"),
-                    "height": (n_bytes % 480).astype("int64"),
+                    "width": n_bytes % 640,
+                    "height": n_bytes % 480,
                 }
             )
 

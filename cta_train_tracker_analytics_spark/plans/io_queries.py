@@ -125,7 +125,7 @@ def src_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            sha256(text) AS content_sha
-    FROM documents WHERE doc_id < 200
+    FROM documents WHERE doc_id < 200 AND text IS NOT NULL
     """,
 )
 def src_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -156,7 +156,11 @@ def src_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
             with open(f"{path}/{r.doc_id}.bin", "wb") as f:
                 f.write(r.text.encode("utf-8"))
 
-    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    # a document with no payload stages no blob — the ingestion semantic
+    # for missing media (and open()/encode on None would kill the task)
+    docs = load(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 200) & F.col("text").isNotNull()
+    )
     docs.select("doc_id", "text").foreachPartition(_write_blobs)
     blobs = (
         spark.read.format("binaryFile")

@@ -320,11 +320,22 @@ def ext_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda s: F.size(F.split(s, " ")) == 3,
     )
+    # Empty shingle sets (null/short docs — routine in dirty corpora) kill
+    # MinHashLSHModel.hashFunction ("Must have at least 1 non zero
+    # entry"), and a plain filter(size(toks) > 0) is NOT enough: inside
+    # approxSimilarityJoin the hash UDF becomes part of the join key, and
+    # the fused codegen stage evaluates that subexpression before the size
+    # predicate (verified empirically — the filtered plan still threw).
+    # The eager localCheckpoint is the reliable guard: the hash UDF then
+    # runs over the MATERIALIZED filtered rows only. MLlib's LSH already
+    # materializes passes in fit(), so the extra cost is one cache of the
+    # (id, toks, features) working set; the portable-hash
+    # ext_dedup_minhash remains the primary 100 TB implementation.
     docs = load(spark, sf_dir, "documents").select(
         F.col("doc_id"), shingles.alias("toks")
-    )
+    ).filter(F.size("toks") > 0)
     tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=1 << 18)
-    feats = tf.transform(docs).filter(F.size("toks") > 0)
+    feats = tf.transform(docs).localCheckpoint(eager=True)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = lsh.fit(feats)
     pairs = model.approxSimilarityJoin(feats, feats, 0.3, distCol="jaccard_dist")

@@ -210,3 +210,57 @@ def test_partitioned_sinks_survive_empty_input(spark, tmp_path):
     for name in names:
         n = queries[name](spark, empty_dir).count()
         assert n >= 0, name  # must not raise; zero-or-aggregate rows ok
+
+
+def test_registry_survives_null_payloads(spark, tmp_path):
+    """Dirty corpora carry null payloads (missing media, null text from a
+    failed extraction, null metric values); operators must skip or
+    propagate them, never crash a worker. Discovered crashers, fixed:
+    ext_dedup_minhash_mllib (MLlib's LSH hash UDF evaluated ahead of the
+    empty-set filter inside the fused join stage — needs the materialized
+    barrier), src_binary (encode(None) in the staging loop), and
+    ext_multimodal_cols (len(None) in the decode batch). Sweep those
+    three plus text/embedding/value-consuming representatives against
+    10%-null-injected tables."""
+    from cta_train_tracker_analytics_spark.data import TABLES
+
+    null_dir = str(tmp_path / "null_sf")
+    nullable = {
+        "documents": ["text", "lang", "source"],
+        "embeddings": ["embedding"],
+        "events": ["value", "event_type"],
+    }
+    for t in TABLES:
+        df = load(spark, SF_DIR, t)
+        for c in nullable.get(t, []):
+            df = df.withColumn(
+                c,
+                F.when(
+                    F.crc32(
+                        F.concat(F.lit(c), F.col(df.columns[0]).cast("string"))
+                    )
+                    % 10
+                    == 0,
+                    F.lit(None),
+                ).otherwise(F.col(c)),
+            )
+        df.write.parquet(f"{null_dir}/{t}.parquet")
+
+    names = [
+        "ext_dedup_minhash_mllib",
+        "src_binary",
+        "ext_multimodal_cols",
+        "ext_dedup_minhash",
+        "ext_dedup_embed",
+        "ext_sim_search",
+        "ext_text_stats",
+        "ext_quality_filter",
+        "ext_lm_perplexity",
+        "agg_delay_rate",
+        "ext_tfidf_topk",
+        "agg_heavy_hitters",
+    ]
+    queries = registry.all_queries()
+    for name in names:
+        n = queries[name](spark, null_dir).count()
+        assert n >= 0, name
