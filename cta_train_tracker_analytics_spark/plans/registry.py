@@ -66,12 +66,13 @@ _PRIORITY = [
     # the backlog plus the re-hash of every implementation this round's
     # fixes touched. Front block, in order:
     #   1-2    the two no-oracle sketches with no driver row of any kind
-    #   3-12   already-hashed queries whose code changed this round
+    #   3-13   already-hashed queries whose code changed this round
     #          (agg_heavy_hitters lazy total, job_dq_checks unhinted
     #          growing-dim anti-join, the partitioned-sink family's
     #          schema-on-read read-backs — an empty increment no longer
     #          dies on schema inference — and the null-payload hardening
-    #          of the mllib LSH / binary-blob / multimodal-decode paths).
+    #          of the mllib LSH / binary-blob / multimodal-decode paths
+    #          and the outer stream-join's empty-source sentinel guard).
     #          Their r7 code produces byte-identical output to the hashed
     #          r3-r6 runs on clean driver data (the changes alter only
     #          empty/null-input behavior and plan laziness), so each is a
@@ -101,6 +102,7 @@ _PRIORITY = [
     "ext_dedup_minhash_mllib",
     "src_binary",
     "ext_multimodal_cols",
+    "str_stream_join_outer",
     "ext_bootstrap_ci",
     "ext_frame_sample",
     "ext_pagerank",
@@ -191,7 +193,6 @@ _PRIORITY = [
     "ext_semdedup",
     "ext_dsir_weights",
     "ext_bpe_merges",
-    "str_stream_join_outer",
     "job_scd2",
     "win_gap_fill_locf",
     "ext_dedup_substring",

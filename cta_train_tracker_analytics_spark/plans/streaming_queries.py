@@ -673,6 +673,14 @@ def str_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev = _events(spark, sf_dir)
     max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    if max_ts is None:
+        # empty source: there is no real state to flush, so any sentinel
+        # instant works (sentinels are filtered from the result by user
+        # sign) — without this the None + timedelta below would kill the
+        # no-data run of the job
+        from datetime import datetime
+
+        max_ts = datetime(1970, 1, 1)
 
     def sentinel(eid: int, uid: int, etype: str, ts):
         return spark.createDataFrame(
