@@ -1065,7 +1065,8 @@ def ext_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_sim_search_ivf",
     oracle="""
     WITH cent AS (SELECT vec_id AS cent_id, embedding AS c FROM embeddings
-                  WHERE vec_id < 8),
+                  WHERE vec_id IN (SELECT vec_id FROM embeddings
+                                   ORDER BY vec_id LIMIT 8)),
     terms0 AS (SELECT e.vec_id, cent.cent_id, unnest(e.embedding)::DOUBLE AS v,
                       unnest(cent.c)::DOUBLE AS w
                FROM embeddings e CROSS JOIN cent),
@@ -1098,10 +1099,13 @@ def ext_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     query searches only its own cell via an equi-join on the cell id. The
     scale path when the query set is too large to broadcast-scan the whole
     corpus (nprobe=1; recall tunes by probing neighbor cells). Centroids
-    here are the first 8 vectors — deterministic; production k-means fits
-    them offline."""
+    here are the 8 smallest-id vectors — deterministic AND id-agnostic
+    (seeding by `vec_id < 8` assumed ids start at 0; an arbitrary id space
+    yielded ZERO centroids and an element_at(-1) crash in assignment —
+    the round-7 large-id sweep's finding); production k-means fits them
+    offline."""
     emb = load(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") < 8).select(
+    centroids = emb.orderBy("vec_id").limit(8).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
     )
     queries = emb.filter(F.col("vec_id") < 5)
@@ -1112,7 +1116,8 @@ def ext_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_sim_search_ivf_nprobe",
     oracle="""
     WITH cent AS (SELECT vec_id AS cent_id, embedding AS c FROM embeddings
-                  WHERE vec_id < 8),
+                  WHERE vec_id IN (SELECT vec_id FROM embeddings
+                                   ORDER BY vec_id LIMIT 8)),
     terms0 AS (SELECT e.vec_id, cent.cent_id, unnest(e.embedding)::DOUBLE AS v,
                       unnest(cent.c)::DOUBLE AS w
                FROM embeddings e CROSS JOIN cent),
@@ -1152,7 +1157,7 @@ def ext_sim_search_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-side plan is identical to ext_sim_search_ivf — still zero
     corpus shuffle, still one equi-join on the cell id."""
     emb = load(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") < 8).select(
+    centroids = emb.orderBy("vec_id").limit(8).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
     )
     queries = emb.filter(F.col("vec_id") < 5)
@@ -1866,7 +1871,8 @@ def ext_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_kmeans_update",
     oracle="""
     WITH cent AS (SELECT vec_id AS cent_id, embedding AS c FROM embeddings
-                  WHERE vec_id < 8),
+                  WHERE vec_id IN (SELECT vec_id FROM embeddings
+                                   ORDER BY vec_id LIMIT 8)),
     terms0 AS (SELECT e.vec_id, cent.cent_id, unnest(e.embedding)::DOUBLE AS v,
                       unnest(cent.c)::DOUBLE AS w
                FROM embeddings e CROSS JOIN cent),
@@ -1904,7 +1910,7 @@ def ext_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     query with the returned centroids; each iteration is one scan + one
     bounded shuffle."""
     emb = load(spark, sf_dir, "embeddings")
-    cents = emb.filter(F.col("vec_id") < 8).select(
+    cents = emb.orderBy("vec_id").limit(8).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
     )
     assigned = ivf_assign(emb, cents)
@@ -2290,7 +2296,8 @@ def ext_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
            QUALIFY row_number() OVER (PARTITION BY query_id
                                       ORDER BY cs DESC, vec_id) <= 10),
     cent AS (SELECT vec_id AS cent_id, embedding AS c FROM embeddings
-             WHERE vec_id < 8),
+             WHERE vec_id IN (SELECT vec_id FROM embeddings
+                                   ORDER BY vec_id LIMIT 8)),
     terms0 AS (SELECT e.vec_id, cent.cent_id, unnest(e.embedding)::DOUBLE AS v,
                       unnest(cent.c)::DOUBLE AS w
                FROM embeddings e CROSS JOIN cent),
@@ -2338,7 +2345,7 @@ def ext_sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exactly why measuring recall on a sample is the deployment gate, not
     a full-corpus self-join."""
     emb = load(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") < 8).select(
+    centroids = emb.orderBy("vec_id").limit(8).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
     )
     queries = emb.filter(F.col("vec_id") < 5).select(
@@ -2731,7 +2738,8 @@ def job_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_semdedup",
     oracle="""
     WITH cent AS (SELECT vec_id AS cent_id, embedding AS c FROM embeddings
-                  WHERE vec_id < 8),
+                  WHERE vec_id IN (SELECT vec_id FROM embeddings
+                                   ORDER BY vec_id LIMIT 8)),
     terms0 AS (SELECT e.vec_id, cent.cent_id, unnest(e.embedding)::DOUBLE AS v,
                       unnest(cent.c)::DOUBLE AS w
                FROM embeddings e CROSS JOIN cent),
@@ -2772,7 +2780,7 @@ def ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets): cells here are learned density regions, the published
     recipe for semantic (not near-literal) duplicate pruning."""
     emb = load(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") < 8).select(
+    centroids = emb.orderBy("vec_id").limit(8).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
     )
     a = ivf_assign(emb, centroids).localCheckpoint(eager=True)

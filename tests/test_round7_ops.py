@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from cta_train_tracker_analytics_spark.data import load
+from cta_train_tracker_analytics_spark.data import TABLES, load
 from cta_train_tracker_analytics_spark.operators.util import maybe_broadcast
 from cta_train_tracker_analytics_spark.plans import registry
 from cta_train_tracker_analytics_spark.plans.warehouse import _bootstrap_unif
@@ -267,3 +267,28 @@ def test_registry_survives_null_payloads(spark, tmp_path):
     for name in names:
         n = queries[name](spark, null_dir).count()
         assert n >= 0, name
+
+
+def test_ivf_centroid_seeding_is_id_agnostic(spark, tmp_path):
+    """IVF/k-means centroid seeding must not assume the id space starts at
+    0: the old `filter(vec_id < 8)` seed yielded ZERO centroids on a
+    shifted id space (any real corpus with snowflake/UUID-derived ids),
+    and assignment then died with element_at(-1) on the empty distance
+    array. Seeding is now the 8 smallest ids — identical on driver data,
+    defined on any id space."""
+    shifted_dir = str(tmp_path / "shifted_sf")
+    for t in TABLES:
+        df = load(spark, SF_DIR, t)
+        if t == "embeddings":
+            df = df.withColumn("vec_id", (F.col("vec_id") + 10**10).cast("bigint"))
+        if t == "documents":
+            df = df.withColumn("doc_id", (F.col("doc_id") + 10**10).cast("bigint"))
+        df.write.parquet(f"{shifted_dir}/{t}.parquet")
+
+    queries = registry.all_queries()
+    for name in ("ext_kmeans_update", "ext_semdedup"):
+        n = queries[name](spark, shifted_dir).count()
+        assert n > 0, name  # centroids exist, assignment runs
+    # query-set filters (vec_id < 5) legitimately select nothing on a
+    # shifted space — empty result, no crash, oracle agrees
+    assert queries["ext_sim_search_ivf"](spark, shifted_dir).count() == 0
