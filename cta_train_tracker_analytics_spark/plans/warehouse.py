@@ -3265,11 +3265,19 @@ def win_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_seasonality_profile",
     oracle="""
-    SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
-           CAST(hour(ts) AS BIGINT) AS hod,
-           CAST(count(*) AS BIGINT) AS n_events,
-           round(avg(value), 4) AS avg_value
-    FROM events GROUP BY dayofweek(ts), hour(ts)
+    WITH g AS (
+      SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+             CAST(hour(ts) AS BIGINT) AS hod,
+             CAST(count(*) AS BIGINT) AS n_events,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY dayofweek(ts), hour(ts)
+    )
+    SELECT dow, hod, n_events,
+           (CASE WHEN cents >= 0
+                 THEN (cents * 200 + n_events) // (2 * n_events)
+                 ELSE -(((-cents) * 200 + n_events) // (2 * n_events)) END)
+               / CAST(10000.0 AS DOUBLE) AS avg_value
+    FROM g
     """,
 )
 def agg_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3279,19 +3287,37 @@ def agg_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     they deviate from). NTZ date-part extraction, so the profile is
     timezone-stable.
 
+    avg_value is rounded ENTIRELY in BIGINT arithmetic (exact cents sum,
+    then half-away-from-zero at 4 decimals via (|s|·200 + n) div (2n)):
+    a raw round(avg(value), 4) flips between engines when a cell's mean
+    lands on a .00005 boundary — the round-7 negative-values sweep caught
+    a cell at exactly -9.38375 reading -9.3838 on Spark (rounds the
+    shortest-decimal repr) vs -9.3837 on DuckDB (rounds the binary
+    value), and even sum-of-cents / (100.0·n) keeps that divergence
+    because DuckDB degrades every decimal division to DOUBLE. Integer
+    rounding is the only form both engines reproduce bit-for-bit; the
+    final /10000.0 maps the same integer to the same double on both.
+
     Scale: single aggregate with 168 groups — pure map-side collapse;
     DuckDB's Sunday=0 dayofweek convention matches Spark's
     dayofweek()-1, aligned below."""
     events = load(spark, sf_dir, "events")
-    return (
-        events.groupBy(
-            (F.dayofweek("ts") - 1).cast("bigint").alias("dow"),
-            F.hour("ts").cast("bigint").alias("hod"),
-        )
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
-        )
+    g = events.groupBy(
+        (F.dayofweek("ts") - 1).cast("bigint").alias("dow"),
+        F.hour("ts").cast("bigint").alias("hod"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents"),
+    )
+    half_away = F.when(
+        F.col("cents") >= 0,
+        F.expr("(cents * 200 + n_events) div (2 * n_events)"),
+    ).otherwise(-F.expr("((-cents) * 200 + n_events) div (2 * n_events)"))
+    return g.select(
+        "dow",
+        "hod",
+        "n_events",
+        (half_away / 10000.0).alias("avg_value"),
     )
 
 

@@ -292,3 +292,33 @@ def test_ivf_centroid_seeding_is_id_agnostic(spark, tmp_path):
     # query-set filters (vec_id < 5) legitimately select nothing on a
     # shifted space — empty result, no crash, oracle agrees
     assert queries["ext_sim_search_ivf"](spark, shifted_dir).count() == 0
+
+
+def test_rounded_mean_is_cross_engine_exact_at_half_boundary(spark, duck):
+    """round(x, 4) on a double mean is NOT cross-engine reproducible at
+    .00005 boundaries: Spark rounds the shortest-decimal repr (-9.38375 →
+    -9.3838) while DuckDB rounds the binary value (→ -9.3837), and DuckDB
+    degrades every decimal division to DOUBLE so decimal math can't save
+    it. The integer half-away form agg_seasonality_profile uses —
+    (|cents|·200 + n) div (2n), then /10000.0 — must agree bit-for-bit on
+    the exact cell the round-7 negative-values sweep caught flipping."""
+    import duckdb
+
+    cents, n = -7507, 8  # mean = -9.38375, the observed boundary cell
+    row = spark.sql(
+        f"""SELECT (CASE WHEN {cents} >= 0
+                    THEN ({cents} * 200 + {n}) div (2 * {n})
+                    ELSE -((-({cents}) * 200 + {n}) div (2 * {n})) END)
+                   / CAST(10000.0 AS DOUBLE) AS v"""
+    ).collect()[0]
+    con = duckdb.connect()
+    oracle = con.execute(
+        f"""SELECT (CASE WHEN {cents} >= 0
+                    THEN ({cents} * 200 + {n}) // (2 * {n})
+                    ELSE -((-({cents}) * 200 + {n}) // (2 * {n})) END)
+                   / 10000.0"""
+    ).fetchone()[0]
+    con.close()
+    # DuckDB returns DECIMAL for bigint/decimal-literal division; the
+    # driver's pandas conversion maps it to float64 — compare as floats
+    assert row["v"] == float(oracle) == -9.3838
