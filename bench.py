@@ -257,12 +257,19 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     best_ever: dict[str, float] = {}
+    prior: dict = {}
     try:
         with open(detail_path) as f:
             prior = json.load(f)
         best_ever = dict(prior.get("best_ever", {}))
     except (OSError, ValueError):
         pass
+    # detail maps: on a filtered (SPARK_GRAFT_BENCH_ONLY) tuning run, MERGE
+    # into the prior full map instead of clobbering it — a 4-query run must
+    # not erase the round's full evidence. The stdout line still reports
+    # only this run's queries/total.
+    detail_timings = {**prior.get("queries", {}), **timings} if only else timings
+    detail_min = {**prior.get("queries_min", {}), **timings_min} if only else timings_min
     for name, sec in timings_min.items():
         # best-of-history on the min-of-runs timing: distinguishes noise
         # from structural drift (e.g. flagship_region_pricing's 1.15→1.64 s
@@ -273,13 +280,13 @@ def main() -> None:
         json.dump(
             {
                 "sf": sf,
-                "total_sec": total,
-                "queries": timings,
+                "total_sec": round(sum(detail_timings.values()), 3),
+                "queries": detail_timings,
                 # min-of-runs per query: kept alongside the median-based
                 # headline so cross-round totals stay comparable after the
                 # round-6 method change (median-of-5 for sub-second queries
                 # is systematically higher than min-of-3 by construction)
-                "queries_min": timings_min,
+                "queries_min": detail_min,
                 "best_ever": best_ever,
                 "method": {
                     "sub_second": "median_of_5",
