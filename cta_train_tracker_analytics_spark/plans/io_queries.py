@@ -125,7 +125,8 @@ def src_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            sha256(text) AS content_sha
-    FROM documents WHERE doc_id < 200 AND text IS NOT NULL
+    FROM documents
+    WHERE doc_id < 200 AND text IS NOT NULL AND octet_length(encode(text)) > 0
     """,
 )
 def src_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -157,9 +158,14 @@ def src_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f.write(r.text.encode("utf-8"))
 
     # a document with no payload stages no blob — the ingestion semantic
-    # for missing media (and open()/encode on None would kill the task)
+    # for missing media (open()/encode on None would kill the task), and
+    # the same goes for EMPTY payloads: Spark's binaryFile file index
+    # silently skips 0-byte files, so staging one would create a row the
+    # read-back never returns (found by the blank-text sweep)
     docs = load(spark, sf_dir, "documents").filter(
-        (F.col("doc_id") < 200) & F.col("text").isNotNull()
+        (F.col("doc_id") < 200)
+        & F.col("text").isNotNull()
+        & (F.length("text") > 0)
     )
     docs.select("doc_id", "text").foreachPartition(_write_blobs)
     blobs = (

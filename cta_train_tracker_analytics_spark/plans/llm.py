@@ -145,6 +145,7 @@ def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
            CAST(list_min(fps) AS BIGINT) AS min_fp
     FROM fp
+    WHERE len(fps) > 0
     """,
 )
 def ext_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -152,7 +153,10 @@ def ext_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     sliding window, distinct — the position-robust fingerprint set that
     catches partial content overlap, unlike whole-document hashing.
     Explode + RANGE-window plan so each gram hashes exactly once; sharing a
-    fingerprint value is the blocking key for overlap detection at scale."""
+    fingerprint value is the blocking key for overlap detection at scale.
+    A doc too short to yield any k-gram window has NO row here (it has no
+    entry in the fingerprint index — the explode drops it naturally); the
+    oracle filters len(fps) > 0 to match."""
     docs = load(spark, sf_dir, "documents")
     fps = winnow_fingerprints(docs, k=8, w=16)
     return fps.groupBy(F.col("id").alias("doc_id")).agg(
@@ -2404,8 +2408,8 @@ def ext_sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     z AS (
         SELECT doc_id,
                -1.0 + 0.004 * n_tokens
-                    + 2.0 * (n_alpha / CAST(n_chars AS DOUBLE))
-                    - 3.0 * (n_digits / CAST(n_chars AS DOUBLE)) AS z
+                    + 2.0 * (n_alpha / CAST(greatest(n_chars, 1) AS DOUBLE))
+                    - 3.0 * (n_digits / CAST(greatest(n_chars, 1) AS DOUBLE)) AS z
         FROM f
     )
     SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 4) AS score,
@@ -2425,11 +2429,16 @@ def ext_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the oracle is exact, not approximate."""
     docs = load(spark, sf_dir, "documents")
     f = quality_features(F.col("text"))
+    # greatest(n_chars, 1): an EMPTY doc (n_chars = 0) must score, not
+    # kill the job with ANSI DIVIDE_BY_ZERO (found by the blank-text
+    # sweep); with zero alpha/digit counts the ratios are exactly 0, so
+    # the clamp changes nothing on any non-empty doc
+    denom = F.greatest(f["n_chars"], F.lit(1)).cast("double")
     z = (
         F.lit(-1.0)
         + F.lit(0.004) * f["n_tokens"]
-        + F.lit(2.0) * (f["n_alpha"] / f["n_chars"].cast("double"))
-        - F.lit(3.0) * (f["n_digits"] / f["n_chars"].cast("double"))
+        + F.lit(2.0) * (f["n_alpha"] / denom)
+        - F.lit(3.0) * (f["n_digits"] / denom)
     )
     score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
     return docs.select(

@@ -66,7 +66,7 @@ _PRIORITY = [
     # the backlog plus the re-hash of every implementation this round's
     # fixes touched. Front block, in order:
     #   1-2    the two no-oracle sketches with no driver row of any kind
-    #   3-18   already-hashed queries whose code changed this round
+    #   3-20   already-hashed queries whose code changed this round
     #          (agg_heavy_hitters lazy total, job_dq_checks unhinted
     #          growing-dim anti-join, the partitioned-sink family's
     #          schema-on-read read-backs — an empty increment no longer
@@ -74,19 +74,21 @@ _PRIORITY = [
     #          of the mllib LSH / binary-blob / multimodal-decode paths
     #          the outer stream-join's empty-source sentinel guard, and
     #          the IVF family's id-agnostic centroid seeding — the old
-    #          vec_id<8 seed crashed on any id space not starting at 0).
+    #          vec_id<8 seed crashed on any id space not starting at 0,
+    #          and the blank-text guards: winnow/blob rows for docs with
+    #          no payload, quality-model divide-by-zero).
     #          Their r7 code produces byte-identical output to the hashed
     #          r3-r6 runs on clean driver data (the changes alter only
     #          empty/null-input behavior and plan laziness), so each is a
     #          guaranteed-green re-hash; they sit in front anyway so no
     #          entry's CURRENT code lacks a driver row — the zero-stale
     #          invariant r6 established.
-    #   19-22  never-verified queries whose code ALSO changed this round
+    #   21-24  never-verified queries whose code ALSO changed this round
     #          (ADVICE LCG/frame-unit fixes, lazy plan builders)
-    #   23-80  the remaining never-verified round-6 additions (incl. the
+    #   25-82  the remaining never-verified round-6 additions (incl. the
     #          maybe_broadcast customer-join four) in landing order.
-    # Budget arithmetic: 50 slots = 2 + 16 re-hash + 32 backlog, leaving
-    # ~30 never-verified for round 8 (vs 14 if the re-hashes were
+    # Budget arithmetic: 50 slots = 2 + 18 re-hash + 30 backlog, leaving
+    # ~32 never-verified for round 8 (vs 14 if the re-hashes were
     # deferred — chosen deliberately: a deferred re-hash is a stale entry
     # the judge must re-audit, while every overflow entry is already
     # covered by the local full-registry parity replay
@@ -112,6 +114,8 @@ _PRIORITY = [
     "ext_kmeans_update",
     "ext_sim_recall",
     "ext_semdedup",
+    "ext_fingerprint_winnow",
+    "ext_quality_model",
     "ext_bootstrap_ci",
     "ext_frame_sample",
     "ext_pagerank",
@@ -247,7 +251,6 @@ _PRIORITY = [
     "win_percent_rank",
     "ext_token_entropy",
     "ext_dedup_incremental",
-    "ext_quality_model",
     "win_first_last",
     "join_fuzzy_levenshtein",
     "agg_hll_union",

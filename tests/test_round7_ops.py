@@ -247,6 +247,16 @@ def test_registry_survives_null_payloads(spark, tmp_path):
                     F.lit(None),
                 ).otherwise(F.col(c)),
             )
+        if t == "documents":
+            # blank text is a distinct dirty class from null: [''] token
+            # artifacts, zero-length divisions (quality model), 0-byte
+            # blobs the binaryFile index silently skips
+            df = df.withColumn(
+                "text",
+                F.when(F.col("doc_id") % 13 == 0, F.lit(""))
+                .when(F.col("doc_id") % 17 == 0, F.lit("  \t \n "))
+                .otherwise(F.col("text")),
+            )
         df.write.parquet(f"{null_dir}/{t}.parquet")
 
     names = [
@@ -262,6 +272,10 @@ def test_registry_survives_null_payloads(spark, tmp_path):
         "agg_delay_rate",
         "ext_tfidf_topk",
         "agg_heavy_hitters",
+        # blank-text crashers/mismatchers, fixed: quality model divided by
+        # n_chars=0; winnow/blob rows existed on only one engine
+        "ext_quality_model",
+        "ext_fingerprint_winnow",
     ]
     queries = registry.all_queries()
     for name in names:
