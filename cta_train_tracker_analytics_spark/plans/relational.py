@@ -847,7 +847,10 @@ def agg_custom_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     group. The group key is bounded-cardinality by design; each group's
     values arrive as a single Arrow batch. The only Python-boxed aggregate
     in the engine, and the documented template for the robust-stats /
-    custom-sketch aggregates built-ins can't express."""
+    custom-sketch aggregates built-ins can't express. Input contract (round-7 NaN sweep):
+    quantiles of non-finite values are engine-divergent (NaN ordering
+    differs); this operator expects metrics sanitized at ingestion —
+    apply warehouse._finite_values upstream on dirty corpora."""
     from ..functions.udafs import interquartile_median
 
     ev = load(spark, sf_dir, "events")
@@ -904,7 +907,10 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     parameter (10000) exceeds every group's cardinality, so the sketch
     degenerates to the exact discrete quantile and hash-matches DuckDB's
     quantile_disc; at larger scale it is approximate by design (rank error
-    ≤ n/accuracy — the bound tests/test_joins.py pins)."""
+    ≤ n/accuracy — the bound tests/test_joins.py pins). Input contract (round-7 NaN sweep):
+    quantiles of non-finite values are engine-divergent (NaN ordering
+    differs); this operator expects metrics sanitized at ingestion —
+    apply warehouse._finite_values upstream on dirty corpora."""
     ev = load(spark, sf_dir, "events")
     q = F.percentile_approx(
         "value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(10000)
@@ -1567,7 +1573,8 @@ def agg_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "win_anomaly_zscore",
     oracle="""
-    WITH v AS (
+    WITH events AS (SELECT * FROM main.events WHERE isfinite(value)),
+     v AS (
         SELECT user_id, ts, event_id,
                CAST(round(value * 100) AS BIGINT) AS v100
         FROM events
@@ -1613,6 +1620,9 @@ def win_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this is the backfill twin of a streaming
     applyInPandasWithState monitor (str_stateful)."""
     ev = load(spark, sf_dir, "events")
+    # non-finite gate (see warehouse._finite_values): NaN/Inf poison
+    # the stddev window engine-specifically; oracle filters isfinite
+    ev = ev.filter(~F.isnan("value") & (F.abs("value") != float("inf")))
     v100 = F.round(F.col("value") * 100).cast("bigint")
     w = (
         Window.partitionBy("user_id")

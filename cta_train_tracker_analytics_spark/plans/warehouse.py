@@ -498,6 +498,7 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "win_rolling_median",
     oracle="""
+    WITH events AS (SELECT * FROM main.events WHERE isfinite(value))
     SELECT user_id, event_id,
            round(quantile_disc(value, 0.5) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
@@ -518,7 +519,7 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scale contract: an UNBOUNDED PRECEDING exact median would hold
     whole-partition state; a fixed window holds 15 values."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-14, 0)
-    events = load(spark, sf_dir, "events").withColumn(
+    events = _finite_values(load(spark, sf_dir, "events")).withColumn(
         "frame", F.array_sort(F.collect_list("value").over(w))
     )
     mid = F.floor((F.size("frame") + 1) / 2).cast("int")
@@ -1829,7 +1830,8 @@ def ext_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ext_drift_psi",
     oracle="""
-    WITH binned AS (
+    WITH events AS (SELECT * FROM main.events WHERE isfinite(value)),
+     binned AS (
       SELECT CASE WHEN day(ts) < 16 THEN 'ref' ELSE 'cur' END AS period,
              least(CAST(floor(value / 50.0) AS INTEGER), 9) AS bin
       FROM events
@@ -1866,7 +1868,7 @@ def ext_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     in a single pass — no self-join of two period scans), bin totals
     broadcast; fixed bin edges mean no quantile pre-pass and bins are
     mergeable across days for rolling windows."""
-    events = load(spark, sf_dir, "events")
+    events = _finite_values(load(spark, sf_dir, "events"))
     binned = events.select(
         F.when(F.dayofmonth("ts") < 16, "ref").otherwise("cur").alias("period"),
         F.least(F.floor(F.col("value") / 50.0).cast("int"), F.lit(9)).alias("bin"),
@@ -1965,6 +1967,19 @@ def ext_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdf.agg(F.round(F.max(F.abs(F.col("f_ref") - F.col("f_cur"))), 6).alias("ks_stat"))
 
 
+def _finite_values(df: DataFrame, col: str = "value") -> DataFrame:
+    """Non-finite gate for the statistics tier: NaN/±Inf metric values
+    (failed upstream computations) poison statistical estimators in
+    engine-specific ways — Spark raises under ANSI arithmetic (cents
+    casts, stddev), DuckDB raises OutOfRange on Inf variance, and NaN
+    ordering differs between engines in quantiles — so every estimator
+    excludes them up front, mirrored by ``WHERE isfinite(value)`` in the
+    oracle SQL (NULLs are dropped by both forms alike). Found by the
+    round-7 NaN/Inf injection sweep."""
+    c = F.col(col)
+    return df.filter(~F.isnan(c) & (F.abs(c) != float("inf")))
+
+
 def _bootstrap_unif(event_id, rep):
     """Deterministic per-(row, replicate) uniform for the Poisson
     bootstrap. The LCG state is reduced into [0, 2^31) BEFORE the
@@ -1982,7 +1997,8 @@ def _bootstrap_unif(event_id, rep):
 @query(
     "ext_bootstrap_ci",
     oracle="""
-    WITH r AS (
+    WITH events AS (SELECT * FROM main.events WHERE isfinite(value)),
+     r AS (
       SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents,
              unnest(generate_series(0, 199)) AS rep
       FROM events
@@ -2034,7 +2050,7 @@ def ext_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial sums per partition; the 200-row means table sorts anywhere.
     The LCG replays in SQL, making a fundamentally randomized method
     hash-verifiable (same discipline as the minhash family)."""
-    events = load(spark, sf_dir, "events")
+    events = _finite_values(load(spark, sf_dir, "events"))
     r = events.select(
         "event_id",
         F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
@@ -2076,7 +2092,8 @@ def ext_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ext_mad_outliers",
     oracle="""
-    WITH med AS (
+    WITH events AS (SELECT * FROM main.events WHERE isfinite(value)),
+     med AS (
       SELECT event_type, quantile_cont(value, 0.5) AS med
       FROM events GROUP BY event_type
     ),
@@ -2109,7 +2126,7 @@ def ext_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     one groupBy with the per-group constants broadcast back. For
     approximate single-pass at extreme scale swap percentile →
     percentile_approx and document the error, same plan."""
-    events = load(spark, sf_dir, "events")
+    events = _finite_values(load(spark, sf_dir, "events"))
     med = events.groupBy("event_type").agg(
         F.percentile("value", F.lit(0.5)).alias("med")
     )
@@ -2252,7 +2269,8 @@ def ext_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ext_ab_welch",
     oracle="""
-    WITH s AS (
+    WITH events AS (SELECT * FROM main.events WHERE isfinite(value)),
+     s AS (
       SELECT CASE WHEN day(ts) < 16 THEN 'a' ELSE 'b' END AS grp, value
       FROM events WHERE event_type = 'purchase'
     ),
@@ -2281,7 +2299,7 @@ def ext_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     when normality is doubtful and with ext_ks_test for whole-
     distribution shifts."""
     s = (
-        load(spark, sf_dir, "events")
+        _finite_values(load(spark, sf_dir, "events"))
         .filter(F.col("event_type") == "purchase")
         .select(
             F.when(F.dayofmonth("ts") < 16, "a").otherwise("b").alias("grp"), "value"
@@ -3265,7 +3283,8 @@ def win_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_seasonality_profile",
     oracle="""
-    WITH g AS (
+    WITH events AS (SELECT * FROM main.events WHERE isfinite(value)),
+     g AS (
       SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
              CAST(hour(ts) AS BIGINT) AS hod,
              CAST(count(*) AS BIGINT) AS n_events,
@@ -3301,7 +3320,7 @@ def agg_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: single aggregate with 168 groups — pure map-side collapse;
     DuckDB's Sunday=0 dayofweek convention matches Spark's
     dayofweek()-1, aligned below."""
-    events = load(spark, sf_dir, "events")
+    events = _finite_values(load(spark, sf_dir, "events"))
     g = events.groupBy(
         (F.dayofweek("ts") - 1).cast("bigint").alias("dow"),
         F.hour("ts").cast("bigint").alias("hod"),
@@ -3324,7 +3343,8 @@ def agg_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_runs_test",
     oracle="""
-    WITH med AS (SELECT quantile_cont(value, 0.5) AS m FROM events),
+    WITH events AS (SELECT * FROM main.events WHERE isfinite(value)),
+     med AS (SELECT quantile_cont(value, 0.5) AS m FROM events),
     s AS (
       SELECT user_id, ts, event_id,
              CASE WHEN value > med.m THEN 1 ELSE 0 END AS above
@@ -3354,7 +3374,7 @@ def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the global median is one exact-percentile aggregate broadcast
     into the scan; run boundaries are a lag window on user_id — one
     exchange, integer outputs only, so parity is exact."""
-    events = load(spark, sf_dir, "events")
+    events = _finite_values(load(spark, sf_dir, "events"))
     med = events.agg(F.percentile("value", F.lit(0.5)).alias("m"))
     s = (
         events.crossJoin(F.broadcast(med))
@@ -3509,7 +3529,8 @@ def win_leave_one_out(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_autocorr",
     oracle="""
-    WITH daily AS (
+    WITH events AS (SELECT * FROM main.events WHERE isfinite(value)),
+     daily AS (
       SELECT CAST(ts AS DATE) AS d, sum(value) AS v
       FROM events GROUP BY CAST(ts AS DATE)
     ),
@@ -3536,7 +3557,7 @@ def agg_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     over that tiny series. corr is algebraic (co-moment partials), so
     even the raw-row variant would be one shuffle."""
     daily = (
-        load(spark, sf_dir, "events")
+        _finite_values(load(spark, sf_dir, "events"))
         .groupBy(F.col("ts").cast("date").alias("d"))
         .agg(F.sum("value").alias("v"))
     )
@@ -3674,7 +3695,8 @@ def ext_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ext_calibration_bins",
     oracle="""
-    WITH s AS (
+    WITH events AS (SELECT * FROM main.events WHERE isfinite(value)),
+     s AS (
       SELECT least(CAST(floor(value / 50.0) AS INTEGER), 9) AS bin,
              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
              value
@@ -3695,7 +3717,7 @@ def ext_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     across days and no quantile pre-pass.
 
     Scale: one conditional aggregate over the scan, ten groups out."""
-    s = load(spark, sf_dir, "events").select(
+    s = _finite_values(load(spark, sf_dir, "events")).select(
         F.least(F.floor(F.col("value") / 50.0).cast("int"), F.lit(9)).alias("bin"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
         "value",
@@ -3800,6 +3822,7 @@ def ext_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_quantile_bands",
     oracle="""
+    WITH events AS (SELECT * FROM main.events WHERE isfinite(value))
     SELECT CAST(ts AS DATE) AS d,
            round(quantile_cont(value, 0.1), 4) AS p10,
            round(quantile_cont(value, 0.5), 4) AS p50,
@@ -3819,7 +3842,7 @@ def agg_quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate per group — at extreme per-day volume swap to
     percentile_approx (t-digest-class sketch) with a documented error,
     same single-shuffle plan."""
-    events = load(spark, sf_dir, "events")
+    events = _finite_values(load(spark, sf_dir, "events"))
     return events.groupBy(F.col("ts").cast("date").alias("d")).agg(
         F.round(F.percentile("value", F.lit(0.1)), 4).alias("p10"),
         F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
@@ -3928,7 +3951,8 @@ def ext_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ext_winsorized_mean",
     oracle="""
-    WITH b AS (
+    WITH events AS (SELECT * FROM main.events WHERE isfinite(value)),
+     b AS (
       SELECT event_type,
              quantile_cont(value, 0.05) AS lo,
              quantile_cont(value, 0.95) AS hi
@@ -3953,7 +3977,7 @@ def ext_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back), one clipped aggregate — the same
     two-pass-with-broadcast shape as MAD; percentile_approx swaps in at
     extreme cardinality."""
-    events = load(spark, sf_dir, "events")
+    events = _finite_values(load(spark, sf_dir, "events"))
     b = events.groupBy("event_type").agg(
         F.percentile("value", F.lit(0.05)).alias("lo"),
         F.percentile("value", F.lit(0.95)).alias("hi"),

@@ -257,6 +257,15 @@ def test_registry_survives_null_payloads(spark, tmp_path):
                 .when(F.col("doc_id") % 17 == 0, F.lit("  \t \n "))
                 .otherwise(F.col("text")),
             )
+        if t == "events":
+            # non-finite metrics: the statistics tier gates these via
+            # _finite_values / WHERE isfinite(value) on both engines
+            df = df.withColumn(
+                "value",
+                F.when(F.col("event_id") % 19 == 0, F.lit(float("nan")))
+                .when(F.col("event_id") % 23 == 0, F.lit(float("inf")))
+                .otherwise(F.col("value")),
+            )
         df.write.parquet(f"{null_dir}/{t}.parquet")
 
     names = [
@@ -276,6 +285,11 @@ def test_registry_survives_null_payloads(spark, tmp_path):
         # n_chars=0; winnow/blob rows existed on only one engine
         "ext_quality_model",
         "ext_fingerprint_winnow",
+        # NaN/Inf crashers, fixed via the statistics tier's finite gate
+        "win_anomaly_zscore",
+        "ext_drift_psi",
+        "win_rolling_median",
+        "ext_bootstrap_ci",
     ]
     queries = registry.all_queries()
     for name in names:
