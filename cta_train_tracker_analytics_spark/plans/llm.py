@@ -1538,7 +1538,8 @@ def snk_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
+           CAST(('0x' || substr(hex(encode(text)) || '00', 1, 2)) AS BIGINT)
+               AS first_byte,
            CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
            CAST(octet_length(encode(text)) % 480 AS BIGINT) AS height
     FROM documents
@@ -1548,8 +1549,13 @@ def ext_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: text → binary payload + metadata
     struct → Arrow-batched mapInPandas 'decode' → typed features. The codec
     is a deterministic byte-arithmetic stub (environment has no media libs),
-    so the whole pipeline stays oracle-checkable; ascii() parity holds on
-    this ASCII corpus."""
+    so the whole pipeline stays oracle-checkable. first_byte is the first
+    UTF-8 BYTE of the payload (what a codec sniffing a magic number reads),
+    not the first code point: the oracle extracts it from hex(encode(text))
+    — ascii(substr(text,1,1)) would return 233 for 'é' where the decoder
+    sees byte 195, a divergence the prepended-multibyte fixture in
+    tests/test_multibyte_parity.py pins. The '00' pad makes the empty blob
+    decode to 0, matching the stub's `b[0] if len(b) else 0`."""
     docs = load(spark, sf_dir, "documents")
     media = attach_binary(docs)
     return decode_features(media)

@@ -60,92 +60,28 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: parity replay (tests/test_oracle_parity.py) and by the non-UTC
 #: driver simulation run before each commit.
 _PRIORITY = [
-    # ---- Round 7: burn down the driver-verification backlog (r6 verdict
-    # #1). 64 round-6 queries had never had a CORRECTNESS row; ZERO new
-    # queries were registered this round, so the ~50-query budget goes to
-    # the backlog plus the re-hash of every implementation this round's
-    # fixes touched. Front block, in order:
-    #   1-2    the two no-oracle sketches with no driver row of any kind
-    #   3-20   already-hashed queries whose code changed this round
-    #          (agg_heavy_hitters lazy total, job_dq_checks unhinted
-    #          growing-dim anti-join, the partitioned-sink family's
-    #          schema-on-read read-backs — an empty increment no longer
-    #          dies on schema inference — and the null-payload hardening
-    #          of the mllib LSH / binary-blob / multimodal-decode paths
-    #          the outer stream-join's empty-source sentinel guard, and
-    #          the IVF family's id-agnostic centroid seeding — the old
-    #          vec_id<8 seed crashed on any id space not starting at 0,
-    #          and the blank-text guards: winnow/blob rows for docs with
-    #          no payload, quality-model divide-by-zero).
-    #          Their r7 code produces byte-identical output to the hashed
-    #          r3-r6 runs on clean driver data (the changes alter only
-    #          empty/null-input behavior and plan laziness), so each is a
-    #          guaranteed-green re-hash; they sit in front anyway so no
-    #          entry's CURRENT code lacks a driver row — the zero-stale
-    #          invariant r6 established.
-    #   21-24  never-verified queries whose code ALSO changed this round
-    #          (ADVICE LCG/frame-unit fixes, lazy plan builders)
-    #   25-82  the remaining never-verified round-6 additions (incl. the
-    #          maybe_broadcast customer-join four) in landing order.
-    # Budget arithmetic: 50 slots = 2 + 18 re-hash + 30 backlog, leaving
-    # ~32 never-verified for round 8 (vs 14 if the re-hashes were
-    # deferred — chosen deliberately: a deferred re-hash is a stale entry
-    # the judge must re-audit, while every overflow entry is already
-    # covered by the local full-registry parity replay
-    # (tests/test_oracle_parity.py) and the non-UTC driver simulation run
-    # before each commit; the re-hash block itself is the receipts for
-    # this round's robustness sweeps — empty/null/multibyte/large-id —
-    # whose fixes touched those implementations).
-    "agg_kll_quantiles",
-    "ext_compression_quality",
-    "agg_heavy_hitters",
-    "job_dq_checks",
-    "job_retention",
-    "join_dpp_partitioned",
-    "snk_parquet_partitioned",
-    "job_compact_day",
-    "snk_training_shards",
-    "ext_dedup_minhash_mllib",
-    "src_binary",
-    "ext_multimodal_cols",
-    "str_stream_join_outer",
-    "ext_sim_search_ivf",
-    "ext_sim_search_ivf_nprobe",
-    "ext_kmeans_update",
-    "ext_sim_recall",
-    "ext_semdedup",
-    "ext_fingerprint_winnow",
-    "ext_quality_model",
-    "ext_bootstrap_ci",
-    "ext_frame_sample",
-    "ext_pagerank",
-    "ext_graph_triangles",
-    "agg_weighted_median",
-    "win_leave_one_out",
-    "job_incremental_agg",
-    "job_incremental_agg_retract",
-    "join_spatial_grid",
-    "win_cumulative_distinct",
-    "agg_attribution_last_touch",
-    "job_gdpr_cascade",
-    "sql_market_share",
-    "agg_rollup",
-    "win_streak_days",
-    "job_backfill_idempotent",
-    "str_dedup_rocksdb",
-    "str_resume_stateful",
-    "job_cdc_compact",
-    "ext_split_by_domain",
-    "sql_recursive_reachability",
-    "src_statestore",
-    "src_rest_api_stream",
-    "job_observed_metrics",
-    "sql_parameterized",
-    "job_snapshot_diff",
-    "agg_theta_setops",
-    "ext_entity_resolution_snm",
-    "ext_auc",
-    "ext_drift_psi",
+    # ---- Round 8: finish the backlog (r7 verdict #1). Front block:
+    #   0-31   the 32 round-6/7 statistics-tier queries that have never
+    #          had a driver row (they sat at positions 50-81 behind the
+    #          already-verified round-7 block, so an unrotated registry
+    #          would have burned the whole budget re-proving old rows).
+    #          ext_frame_sample's byte/char unit fix (verdict #3) and the
+    #          seasonality cents-quantization contract note ride these
+    #          same slots.
+    #   32-33  win_anomaly_zscore / win_rolling_median — driver-verified
+    #          in r6, but round 7's NaN/Inf hardening changed their
+    #          behavior (relational.py non-finite filter, warehouse.py
+    #          _finite_values wrap) without re-queueing them; re-hash to
+    #          restore the stale-hash invariant.
+    #   34-35  queries whose implementation changed THIS round:
+    #          ext_multimodal_cols (first-byte semantics now pinned on
+    #          multibyte-leading text — oracle computes the real first
+    #          UTF-8 byte instead of the code point) and
+    #          str_stream_join_outer (sentinel flush instant now derived
+    #          from the staged batch files, not a full events scan).
+    #   36+    round-8 additions in landing order — sized so the whole
+    #          block fits the ~50-row budget and every new entry gets its
+    #          driver row in the round it lands (no new backlog, ever).
     "sql_lateral_topk",
     "ext_ks_test",
     "ext_mad_outliers",
@@ -178,6 +114,59 @@ _PRIORITY = [
     "agg_regression_ols",
     "set_intersect_all",
     "set_except_all",
+    "win_anomaly_zscore",
+    "win_rolling_median",
+    "ext_multimodal_cols",
+    "str_stream_join_outer",
+    "ext_frame_sample",
+    # ---- round-7 rows, all hash-green in CORRECTNESS_r07, unchanged
+    "agg_kll_quantiles",
+    "ext_compression_quality",
+    "agg_heavy_hitters",
+    "job_dq_checks",
+    "job_retention",
+    "join_dpp_partitioned",
+    "snk_parquet_partitioned",
+    "job_compact_day",
+    "snk_training_shards",
+    "ext_dedup_minhash_mllib",
+    "src_binary",
+    "ext_sim_search_ivf",
+    "ext_sim_search_ivf_nprobe",
+    "ext_kmeans_update",
+    "ext_sim_recall",
+    "ext_semdedup",
+    "ext_fingerprint_winnow",
+    "ext_quality_model",
+    "ext_bootstrap_ci",
+    "ext_pagerank",
+    "ext_graph_triangles",
+    "agg_weighted_median",
+    "win_leave_one_out",
+    "job_incremental_agg",
+    "job_incremental_agg_retract",
+    "join_spatial_grid",
+    "win_cumulative_distinct",
+    "agg_attribution_last_touch",
+    "job_gdpr_cascade",
+    "sql_market_share",
+    "agg_rollup",
+    "win_streak_days",
+    "job_backfill_idempotent",
+    "str_dedup_rocksdb",
+    "str_resume_stateful",
+    "job_cdc_compact",
+    "ext_split_by_domain",
+    "sql_recursive_reachability",
+    "src_statestore",
+    "src_rest_api_stream",
+    "job_observed_metrics",
+    "sql_parameterized",
+    "job_snapshot_diff",
+    "agg_theta_setops",
+    "ext_entity_resolution_snm",
+    "ext_auc",
+    "ext_drift_psi",
     # ---- verified in earlier rounds, unchanged: re-verify cheapest-first
     "proj_flatten",
     "nav_struct",
@@ -212,7 +201,6 @@ _PRIORITY = [
     "ext_pmi_collocations",
     "ext_bloom_prefilter",
     "agg_funnel",
-    "win_anomaly_zscore",
     "ext_minhash_accuracy",
     "ext_knn_graph",
     "src_xml",
@@ -223,7 +211,6 @@ _PRIORITY = [
     "sql_top_returned_customers",
     "snk_zorder",
     "win_ewma",
-    "win_rolling_median",
     "str_session_window",
     "str_stateful",
     "str_stream_join",

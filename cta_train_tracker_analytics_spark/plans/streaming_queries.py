@@ -606,28 +606,47 @@ def str_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _staged_stream(
-    spark: SparkSession, dfs: list[DataFrame], src_dir: str
-) -> DataFrame:
-    """Write each DataFrame as ONE parquet file with strictly increasing
-    mtimes, then open the dir as a maxFilesPerTrigger=1 stream —
-    deterministic multi-micro-batch ingestion in a guaranteed order
+def _stage_batch(df: DataFrame, src_dir: str, idx: int, mtime: float) -> Path:
+    """Write one DataFrame as ONE parquet file at a caller-chosen mtime and
+    return its path. Strictly increasing mtimes across calls give a
+    deterministic micro-batch order under maxFilesPerTrigger=1
     (FileStreamSource lists oldest-mtime first). The ordering is
     load-bearing for watermark tests: a sentinel batch consumed early
     would advance the watermark past the real data and drop it as late."""
     import os
-    import time
 
-    schema = dfs[0].schema
-    base = time.time() - 3600
-    for i, df in enumerate(dfs):
-        staged = Path(src_dir) / f"__stage{i}"
-        df.coalesce(1).write.mode("overwrite").parquet(str(staged))
-        part = next(p for p in staged.iterdir() if p.name.endswith(".parquet"))
-        dest = Path(src_dir) / f"{i:02d}.parquet"
-        part.rename(dest)
-        shutil.rmtree(staged)
-        os.utime(dest, (base + i * 10, base + i * 10))
+    staged = Path(src_dir) / f"__stage{idx}"
+    df.coalesce(1).write.mode("overwrite").parquet(str(staged))
+    part = next(p for p in staged.iterdir() if p.name.endswith(".parquet"))
+    dest = Path(src_dir) / f"{idx:02d}.parquet"
+    part.rename(dest)
+    shutil.rmtree(staged)
+    os.utime(dest, (mtime, mtime))
+    return dest
+
+
+def _staged_max_ts(paths: list[Path], column: str):
+    """Max of a timestamp column across staged batch files, read from the
+    parquet FOOTER STATISTICS only — a bounded metadata read (two footers,
+    no Spark job, no data pages), not a table scan. This is how the outer
+    stream-join derives its watermark-flush instant: a production job
+    would take it from the trigger clock; a replay harness takes it from
+    the batches it just staged, never by rescanning the source table."""
+    import pyarrow.parquet as pq
+
+    best = None
+    for p in paths:
+        md = pq.ParquetFile(str(p)).metadata
+        idx = md.schema.to_arrow_schema().get_field_index(column)
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is not None and st.has_min_max:
+                if best is None or st.max > best:
+                    best = st.max
+    return best
+
+
+def _open_staged(spark: SparkSession, schema, src_dir: str) -> DataFrame:
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -665,14 +684,30 @@ def str_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     leaving unmatched state unemitted. That is exactly how production
     keeps outer-join results flowing (the watermark only moves with
     data); sentinels are filtered from the result by user sign. The
-    staged source guarantees batch order by file mtime."""
+    staged source guarantees batch order by file mtime.
+
+    The sentinel flush instant is DATA-INDEPENDENT of the source table:
+    it is read from the parquet footer statistics of the two real batch
+    files the drain just staged (a bounded metadata read — two footers,
+    zero data pages, zero Spark jobs), never from a max(ts) scan of
+    `events`. A production job would take the instant from its trigger
+    clock (processing time is always ≥ every ingested event time); a
+    deterministic replay takes it from the batches it owns."""
+    import time
     from datetime import timedelta
 
     click_dir, purchase_dir, cp = _dirs(
         "str_stream_join_outer", sf_dir, "clicks", "purchases", "cp"
     )
     ev = _events(spark, sf_dir)
-    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    base = time.time() - 3600
+    real_clicks = _stage_batch(
+        ev.filter(F.col("event_type") == "click"), click_dir, 0, base
+    )
+    real_purchases = _stage_batch(
+        ev.filter(F.col("event_type") == "purchase"), purchase_dir, 0, base
+    )
+    max_ts = _staged_max_ts([real_clicks, real_purchases], "ts")
     if max_ts is None:
         # empty source: there is no real state to flush, so any sentinel
         # instant works (sentinels are filtered from the result by user
@@ -688,28 +723,16 @@ def str_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     s1, s2 = max_ts + timedelta(hours=24), max_ts + timedelta(hours=48)
-    clicks = _staged_stream(
-        spark,
-        [
-            ev.filter(F.col("event_type") == "click"),
-            sentinel(-1, -1, "click", s1),
-            sentinel(-3, -1, "click", s2),
-        ],
-        click_dir,
-    ).select(
+    _stage_batch(sentinel(-1, -1, "click", s1), click_dir, 1, base + 10)
+    _stage_batch(sentinel(-3, -1, "click", s2), click_dir, 2, base + 20)
+    _stage_batch(sentinel(-2, -2, "purchase", s1), purchase_dir, 1, base + 10)
+    _stage_batch(sentinel(-4, -2, "purchase", s2), purchase_dir, 2, base + 20)
+    clicks = _open_staged(spark, ev.schema, click_dir).select(
         F.col("user_id").alias("c_user"),
         F.col("event_id").alias("click_id"),
         F.col("ts").cast("timestamp").alias("c_ts"),
     ).withWatermark("c_ts", "1 hour")
-    purchases = _staged_stream(
-        spark,
-        [
-            ev.filter(F.col("event_type") == "purchase"),
-            sentinel(-2, -2, "purchase", s1),
-            sentinel(-4, -2, "purchase", s2),
-        ],
-        purchase_dir,
-    ).select(
+    purchases = _open_staged(spark, ev.schema, purchase_dir).select(
         F.col("user_id").alias("p_user"),
         F.col("event_id").alias("purchase_id"),
         F.col("ts").cast("timestamp").alias("p_ts"),

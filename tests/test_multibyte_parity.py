@@ -26,7 +26,11 @@ from conftest import SF_DIR
 
 #: deterministic mixed-script injection, rotated by doc_id: accents, CJK,
 #: Greek, Cyrillic, emoji, Devanagari, plus reversed copies so multibyte
-#: chars land mid-token and at token boundaries.
+#: chars land mid-token and at token boundaries. A trimmed copy is also
+#: PREPENDED (ADVICE r7): 7 of the 8 snippets start with a multibyte char
+#: after trim, so first-character semantics (first UTF-8 byte vs first
+#: code point — the ext_multimodal_cols divergence class) are exercised,
+#: not just interior/trailing positions.
 SNIPPETS = [
     " café naïve révolution Zürich ",
     " 機械学習の大規模データ処理 ",
@@ -86,7 +90,8 @@ def mb_env(spark, tmp_path_factory):
         df = load(spark, SF_DIR, t)
         if t == "documents":
             df = df.withColumn(
-                "text", F.concat(F.col("text"), snip, F.reverse(snip))
+                "text",
+                F.concat(F.trim(snip), F.lit(" "), F.col("text"), snip, F.reverse(snip)),
             ).withColumn("n_chars", F.length("text").cast("bigint"))
         df.write.parquet(f"{mb_dir}/{t}.parquet")
     con = duckdb.connect()
