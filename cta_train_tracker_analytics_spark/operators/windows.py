@@ -27,6 +27,7 @@ __all__ = [
     "rank_topk",
     "rolling_range_frame",
     "sessionize",
+    "exact_global_ntile",
 ]
 
 
@@ -142,6 +143,106 @@ def rolling_range_frame(
         .rangeBetween(-int(preceding_seconds) * 1_000_000, 0)
     )
     return df.withColumn(agg_name, F.sum(value).over(w))
+
+
+def exact_global_ntile(
+    df: DataFrame,
+    n_tiles: int,
+    value: str,
+    tiebreak: str,
+    tile_name: str = "tile",
+    n_blocks: int = 64,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """EXACT ntile(n) over a global total order — without the
+    single-partition WindowExec that ``ntile().over(Window.orderBy(...))``
+    plans (Spark moves EVERY row to one task; the one plan shape that
+    cannot survive 100 TB).
+
+    Two-pass exact-selection plan instead:
+
+    1. One cheap aggregate sketches ~equi-depth block boundaries on
+       ``value`` (``approx_percentile`` — map-side-combinable, bounded
+       memory). Each row's block id is then a map-only comparison against
+       the broadcast boundary array, so blocks are contiguous in the
+       global (value, tiebreak) order by construction.
+    2. Local ``row_number`` per block (hash-partitioned window — parallel),
+       per-block counts rolled up to prefix offsets (a partition-less
+       window over the N_BLOCKS-row *aggregate*, never over raw rows —
+       the window-over-aggregates discipline tests/test_plans.py pins),
+       broadcast back, and the tile becomes pure integer arithmetic on
+       ``global_rank = offset + local_rank``:
+       the first ``N mod n`` tiles hold ``N div n + 1`` rows, the rest
+       ``N div n`` — exactly SQL ntile semantics.
+
+    Block-size error from the sketch (~rows/accuracy per boundary) only
+    skews block *sizes*, never rank correctness. Heavy duplicate values
+    all land in one block (comparisons are strict), so a value occupying
+    >1/n_blocks of the data bounds that block's size from below — the
+    same skew exact ntile forces on ANY engine; raise ``n_blocks`` /
+    ``accuracy`` to tighten everything else. ``value`` is assumed
+    non-null (nulls would sort into block 0 Spark-style, which matches
+    Spark's NULLS FIRST but not every oracle's default).
+
+    Returns ``df`` plus an integer ``tile_name`` column in 1..n_tiles.
+    """
+    pcts = [i / n_blocks for i in range(1, n_blocks)]
+    bounds = df.agg(
+        F.approx_percentile(value, F.array(*[F.lit(p) for p in pcts]), accuracy).alias(
+            "__bounds"
+        )
+    )
+    # Pin the 1-row boundary sketch: both downstream branches (the ranked
+    # window and the per-block counts) consume it, and without the pin each
+    # branch re-runs the full percentile pass over the source — one extra
+    # whole-table scan for no information.
+    bounds = bounds.localCheckpoint(eager=True)
+    blk = F.aggregate(
+        F.col("__bounds"),
+        F.lit(0),
+        lambda acc, b: acc + F.when(F.col(value) > b, 1).otherwise(0),
+    )
+    base = df.crossJoin(F.broadcast(bounds)).withColumn("__blk", blk).drop("__bounds")
+
+    w_local = Window.partitionBy("__blk").orderBy(value, tiebreak)
+    ranked = base.withColumn("__rn", F.row_number().over(w_local))
+
+    counts = base.groupBy("__blk").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_blocks = Window.orderBy("__blk")
+    offsets = counts.select(
+        "__blk",
+        F.coalesce(
+            F.sum("__cnt").over(w_blocks.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("__off"),
+        F.sum("__cnt")
+        .over(
+            w_blocks.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        .alias("__n"),
+    )
+
+    joined = (
+        ranked.join(F.broadcast(offsets), "__blk")
+        .withColumn("__rank0", (F.col("__off") + F.col("__rn") - 1).cast("bigint"))
+        .withColumn("__nn", F.col("__n").cast("bigint"))
+    )
+    # SQL ntile: rem = N % n tiles of size (N div n + 1) come first, then
+    # tiles of size N div n. All-BIGINT `div` arithmetic — exact at any N
+    # (a double-division floor would lose exactness past 2^53 rows).
+    n = int(n_tiles)
+    tile = F.expr(
+        f"""CAST(1 + CASE
+            WHEN __rank0 < (__nn % {n}) * (__nn div {n} + 1)
+            THEN __rank0 div (__nn div {n} + 1)
+            ELSE (__nn % {n})
+                 + (__rank0 - (__nn % {n}) * (__nn div {n} + 1))
+                   div greatest(__nn div {n}, 1)
+        END AS INT)"""
+    )
+    return joined.withColumn(tile_name, tile).drop(
+        "__blk", "__rn", "__off", "__n", "__rank0", "__nn"
+    )
 
 
 def sessionize(

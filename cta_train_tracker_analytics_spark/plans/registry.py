@@ -60,6 +60,23 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: parity replay (tests/test_oracle_parity.py) and by the non-UTC
 #: driver simulation run before each commit.
 _PRIORITY = [
+    # ---- Round 9 front block (stale-hash policy: every query whose
+    # implementation changed this round gets a fresh driver row in the
+    # SAME round):
+    #   win_ntile — rewritten from the partition-less ntile window (the
+    #       r8 verdict's single `weak`) to the two-pass exact-rank plan in
+    #       operators/windows.py::exact_global_ntile. Output contract
+    #       unchanged (locally re-verified vs the DuckDB oracle at
+    #       sf0.001/sf0.01); plan shape pinned by
+    #       tests/test_plans.py::test_ntile_has_no_raw_row_global_window.
+    #   str_stream_join_outer — _staged_max_ts hardened (ADVICE r8):
+    #       parquet column index now resolved against leaf paths, and a
+    #       non-empty staged file without usable ts statistics raises
+    #       instead of silently reading as empty. Behavior identical on
+    #       stats-bearing flat-schema batches (all of ours), re-hashed on
+    #       principle.
+    "win_ntile",
+    "str_stream_join_outer",
     # ---- Round 8: finish the backlog (r7 verdict #1). Front block:
     #   0-31   the 32 round-6/7 statistics-tier queries that have never
     #          had a driver row (they sat at positions 50-81 behind the
@@ -117,7 +134,6 @@ _PRIORITY = [
     "win_anomaly_zscore",
     "win_rolling_median",
     "ext_multimodal_cols",
-    "str_stream_join_outer",
     "ext_frame_sample",
     # ---- round-7 rows, all hash-green in CORRECTNESS_r07, unchanged
     "agg_kll_quantiles",
@@ -224,7 +240,6 @@ _PRIORITY = [
     "ext_bm25",
     "ext_domain_cap",
     "ext_embed_quantize",
-    "win_ntile",
     "src_csv",
     "str_sliding_10min",
     "ext_vocab_topk",

