@@ -170,7 +170,51 @@ HEADLINE = [
 # stable signal.
 
 
-def driver_line(timings: dict[str, float], total: float, sf: float) -> str:
+def parse_only(raw: str, known: list[str]) -> list[str]:
+    """Parse SPARK_GRAFT_BENCH_ONLY: comma-separated names, whitespace
+    stripped, blanks ignored. Unknown names are a hard error — a typo'd
+    name silently timing NOTHING (the pre-r9 behavior) reads as "fast"
+    instead of "wrong". Preserves HEADLINE order."""
+    wanted = [n.strip() for n in raw.split(",") if n.strip()]
+    unknown = [n for n in wanted if n not in known]
+    if unknown:
+        raise SystemExit(
+            f"SPARK_GRAFT_BENCH_ONLY names not in HEADLINE: {unknown}"
+        )
+    keep = set(wanted)
+    return [n for n in known if n in keep]
+
+
+#: A query is a regression CANDIDATE when its min-of-runs exceeds best_ever
+#: by BOTH a 1.5× ratio and an absolute 0.3 s — the ratio alone flags
+#: scheduler jitter on sub-second queries (±0.2 s is routine on local[32]),
+#: the absolute delta alone flags nothing on multi-second ones.
+REGRESSION_RATIO = 1.5
+REGRESSION_MIN_DELTA_SEC = 0.3
+
+
+def regression_candidates(
+    timings_min: dict[str, float], best_ever: dict[str, float]
+) -> list[str]:
+    """Names whose timing drifted past both thresholds vs their recorded
+    best. Candidates get ONE fresh min-of-3 re-time before being reported
+    (main): a confirmed entry in BENCH_DETAIL['regressions'] means the
+    drift survived a second measurement, not that one noisy run fired."""
+    out = []
+    for name, sec in timings_min.items():
+        be = best_ever.get(name)
+        if (
+            be is not None
+            and sec > REGRESSION_RATIO * be
+            and sec - be > REGRESSION_MIN_DELTA_SEC
+        ):
+            out.append(name)
+    return out
+
+
+def driver_line(
+    timings: dict[str, float], total: float, sf: float, filtered: bool = False
+) -> str:
     """The ONE stdout JSON line the driver records. Kept deliberately
     small — summary plus the 15 slowest queries (the ones worth a plan
     audit) — because round 6's full 137-query line exceeded the driver's
@@ -180,18 +224,21 @@ def driver_line(timings: dict[str, float], total: float, sf: float) -> str:
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:15]
     )
-    return json.dumps(
-        {
-            "metric": "headline_queries_total",
-            "value": total,
-            "unit": "sec",
-            "sf": sf,
-            "n_queries": len(timings),
-            "queries": slowest,
-            "detail": "BENCH_DETAIL.json",
-        },
-        separators=(",", ":"),
-    )
+    payload = {
+        # a filtered (SPARK_GRAFT_BENCH_ONLY) run gets a DISTINCT metric
+        # name: its total covers a subset and must never be read as — or
+        # recorded over — the round's full headline number.
+        "metric": "headline_queries_filtered" if filtered else "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "queries": slowest,
+        "detail": "BENCH_DETAIL.json",
+    }
+    if filtered:
+        payload["filtered"] = True
+    return json.dumps(payload, separators=(",", ":"))
 
 
 def main() -> None:
@@ -212,10 +259,11 @@ def main() -> None:
     # (skips the full 137-query sweep while tuning one plan). The BENCH_DETAIL
     # merge below still updates best_ever for only the queries actually run.
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
-    headline = [n for n in HEADLINE if n in set(only.split(","))] if only else HEADLINE
+    headline = parse_only(only, HEADLINE) if only else HEADLINE
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
-    for name in headline:
+
+    def time_query(name: str, n_fixed_runs: int | None = None) -> tuple[list[float], int]:
         fn = queries[name]
         # min of 3 runs: the first execution pays plan compile + codegen for
         # this query's operators; min measures engine capability, not JIT
@@ -226,7 +274,11 @@ def main() -> None:
         # deltas ≥1.5× are signal.
         runs: list[float] = []
         n = 0
-        while len(runs) < (3 if not runs or min(runs) >= 1.0 else 5):
+        while len(runs) < (
+            n_fixed_runs
+            if n_fixed_runs is not None
+            else (3 if not runs or min(runs) >= 1.0 else 5)
+        ):
             # Each call builds its own DataFrames; clear the cache between
             # runs so abandoned persists can't pile up, and force a JVM GC so
             # the ContextCleaner actually releases dead broadcast/checkpoint
@@ -238,6 +290,10 @@ def main() -> None:
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()
             runs.append(time.perf_counter() - t0)
+        return runs, n
+
+    for name in headline:
+        runs, n = time_query(name)
         if min(runs) < 1.0:
             measured = sorted(runs)[len(runs) // 2]  # median of 5
         else:
@@ -270,6 +326,41 @@ def main() -> None:
     # only this run's queries/total.
     detail_timings = {**prior.get("queries", {}), **timings} if only else timings
     detail_min = {**prior.get("queries_min", {}), **timings_min} if only else timings_min
+
+    # Regression guard (r7 verdict #7, built after r8's flagship/join_*
+    # 1.6-1.8× drift cluster went unadjudicated): every query past BOTH
+    # drift thresholds vs best_ever gets ONE fresh min-of-3 re-time in the
+    # same warmed session; only drift that SURVIVES the re-time is
+    # reported. A confirmed entry means "re-measured and still slow" —
+    # plan-audit it; an empty list means this round's totals are within
+    # noise of the best this machine has ever recorded.
+    regressions: list[dict] = []
+    for name in regression_candidates(timings_min, best_ever):
+        runs, _ = time_query(name, n_fixed_runs=3)
+        retimed = round(min(runs), 3)
+        print(f"# retime {name}: {retimed:.3f}s (was {timings_min[name]:.3f}s)",
+              file=sys.stderr)
+        timings_min[name] = min(timings_min[name], retimed)
+        detail_min[name] = timings_min[name]
+        be = best_ever[name]
+        if retimed > REGRESSION_RATIO * be and retimed - be > REGRESSION_MIN_DELTA_SEC:
+            regressions.append(
+                {
+                    "query": name,
+                    "best_ever": be,
+                    "measured": timings[name],
+                    "retimed": retimed,
+                    "ratio": round(retimed / be, 2),
+                }
+            )
+    # a filtered run only re-judged the queries it ran; keep prior verdicts
+    # for the rest rather than silently discarding them
+    if only:
+        kept = [
+            r for r in prior.get("regressions", []) if r.get("query") not in timings_min
+        ]
+        regressions = kept + regressions
+
     for name, sec in timings_min.items():
         # best-of-history on the min-of-runs timing: distinguishes noise
         # from structural drift (e.g. flagship_region_pricing's 1.15→1.64 s
@@ -288,10 +379,23 @@ def main() -> None:
                 # is systematically higher than min-of-3 by construction)
                 "queries_min": detail_min,
                 "best_ever": best_ever,
+                "regressions": regressions,
+                # provenance: whether this file's maps came from one full
+                # sweep or carry merged-in rows from a filtered tuning run
+                # (a merged total_sec mixes timings from different runs)
+                "provenance": {
+                    "last_run": "filtered" if only else "full",
+                    "merged": bool(only and prior.get("queries")),
+                },
                 "method": {
                     "sub_second": "median_of_5",
                     "above_1s": "min_of_3",
                     "best_ever": "min over all recorded runs (queries_min)",
+                    "regressions": (
+                        f"min-of-runs > {REGRESSION_RATIO}x best_ever AND "
+                        f"+{REGRESSION_MIN_DELTA_SEC}s, confirmed by a fresh "
+                        "min-of-3 re-time"
+                    ),
                 },
             },
             f,
@@ -300,7 +404,7 @@ def main() -> None:
         )
         f.write("\n")
 
-    print(driver_line(timings, total, sf))
+    print(driver_line(timings, total, sf, filtered=bool(only)))
 
 
 if __name__ == "__main__":

@@ -42,3 +42,47 @@ def test_bench_driver_line_is_bounded_and_parseable():
     assert parsed["n_queries"] == 500
     assert len(parsed["queries"]) == 15
     assert parsed["value"] > 0
+
+
+def test_bench_driver_line_filtered_runs_are_labeled():
+    """A SPARK_GRAFT_BENCH_ONLY run must never masquerade as the round's
+    full headline number: distinct metric name + explicit flag."""
+    import json as _json
+
+    import bench
+
+    line = bench.driver_line({"q": 1.0}, 1.0, 0.1, filtered=True)
+    parsed = _json.loads(line)
+    assert parsed["metric"] == "headline_queries_filtered"
+    assert parsed["filtered"] is True
+    full = _json.loads(bench.driver_line({"q": 1.0}, 1.0, 0.1))
+    assert full["metric"] == "headline_queries_total"
+    assert "filtered" not in full
+
+
+def test_bench_parse_only_strips_and_rejects_unknown():
+    import pytest
+
+    import bench
+
+    known = ["a", "b", "c"]
+    assert bench.parse_only(" b , a ", known) == ["a", "b"]  # HEADLINE order
+    assert bench.parse_only("c,,", known) == ["c"]
+    with pytest.raises(SystemExit, match="typo_name"):
+        bench.parse_only("a,typo_name", known)
+
+
+def test_bench_regression_candidates_need_ratio_and_delta():
+    """Both thresholds must trip: ratio alone is scheduler jitter on
+    sub-second queries, delta alone is invisible on multi-second ones."""
+    import bench
+
+    best = {"sub": 0.2, "mid": 1.0, "big": 10.0, "new": None}
+    best = {k: v for k, v in best.items() if v is not None}
+    timings = {
+        "sub": 0.35,   # 1.75x but only +0.15s -> jitter, not flagged
+        "mid": 1.8,    # 1.8x and +0.8s -> flagged
+        "big": 12.0,   # +2s but only 1.2x -> not flagged
+        "brand_new": 5.0,  # no best_ever yet -> not flagged
+    }
+    assert bench.regression_candidates(timings, best) == ["mid"]
