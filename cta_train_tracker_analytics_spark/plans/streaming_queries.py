@@ -637,12 +637,38 @@ def _staged_max_ts(paths: list[Path], column: str):
     best = None
     for p in paths:
         md = pq.ParquetFile(str(p)).metadata
-        idx = md.schema.to_arrow_schema().get_field_index(column)
+        # Resolve the column against the parquet LEAF columns by path name:
+        # an arrow-schema field index only coincides with the parquet
+        # column index for flat schemas — under a nested struct the two
+        # orderings diverge and the old get_field_index lookup would read
+        # the wrong column's statistics.
+        leaf_paths = [md.schema.column(i).path for i in range(md.num_columns)]
+        if column not in leaf_paths:
+            raise ValueError(
+                f"staged batch {p}: column {column!r} not among parquet leaf "
+                f"columns {leaf_paths}"
+            )
+        idx = leaf_paths.index(column)
+        file_best = None
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx).statistics
             if st is not None and st.has_min_max:
-                if best is None or st.max > best:
-                    best = st.max
+                if file_best is None or st.max > file_best:
+                    file_best = st.max
+        if file_best is None:
+            if md.num_rows > 0:
+                # Fail loudly (the contract load() follows in data.py): a
+                # writer config without min/max stats must not silently
+                # classify a non-empty source as empty — that would yield
+                # wrong outer-join output instead of an error.
+                raise ValueError(
+                    f"staged batch {p} has {md.num_rows} rows but no usable "
+                    f"min/max statistics for {column!r}; cannot derive the "
+                    "watermark flush instant from its footer"
+                )
+            continue
+        if best is None or file_best > best:
+            best = file_best
     return best
 
 

@@ -127,3 +127,51 @@ def test_stream_reader_iterators_are_copy_and_pickle_safe():
     it, _ = r.read({"poll": 0})
     clone = copy.copy(it)
     assert list(pickle.loads(pickle.dumps(clone))) == list(it)
+
+
+def test_staged_max_ts_footer_semantics(tmp_path):
+    """_staged_max_ts (the outer stream-join's watermark-flush clock) reads
+    parquet footer statistics only. Contract pinned here (ADVICE r8):
+    (a) the column index is resolved against parquet LEAF paths, so a
+    nested struct ahead of the target column cannot misdirect the read;
+    (b) a non-empty file without usable min/max stats raises instead of
+    silently classifying the source as empty (fail-loud, as load() does);
+    (c) genuinely empty files contribute nothing and alone yield None."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from cta_train_tracker_analytics_spark.plans.streaming_queries import (
+        _staged_max_ts,
+    )
+
+    ts = [dt.datetime(2024, 5, 1, 12, 0, 0), dt.datetime(2024, 5, 2, 8, 30, 0)]
+    # nested struct BEFORE ts: arrow field index of "ts" is 1, but its
+    # parquet leaf index is 2 (the struct contributes two leaves)
+    nested = pa.table(
+        {
+            "meta": [{"a": 1, "b": "x"}, {"a": 2, "b": "y"}],
+            "ts": pa.array(ts, type=pa.timestamp("us")),
+        }
+    )
+    p_nested = tmp_path / "nested.parquet"
+    pq.write_table(nested, p_nested)
+    assert _staged_max_ts([p_nested], "ts") == ts[1]
+
+    # stats disabled + rows present → loud failure, not "empty source"
+    flat = pa.table({"ts": pa.array(ts, type=pa.timestamp("us"))})
+    p_nostats = tmp_path / "nostats.parquet"
+    pq.write_table(flat, p_nostats, write_statistics=False)
+    with pytest.raises(ValueError, match="no usable"):
+        _staged_max_ts([p_nostats], "ts")
+
+    # a truly empty file is fine and alone yields None
+    p_empty = tmp_path / "empty.parquet"
+    pq.write_table(flat.slice(0, 0), p_empty)
+    assert _staged_max_ts([p_empty], "ts") is None
+
+    # missing column → loud failure naming the leaves
+    with pytest.raises(ValueError, match="not among parquet leaf"):
+        _staged_max_ts([p_nested], "nope")
