@@ -219,6 +219,14 @@ def canon_cell(v) -> str:
         return bytes(v).hex()
     if isinstance(v, bool):
         return "true" if v else "false"
+    # array-valued cells (Spark array columns / DuckDB list()) before the
+    # pd.isna fallback: pd.isna on an array returns an ARRAY, whose
+    # truthiness raises and would misreport the query as ERROR instead of
+    # comparing it — recurse element-wise instead.
+    if isinstance(v, (list, tuple)) or (
+        hasattr(v, "dtype") and getattr(v, "ndim", 0) >= 1
+    ):
+        return "[" + ",".join(canon_cell(x) for x in v) + "]"
     if pd.isna(v):
         return "NULL"
     return str(v)
@@ -276,6 +284,18 @@ def run_sweep(spark, name, src, only, include_streaming):
             )
             if not ok:
                 print(f"  {qname}: MISMATCH ({len(sdf)} vs {len(odf)})", flush=True)
+                if sorted(sdf.columns) == sorted(odf.columns) and len(sdf) == len(odf):
+                    # counts/schema agree → VALUES differ (the common case
+                    # for the value-mutation sweeps this script exists
+                    # for): show the first differing canonical rows so the
+                    # diagnosis doesn't require a manual replay.
+                    srows, orows = canonical_rows(sdf), canonical_rows(odf)
+                    shown = 0
+                    for sr, orow in zip(srows, orows):
+                        if sr != orow and shown < 3:
+                            print(f"    spark : {sr}", flush=True)
+                            print(f"    oracle: {orow}", flush=True)
+                            shown += 1
                 mismatches.append(qname)
         except Exception:
             print(f"  {qname}: ERROR {traceback.format_exc(limit=3)}", flush=True)
