@@ -3317,6 +3317,16 @@ def agg_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding is the only form both engines reproduce bit-for-bit; the
     final /10000.0 maps the same integer to the same double on both.
 
+    INPUT CONTRACT: the per-row `round(value*100, 0)` cents quantization
+    is itself exact only for values with ≤2 decimal digits (like
+    agg_custom_pandas_udaf's finiteness contract, this is a stated input
+    assumption, not a checked one — checking per-row would put a decimal
+    parse in the hot path). A value landing ON a half-cent (x.005) would
+    quantize differently across engines; tests/
+    test_rounding_boundary_probe.py::test_seasonality_cents_quantization_is_unambiguous
+    monitors the driver corpus for exactly that, so the assumption is
+    probed, not latent.
+
     Scale: single aggregate with 168 groups — pure map-side collapse;
     DuckDB's Sunday=0 dayofweek convention matches Spark's
     dayofweek()-1, aligned below."""

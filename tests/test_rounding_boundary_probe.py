@@ -1,0 +1,142 @@
+"""Cross-engine rounding boundary probes (r8 verdict #6/#7).
+
+`round(double, k)` is the one scalar where Spark and DuckDB can disagree:
+Spark rounds the shortest-decimal repr (BigDecimal.valueOf), DuckDB the
+binary value, so a result landing EXACTLY on a `.5`-in-shortest-repr
+boundary at the rounded digit flips between engines (found live by the
+round-7 negative-values sweep at -9.38375; fixed for
+agg_seasonality_profile via pure-BIGINT rounding). Nine other oracle
+sites still use raw `round(avg|sum(...), k)` — the documented policy is
+"latent, data-dependent; fix only if a driver hash flips". These probes
+convert that from latent to MONITORED: for every such site, at both
+driver scale factors, the unrounded aggregate must sit measurably far
+from any half-point boundary — if testdata regeneration or a query edit
+ever moves a value onto one, this fails before the driver hash does.
+
+Also pins agg_seasonality_profile's input contract (warehouse.py): its
+per-row cents quantization `round(value*100, 0)` is exact only for
+≤2-decimal inputs; the probe asserts every events.value is unambiguous
+at the half-cent boundary.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+SF_DIRS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+#: (site, scale-k, probe SQL returning one unrounded column `v`).
+#: Each probe reproduces the aggregate INPUT to a `round(..., k)` call in
+#: an oracle (file:line in the comment), without the round.
+PROBES = [
+    # relational.py:88,105 (sql_pricing_summary / Spark SQL twin) + scalar
+    ("pricing_avg_disc", 4, """
+        SELECT avg(l_discount) AS v FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2024-06-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus"""),
+    ("pricing_sum_disc_price", 2, """
+        SELECT sum(l_extendedprice * (1 - l_discount)) AS v FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2024-06-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus"""),
+    ("pricing_sum_qty", 2, """
+        SELECT sum(l_quantity) AS v FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2024-06-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus"""),
+    # relational.py flagship_region_pricing revenue (round(sum, 2))
+    ("flagship_revenue", 2, """
+        SELECT sum(l_extendedprice * (1 - l_discount)) AS v
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name, l_returnflag"""),
+    # relational.py:338 agg_delay_rate
+    ("delay_rate", 4, """
+        SELECT avg(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS v
+        FROM orders GROUP BY o_orderpriority"""),
+    # scalar_queries.py f_math_std (avg/stddev/median all rounded at 4)
+    ("math_std_avg", 4,
+     "SELECT avg(l_quantity) AS v FROM lineitem GROUP BY l_returnflag"),
+    ("math_std_stddev", 4,
+     "SELECT stddev_samp(l_quantity) AS v FROM lineitem GROUP BY l_returnflag"),
+    ("math_std_median", 4,
+     "SELECT quantile_cont(l_quantity, 0.5) AS v FROM lineitem GROUP BY l_returnflag"),
+    # warehouse.py job_skew_report: mean_rows and the skew factor built on it
+    ("skew_mean_rows", 4, """
+        SELECT avg(n) AS v FROM (
+            SELECT count(*) AS n FROM orders GROUP BY o_custkey)"""),
+    ("skew_factor", 4, """
+        SELECT max(n) / round(avg(n), 4) AS v FROM (
+            SELECT count(*)::DOUBLE AS n FROM orders GROUP BY o_custkey)"""),
+    # warehouse.py ext_calibration_bins (mean_score @4, purchase_rate @6)
+    ("calibration_mean_score", 4, """
+        SELECT avg(value) AS v FROM events WHERE isfinite(value)
+        GROUP BY least(CAST(floor(value / 50.0) AS INTEGER), 9)"""),
+    ("calibration_purchase_rate", 6, """
+        SELECT avg(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS v
+        FROM events WHERE isfinite(value)
+        GROUP BY least(CAST(floor(value / 50.0) AS INTEGER), 9)"""),
+    # warehouse.py ext_winsorized_mean (raw + clipped means @4)
+    ("winsorized_raw_mean", 4, """
+        SELECT avg(value) AS v FROM events WHERE isfinite(value)
+        GROUP BY event_type"""),
+    ("winsorized_clipped_mean", 4, """
+        WITH ev AS (SELECT * FROM events WHERE isfinite(value)),
+        b AS (SELECT event_type,
+                     quantile_cont(value, 0.05) AS lo,
+                     quantile_cont(value, 0.95) AS hi
+              FROM ev GROUP BY event_type)
+        SELECT avg(least(greatest(e.value, b.lo), b.hi)) AS v
+        FROM ev e JOIN b ON e.event_type = b.event_type
+        GROUP BY e.event_type"""),
+]
+
+#: An aggregate this close to a half-point (in units of the rounded digit)
+#: is ambiguous: double-summation-order differences between engines are
+#: ~1e-10 relative, so 1e-6 leaves five orders of magnitude of margin
+#: while still catching any value that actually sits on a boundary.
+BOUNDARY_MARGIN = 1e-6
+
+
+def _views(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "orders", "lineitem", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_no_rounded_aggregate_sits_on_a_half_point_boundary(sf_dir):
+    con = _views(sf_dir)
+    offenders = []
+    for site, k, sql in PROBES:
+        for (v,) in con.execute(sql).fetchall():
+            if v is None or v != v:  # NULL / NaN: nothing gets rounded
+                continue
+            frac = (v * 10**k) % 1.0
+            if abs(frac - 0.5) <= BOUNDARY_MARGIN:
+                offenders.append((site, sf_dir, v))
+    con.close()
+    assert offenders == [], (
+        "aggregate landed on a cross-engine .5 rounding boundary — apply "
+        f"the pure-BIGINT rounding recipe at these sites: {offenders}"
+    )
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_seasonality_cents_quantization_is_unambiguous(sf_dir):
+    """agg_seasonality_profile's `round(value*100, 0)` per-row
+    quantization assumes ≤2-decimal inputs; any events.value within the
+    margin of a half-cent would quantize differently across engines."""
+    con = _views(sf_dir)
+    (n,) = con.execute(
+        f"""SELECT count(*) FROM events
+            WHERE isfinite(value)
+              AND abs(abs((value * 100) % 1.0) - 0.5) <= {BOUNDARY_MARGIN}"""
+    ).fetchone()
+    con.close()
+    assert n == 0, f"{n} events.value rows sit on the half-cent boundary"
