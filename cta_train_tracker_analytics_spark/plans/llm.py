@@ -3516,3 +3516,105 @@ def ext_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+@query(
+    "ext_knn_graph_ivf",
+    oracle="""
+    WITH emb AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL),
+    cent AS (SELECT vec_id AS cent_id, embedding AS c FROM emb
+             WHERE vec_id IN (SELECT vec_id FROM emb
+                              ORDER BY vec_id LIMIT 8)),
+    terms0 AS (SELECT e.vec_id, cent.cent_id, unnest(e.embedding)::DOUBLE AS v,
+                      unnest(cent.c)::DOUBLE AS w
+               FROM emb e CROSS JOIN cent),
+    cos0 AS (SELECT vec_id, cent_id,
+                    sum(v * w) / (sqrt(sum(v * v)) * sqrt(sum(w * w))) AS cs
+             FROM terms0 GROUP BY vec_id, cent_id),
+    assign AS (SELECT vec_id, cent_id AS cell FROM cos0
+               QUALIFY row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cs DESC, cent_id) = 1),
+    pairs AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
+                     ea.embedding AS va, eb.embedding AS vb
+              FROM assign a
+              JOIN assign b ON b.cell = a.cell AND b.vec_id <> a.vec_id
+              JOIN emb ea ON ea.vec_id = a.vec_id
+              JOIN emb eb ON eb.vec_id = b.vec_id),
+    terms AS (SELECT vec_id, neighbor_id, unnest(va)::DOUBLE AS x,
+                     unnest(vb)::DOUBLE AS y
+              FROM pairs),
+    s AS (SELECT vec_id, neighbor_id,
+                 sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cs
+          FROM terms GROUP BY vec_id, neighbor_id)
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           round(cs, 4) AS cos_sim,
+           CAST(row_number() OVER (
+               PARTITION BY vec_id ORDER BY cs DESC, neighbor_id)
+               AS BIGINT) AS rnk
+    FROM s QUALIFY rnk <= 3
+    """,
+)
+def ext_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN graph blocked by IVF CELL assignment — the production form of
+    ext_knn_graph. Blocking by a fixed data column (label) keeps block
+    cardinality constant, so block SIZE grows with the corpus and the
+    within-block Σ|b|² work grows quadratically (measured by the round-9
+    sf1 probe: 100× pairs for 10× vectors). Blocking by the coarse
+    quantizer fixes that: the cell count scales with the corpus (like
+    ext_dedup_embed's adaptive planes), so |cell| ≈ N/cells stays bounded
+    and the graph build stays linear. Neighbors are exact WITHIN a cell
+    and recall across cell boundaries tunes via nprobe-style multi-assign
+    (ivf_assign_multi), exactly as in ext_sim_search_ivf_nprobe.
+
+    Plan: the zero-shuffle broadcast-argmax assignment (ivf_assign) runs
+    map-side under EACH side of the self-equi-join on cell — assignment
+    is recomputed per side rather than materialized, which at scale is
+    the same choice as persisting the IVF index first (the join itself
+    is the only shuffle, both sides partitioned by cell). Per-vector
+    top-3 compiles to a partial WindowGroupLimit; ranking orders by
+    UNROUNDED similarity with the neighbor id as total tiebreak —
+    deterministic in both engines. Centroid seeding is the id-agnostic
+    smallest-8 rule shared with ext_sim_search_ivf.
+
+    NULL CONTRACT (found by the null-payload sweep on this query's first
+    run): null embeddings are excluded up front, from the corpus AND
+    from centroid seeding — a nulled seed row otherwise becomes a NULL
+    centroid, and the two engines order the resulting NULL similarities
+    differently (Spark's argmax vs DuckDB's NULLS LAST), silently
+    scattering null vectors into different cells."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    centroids = emb.orderBy("vec_id").limit(8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
+    )
+    assigned = ivf_assign(emb, centroids)  # id, vec, v_nrm, cell
+    left = assigned.select(
+        F.col("id").alias("vec_id"),
+        F.col("vec").alias("va"),
+        F.col("v_nrm").alias("na"),
+        "cell",
+    )
+    right = assigned.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("vec").alias("vb"),
+        F.col("v_nrm").alias("nb"),
+        "cell",
+    )
+    pairs = left.join(right, "cell").filter(F.col("vec_id") != F.col("neighbor_id"))
+    cs = sdot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    scored = pairs.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+        cs.alias("cs"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.round("cs", 4).alias("cos_sim"),
+            "rnk",
+        )
+    )

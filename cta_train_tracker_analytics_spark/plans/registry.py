@@ -75,8 +75,13 @@ _PRIORITY = [
     #       instead of silently reading as empty. Behavior identical on
     #       stats-bearing flat-schema batches (all of ours), re-hashed on
     #       principle.
+    #   ext_knn_graph_ivf — NEW this round: kNN graph blocked by the IVF
+    #       cell assignment (bounded |block| as the corpus grows), the
+    #       production form the sf1 probe showed ext_knn_graph's
+    #       fixed-label blocking needs at scale.
     "win_ntile",
     "str_stream_join_outer",
+    "ext_knn_graph_ivf",
     # ---- Round 8: finish the backlog (r7 verdict #1). Front block:
     #   0-31   the 32 round-6/7 statistics-tier queries that have never
     #          had a driver row (they sat at positions 50-81 behind the

@@ -501,6 +501,24 @@ def test_knn_graph_block_join_is_equi_with_group_limit(spark):
     assert "WindowGroupLimit" in p
 
 
+def test_knn_graph_ivf_blocks_by_cell_without_corpus_shuffle_for_assignment(spark):
+    """ext_knn_graph_ivf: the cell assignment must stay map-only (the
+    broadcast-argmax from ivf_assign — no hashpartitioning on the vector
+    id anywhere), the self-join must be an equi-join on the cell (never
+    cartesian), and the per-vector top-3 must compile to
+    WindowGroupLimit."""
+    import re
+
+    p = plan(spark, "ext_knn_graph_ivf")
+    assert "CartesianProduct" not in p
+    assert "WindowGroupLimit" in p
+    assert "hashpartitioning(id" not in p  # assignment never shuffles the corpus
+    # the self-join keys on the cell id (at this SF AQE builds the small
+    # side as a broadcast; at scale the same equi-join becomes SMJ with
+    # both sides hash-partitioned by cell — either way, keyed on cell)
+    assert re.search(r"Join \[cell#\d+L?\], \[cell#\d+L?\]", p)
+
+
 def test_minhash_accuracy_no_cartesian(spark):
     p = plan(spark, "ext_minhash_accuracy")
     assert "CartesianProduct" not in p
