@@ -86,3 +86,28 @@ def test_bench_regression_candidates_need_ratio_and_delta():
         "brand_new": 5.0,  # no best_ever yet -> not flagged
     }
     assert bench.regression_candidates(timings, best) == ["mid"]
+
+
+def test_bench_detail_payload_carries_foreign_sections_forward():
+    """A bench run must only replace the sections it produces: the first
+    full run after the sf1 probe landed clobbered the probe's record out
+    of BENCH_DETAIL.json; this pins the carry-forward."""
+    import bench
+
+    prior = {
+        "queries": {"old": 9.9},
+        "best_ever": {"old": 1.0},
+        "sf1_probe": {"queries": {"q": {"ratio": 2.0}}},
+        "some_future_section": [1, 2],
+    }
+    out = bench.detail_payload(
+        prior, 0.1, {"q": 1.0}, {"q": 0.9}, {"q": 0.9}, [], filtered=False
+    )
+    assert out["sf1_probe"] == prior["sf1_probe"]
+    assert out["some_future_section"] == [1, 2]
+    assert out["queries"] == {"q": 1.0}  # owned keys fully replaced
+    assert out["provenance"] == {"last_run": "full", "merged": False}
+    filt = bench.detail_payload(
+        prior, 0.1, {"q": 1.0}, {"q": 0.9}, {"q": 0.9}, [], filtered=True
+    )
+    assert filt["provenance"] == {"last_run": "filtered", "merged": True}
