@@ -155,6 +155,44 @@ def _mut_blank(t, df):
     ).withColumn("n_chars", F.length("text").cast("bigint"))
 
 
+def _mut_skew(t, df):
+    """Hot-key skew — 100 TB's most common pathology: half of every
+    fact's join/group key collapses onto ONE existing key (key 0 /
+    'src0', present at every SF), so group-bys, windows, salted joins
+    and AQE skew-join paths all see a genuinely hot partition. Oracle
+    parity must be unaffected: only the data distribution changes, and
+    every ordering in the registry carries a unique tiebreaker."""
+    if t == "events":
+        return df.withColumn(
+            "user_id",
+            F.when(F.col("event_id") % 2 == 0, F.lit(0))
+            .otherwise(F.col("user_id"))
+            .cast("bigint"),
+        )
+    if t == "orders":
+        return df.withColumn(
+            "o_custkey",
+            F.when(F.col("o_orderkey") % 2 == 0, F.lit(0))
+            .otherwise(F.col("o_custkey"))
+            .cast("bigint"),
+        )
+    if t == "lineitem":
+        return df.withColumn(
+            "l_partkey",
+            F.when(F.col("l_orderkey") % 2 == 0, F.lit(0))
+            .otherwise(F.col("l_partkey"))
+            .cast("bigint"),
+        )
+    if t == "documents":
+        return df.withColumn(
+            "source",
+            F.when(F.col("doc_id") % 2 == 0, F.lit("src0")).otherwise(
+                F.col("source")
+            ),
+        )
+    return df
+
+
 def _mut_naninf(t, df):
     if t == "events":
         return df.withColumn(
@@ -195,6 +233,7 @@ SWEEPS = {
     "negative":  (_mut_negative, None, False),
     "future_ts": (_mut_future_ts, None, False),
     "blank":     (_mut_blank, _text_family, False),
+    "skew":      (_mut_skew, None, False),
     "naninf":    (_mut_naninf, lambda names: [n for n in names if n in _NANINF_SCOPE], False),
 }
 

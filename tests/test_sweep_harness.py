@@ -1,7 +1,7 @@
 """Smoke tests for scripts/sweep.py — the committed hardening-sweep
 harness (README "Hardening sweeps"). The sweeps themselves are run
 manually after plans/ changes; these tests only pin that the harness
-stays importable, enumerates the seven sweep classes, and that its
+stays importable, enumerates every sweep class, and that its
 canonicalization survives the cell types the registry actually emits
 (the r8 ADVICE found array-valued cells raised inside pd.isna)."""
 
@@ -30,10 +30,10 @@ def sweep():
     return mod
 
 
-def test_sweep_harness_enumerates_all_seven_classes(sweep):
+def test_sweep_harness_enumerates_all_sweep_classes(sweep):
     expected = {
         "empty", "nulls", "multibyte", "bigid",
-        "negative", "future_ts", "blank", "naninf",
+        "negative", "future_ts", "blank", "naninf", "skew",
     }
     assert expected <= set(sweep.SWEEPS)
     for name, (mutate, scope, streaming) in sweep.SWEEPS.items():
