@@ -3522,9 +3522,13 @@ def ext_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_knn_graph_ivf",
     oracle="""
     WITH emb AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL),
-    cent AS (SELECT vec_id AS cent_id, embedding AS c FROM emb
-             WHERE vec_id IN (SELECT vec_id FROM emb
-                              ORDER BY vec_id LIMIT 8)),
+    -- replay the corpus-adaptive cell count: greatest(8, ceil(n / 250))
+    cent AS (SELECT vec_id AS cent_id, embedding AS c FROM (
+                 SELECT vec_id, embedding,
+                        row_number() OVER (ORDER BY vec_id) AS rn,
+                        count(*) OVER () AS n
+                 FROM emb)
+             WHERE rn <= greatest(8, CAST(ceil(n / 250.0) AS BIGINT))),
     terms0 AS (SELECT e.vec_id, cent.cent_id, unnest(e.embedding)::DOUBLE AS v,
                       unnest(cent.c)::DOUBLE AS w
                FROM emb e CROSS JOIN cent),
@@ -3561,10 +3565,12 @@ def ext_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality constant, so block SIZE grows with the corpus and the
     within-block Σ|b|² work grows quadratically (measured by the round-9
     sf1 probe: 100× pairs for 10× vectors). Blocking by the coarse
-    quantizer fixes that: the cell count scales with the corpus (like
-    ext_dedup_embed's adaptive planes), so |cell| ≈ N/cells stays bounded
-    and the graph build stays linear. Neighbors are exact WITHIN a cell
-    and recall across cell boundaries tunes via nprobe-style multi-assign
+    quantizer fixes that: the cell count SCALES WITH THE CORPUS —
+    greatest(8, ceil(N/250)) cells, the same count-derived-formula
+    pattern as ext_dedup_embed's adaptive_planes, replayed bit-for-bit
+    by the oracle — so |cell| ≈ 250 stays bounded and the graph build
+    stays linear. Neighbors are exact WITHIN a cell and recall across
+    cell boundaries tunes via nprobe-style multi-assign
     (ivf_assign_multi), exactly as in ext_sim_search_ivf_nprobe.
 
     Plan: the zero-shuffle broadcast-argmax assignment (ivf_assign) runs
@@ -3583,8 +3589,11 @@ def ext_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid, and the two engines order the resulting NULL similarities
     differently (Spark's argmax vs DuckDB's NULLS LAST), silently
     scattering null vectors into different cells."""
+    import math
+
     emb = load(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
-    centroids = emb.orderBy("vec_id").limit(8).select(
+    n_cells = max(8, math.ceil(emb.count() / 250))
+    centroids = emb.orderBy("vec_id").limit(n_cells).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
     )
     assigned = ivf_assign(emb, centroids)  # id, vec, v_nrm, cell

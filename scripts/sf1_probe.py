@@ -205,6 +205,14 @@ def main() -> int:
 
     with open(DETAIL_PATH) as f:
         detail = json.load(f)
+    # MERGE into any prior probe record: a targeted --queries run must not
+    # clobber the full sweep's evidence (same rule bench.py follows for
+    # its own sections of this file)
+    prior_probe = detail.get("sf1_probe", {})
+    merged_queries = {**prior_probe.get("queries", {}), **probe}
+    merged_superlinear = sorted(
+        (set(prior_probe.get("superlinear", [])) - set(probe)) | set(superlinear)
+    )
     detail["sf1_probe"] = {
         "dataset": {
             "dir": SF1_DIR,
@@ -214,8 +222,8 @@ def main() -> int:
         },
         "method": f"min of {args.runs} runs per scale, one warmed session",
         "superlinear_threshold": SUPERLINEAR_RATIO,
-        "queries": probe,
-        "superlinear": superlinear,
+        "queries": merged_queries,
+        "superlinear": merged_superlinear,
     }
     with open(DETAIL_PATH, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
