@@ -3574,10 +3574,14 @@ def ext_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ivf_assign_multi), exactly as in ext_sim_search_ivf_nprobe.
 
     Plan: the zero-shuffle broadcast-argmax assignment (ivf_assign) runs
-    map-side under EACH side of the self-equi-join on cell — assignment
-    is recomputed per side rather than materialized, which at scale is
-    the same choice as persisting the IVF index first (the join itself
-    is the only shuffle, both sides partitioned by cell). Per-vector
+    ONCE and is pinned (localCheckpoint) before the self-equi-join on
+    cell — the distributed analog of persisting the IVF index, and the
+    same compile-cost discipline as ext_sim_search_pq's pinned code
+    table: without the pin the argmax expression tree is inlined FOUR
+    times into the join plan (each side × score/pick) and the first call
+    pays ~2.5× in Catalyst compile alone (measured 11.4 s vs 4.6 s cold
+    at sf0.1). After the pin the join itself is the only corpus shuffle,
+    both sides partitioned by cell. Per-vector
     top-3 compiles to a partial WindowGroupLimit; ranking orders by
     UNROUNDED similarity with the neighbor id as total tiebreak —
     deterministic in both engines. Centroid seeding is the id-agnostic
@@ -3597,6 +3601,9 @@ def ext_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
     )
     assigned = ivf_assign(emb, centroids)  # id, vec, v_nrm, cell
+    # pin the assignment (the materialized IVF index) so both join sides
+    # scan it instead of re-inlining the broadcast-argmax per side
+    assigned = assigned.localCheckpoint(eager=True)
     left = assigned.select(
         F.col("id").alias("vec_id"),
         F.col("vec").alias("va"),
