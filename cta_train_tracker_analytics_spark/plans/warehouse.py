@@ -2563,7 +2563,13 @@ def ext_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     explosion; a trigram with df <= 5 contributes at most C(5,2) pairs,
     so candidates grow linearly with the corpus; the dot product joins
     the weight table twice on (doc, term) restricted to candidates -
-    never all-pairs."""
+    never all-pairs. The rare-gram table is deliberately NOT broadcast:
+    on a large corpus MOST distinct trigrams are rare (df <= 5), so its
+    cardinality grows roughly linearly with total tokens - a broadcast
+    hint here is a driver/executor-memory blowup at 100x, while a plain
+    shuffled equi-join on `gram` (AQE free to pick the strategy at
+    runtime from actual sizes) is exactly as correct and scale-safe.
+    Pinned by tests/test_plans.py::test_tfidf_rare_gram_join_not_broadcast."""
     docs = load(spark, sf_dir, "documents")
     n = docs.count()
     # tokenize ONCE behind a lineage barrier: transform lambdas that index
@@ -2602,7 +2608,7 @@ def ext_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     gdf = tg.groupBy("gram").agg(F.count(F.lit(1)).alias("gdf"))
-    rare_tg = tg.join(F.broadcast(gdf.filter(F.col("gdf") <= 5)), "gram")
+    rare_tg = tg.join(gdf.filter(F.col("gdf") <= 5), "gram")
     pairs = (
         rare_tg.select("gram", F.col("doc_id").alias("id_a"))
         .join(rare_tg.select("gram", F.col("doc_id").alias("id_b")), "gram")

@@ -155,6 +155,27 @@ def test_decontaminate_broadcasts_benchmark_side(spark):
     assert "PushedFilters: [IsNotNull(doc_id), GreaterThanOrEqual(doc_id,50)]" in p
 
 
+def test_tfidf_rare_gram_join_not_broadcast(spark):
+    """Inverse of test_decontaminate_broadcasts_benchmark_side: the
+    rare-trigram table in ext_tfidf_cosine_pairs grows roughly linearly
+    with corpus tokens (on a large corpus MOST distinct trigrams have
+    df <= 5), so a broadcast hint there is a driver-OOM at 100x. With
+    stats-based auto-broadcast disabled, only a HINT could still force a
+    BroadcastExchange — assert none does, and that the gram candidate
+    join plans as a shuffled join AQE is free to re-plan from runtime
+    sizes."""
+    import re
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan(spark, "ext_tfidf_cosine_pairs")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastExchange" not in p
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin) \[gram#\d+\]", p)
+
+
 def test_whole_stage_codegen_on_scalar_path(spark):
     """§2.10 policy: scalar queries stay JVM-side — whole-stage codegen,
     no Python row UDFs (BatchEvalPython) in any registered scalar plan."""
