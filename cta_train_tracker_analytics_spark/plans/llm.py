@@ -3433,22 +3433,35 @@ def ext_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ext_knn_graph",
     oracle="""
-    WITH pairs AS (
-        SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
-               a.label, a.embedding AS va, b.embedding AS vb
-        FROM embeddings a
-        JOIN embeddings b ON b.label = a.label AND b.vec_id <> a.vec_id
-    ),
-    terms AS (
-        SELECT vec_id, neighbor_id, unnest(va)::DOUBLE AS x,
-               unnest(vb)::DOUBLE AS y
-        FROM pairs
-    ),
-    s AS (
-        SELECT vec_id, neighbor_id,
-               sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cs
-        FROM terms GROUP BY vec_id, neighbor_id
-    )
+    WITH emb AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL),
+    -- replay the corpus-adaptive cell count: greatest(8, ceil(n / 250))
+    cent AS (SELECT vec_id AS cent_id, embedding AS c FROM (
+                 SELECT vec_id, embedding,
+                        row_number() OVER (ORDER BY vec_id) AS rn,
+                        count(*) OVER () AS n
+                 FROM emb)
+             WHERE rn <= greatest(8, CAST(ceil(n / 250.0) AS BIGINT))),
+    terms0 AS (SELECT e.vec_id, cent.cent_id, unnest(e.embedding)::DOUBLE AS v,
+                      unnest(cent.c)::DOUBLE AS w
+               FROM emb e CROSS JOIN cent),
+    cos0 AS (SELECT vec_id, cent_id,
+                    sum(v * w) / (sqrt(sum(v * v)) * sqrt(sum(w * w))) AS cs
+             FROM terms0 GROUP BY vec_id, cent_id),
+    assign AS (SELECT vec_id, cent_id AS cell FROM cos0
+               QUALIFY row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cs DESC, cent_id) = 1),
+    pairs AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
+                     ea.embedding AS va, eb.embedding AS vb
+              FROM assign a
+              JOIN emb ea ON ea.vec_id = a.vec_id
+              JOIN assign b ON b.cell = a.cell AND b.vec_id <> a.vec_id
+              JOIN emb eb ON eb.vec_id = b.vec_id AND eb.label = ea.label),
+    terms AS (SELECT vec_id, neighbor_id, unnest(va)::DOUBLE AS x,
+                     unnest(vb)::DOUBLE AS y
+              FROM pairs),
+    s AS (SELECT vec_id, neighbor_id,
+                 sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cs
+          FROM terms GROUP BY vec_id, neighbor_id)
     SELECT CAST(vec_id AS BIGINT) AS vec_id,
            CAST(neighbor_id AS BIGINT) AS neighbor_id,
            round(cs, 4) AS cos_sim,
@@ -3459,44 +3472,65 @@ def ext_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ext_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked k-nearest-neighbor graph: each vector's top-3 cosine
-    neighbors WITHIN its partition block (here the label column; in
-    production the IVF cell assignment from ext_sim_search_ivf) — the
-    substrate for graph-based dedup, SemDeDup cluster pruning, and
-    diversity-aware data selection, where every vector is
-    simultaneously a query.
+    """SAME-LABEL k-nearest-neighbor graph with composite (label × IVF
+    cell) blocking: each vector's top-3 cosine neighbors that share its
+    label, searched within its coarse-quantizer cell — the substrate for
+    class-conditional dedup and diversity-aware selection where
+    neighbors must come from the same class.
 
-    Scale shape: corpus×corpus kNN is only tractable blocked — the
-    self-join is an EQUI-join on the block key, so candidate pairs are
-    Σ_b |b|² instead of N², and with balanced IVF cells (|b| ≈ N/cells)
-    that is N²/cells, tuned by the cell count exactly like
-    ext_dedup_embed's adaptive planes. Norms are computed once per row
-    BEFORE the pair join (linear work) and the in-pair cost is one
-    sequential-fold dot product; the per-vector top-3 compiles to a
-    partial WindowGroupLimit below the final rank window, so full
-    neighbor lists never materialize past each block. The rank orders
-    by UNROUNDED similarity with the neighbor id as total tiebreak —
-    deterministic in both engines."""
-    emb = load(spark, sf_dir, "embeddings")
-    e = emb.select(
-        "vec_id",
-        "label",
-        F.col("embedding").alias("v"),
-        snorm(F.col("embedding")).alias("nrm"),
+    Scale shape (rewritten round 10): the original blocked on the label
+    column ALONE. Label cardinality is fixed, so |block| grows with N
+    and the within-block Σ|b|² pair count goes quadratic — not a prose
+    concern but MEASURED by the round-9 sf1 probe: 13.1× runtime for
+    10× data (400 k → 40 M pairs). Re-keying the equi-join to the
+    composite (label, cell) key preserves the same-label semantics
+    while bounding the block: the cell count scales with the corpus
+    (greatest(8, ceil(N/250)) — the count-derived-formula pattern of
+    ext_dedup_embed's adaptive_planes, replayed bit-for-bit by the
+    oracle), so |cell| ≈ 250 and within-block pairs are ≤ N·250 —
+    linear. Neighbors are exact within (label ∩ cell); cross-cell
+    same-label neighbors are the recall cost, tunable by nprobe-style
+    multi-assign exactly as in ext_sim_search_ivf_nprobe, and measured
+    for the cell-blocked family by ext_knn_graph_recall.
+
+    Plan: zero-shuffle broadcast-argmax assignment (ivf_assign), pinned
+    once (localCheckpoint) before the self-equi-join so both sides scan
+    the materialized index instead of re-inlining the argmax tree
+    (ext_knn_graph_ivf's measured 2.5× compile saving); the label rides
+    along via one narrow (id, label) equi-join before the pin. The
+    per-vector top-3 compiles to a partial WindowGroupLimit below the
+    rank window; ranking orders by UNROUNDED similarity with neighbor
+    id as total tiebreak — deterministic in both engines. Null
+    embeddings are excluded corpus- AND seed-side (the
+    ext_knn_graph_ivf null contract)."""
+    import math
+
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    n_cells = max(8, math.ceil(emb.count() / 250))
+    centroids = emb.orderBy("vec_id").limit(n_cells).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
     )
-    a = e.select(
-        F.col("vec_id").alias("vec_id"),
-        "label",
-        F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
+    assigned = ivf_assign(emb, centroids).join(
+        emb.select(F.col("vec_id").alias("id"), "label"), "id"
     )
-    b = e.select(
-        F.col("vec_id").alias("neighbor_id"),
+    # pin the assignment (the materialized IVF index) so both join sides
+    # scan it instead of re-inlining the broadcast-argmax per side
+    assigned = assigned.localCheckpoint(eager=True)
+    a = assigned.select(
+        F.col("id").alias("vec_id"),
         "label",
-        F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
+        "cell",
+        F.col("vec").alias("va"),
+        F.col("v_nrm").alias("na"),
     )
-    pairs = a.join(b, "label").filter(
+    b = assigned.select(
+        F.col("id").alias("neighbor_id"),
+        "label",
+        "cell",
+        F.col("vec").alias("vb"),
+        F.col("v_nrm").alias("nb"),
+    )
+    pairs = a.join(b, ["label", "cell"]).filter(
         F.col("vec_id") != F.col("neighbor_id")
     )
     cs = sdot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))

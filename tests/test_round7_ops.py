@@ -19,13 +19,25 @@ SF001 = "/root/testdata/sf0.01"
 
 def test_knn_graph_block_skew_bounded(spark):
     """ext_knn_graph's cost is Σ_b |b|² (equi-join on the block key); a
-    skewed block is locally quadratic. Quantify it on the sf0.01 corpus:
-    no single block may contribute more than 40% of the total pair work —
-    the measured bound that keeps the documented 'balanced blocks'
-    assumption honest instead of aspirational (r6 verdict #7)."""
+    skewed block is locally quadratic. Since the round-10 re-key the
+    block is the COMPOSITE (label, IVF cell) — quantify its skew on the
+    sf0.01 corpus with the query's own assignment: no single composite
+    block may contribute more than 40% of the total pair work — the
+    measured bound that keeps the documented 'bounded blocks' claim
+    honest instead of aspirational (r6 verdict #7, re-keyed r10)."""
+    import math
+
+    from cta_train_tracker_analytics_spark.operators.similarity import ivf_assign
+
+    emb = load(spark, SF001, "embeddings").filter(F.col("embedding").isNotNull())
+    n_cells = max(8, math.ceil(emb.count() / 250))
+    centroids = emb.orderBy("vec_id").limit(n_cells).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
+    )
     blocks = (
-        load(spark, SF001, "embeddings")
-        .groupBy("label")
+        ivf_assign(emb, centroids)
+        .join(emb.select(F.col("vec_id").alias("id"), "label"), "id")
+        .groupBy("label", "cell")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
