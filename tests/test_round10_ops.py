@@ -1,0 +1,39 @@
+"""Round-10 operator tests: the kNN-graph recall audit.
+
+``ext_knn_graph_recall`` measures graph-edge recall@3 of the
+cell-blocked graph against the exact graph, per seed and per nprobe
+level. These tests pin the audit's structural invariants — the ones the
+DuckDB hash comparison can't express as clearly: full seed coverage at
+both probe levels, the exact denominator, and hit-count monotonicity in
+nprobe (a superset of probed cells can displace an exact-top-3 edge from
+the approximate top-3 only by deeper exact-top-3 edges, so per-seed hits
+never decrease as nprobe grows).
+"""
+
+from __future__ import annotations
+
+from cta_train_tracker_analytics_spark.plans import registry
+
+from conftest import SF_DIR
+
+
+def test_knn_graph_recall_invariants(spark):
+    rows = registry.all_queries()["ext_knn_graph_recall"](spark, SF_DIR).collect()
+    by_lvl: dict[int, dict[int, object]] = {1: {}, 2: {}}
+    for r in rows:
+        assert r.nprobe in (1, 2)
+        assert r.n_exact == 3  # 50 seeds in a 500-vector corpus: always 3
+        assert 0 <= r.n_hit <= r.n_exact
+        assert abs(r.recall - r.n_hit / r.n_exact) < 5e-5  # recall rounds to 4dp
+        assert r.query_id not in by_lvl[r.nprobe]
+        by_lvl[r.nprobe][r.query_id] = r
+    # every seed is audited at BOTH probe levels
+    assert set(by_lvl[1]) == set(by_lvl[2])
+    assert len(by_lvl[1]) == 50
+    # widening the probe set never loses a hit
+    for qid, r1 in by_lvl[1].items():
+        assert by_lvl[2][qid].n_hit >= r1.n_hit
+    # the knob does something on this corpus: strictly more hits in total
+    assert sum(r.n_hit for r in by_lvl[2].values()) > sum(
+        r.n_hit for r in by_lvl[1].values()
+    )
