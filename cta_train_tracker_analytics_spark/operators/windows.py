@@ -180,9 +180,21 @@ def exact_global_ntile(
     all land in one block (comparisons are strict), so a value occupying
     >1/n_blocks of the data bounds that block's size from below — the
     same skew exact ntile forces on ANY engine; raise ``n_blocks`` /
-    ``accuracy`` to tighten everything else. ``value`` is assumed
-    non-null (nulls would sort into block 0 Spark-style, which matches
-    Spark's NULLS FIRST but not every oracle's default).
+    ``accuracy`` to tighten everything else.
+
+    Input contract (both checked/required, r9 verdict #7 + ADVICE):
+
+    * ``value`` must be NON-NULL — nulls would sort into block 0
+      Spark-style (NULLS FIRST), diverging from oracles that default to
+      NULLS LAST. Guarded loudly: a null count rides along in the same
+      boundary-sketch aggregate (zero extra scans) and any null raises
+      ``ValueError`` when the sketch materializes.
+    * ``df`` must be DETERMINISTIC across scans: the ranked branch and
+      the per-block counts both derive from the unpinned input, so a
+      sampled/rand-derived frame could yield offsets inconsistent with
+      local ranks. Parquet-backed inputs (all registry callers) satisfy
+      this; pin non-deterministic sources with ``localCheckpoint``
+      before calling.
 
     Returns ``df`` plus an integer ``tile_name`` column in 1..n_tiles.
     """
@@ -190,13 +202,23 @@ def exact_global_ntile(
     bounds = df.agg(
         F.approx_percentile(value, F.array(*[F.lit(p) for p in pcts]), accuracy).alias(
             "__bounds"
-        )
+        ),
+        F.count_if(F.col(value).isNull()).alias("__nulls"),
     )
     # Pin the 1-row boundary sketch: both downstream branches (the ranked
     # window and the per-block counts) consume it, and without the pin each
     # branch re-runs the full percentile pass over the source — one extra
     # whole-table scan for no information.
     bounds = bounds.localCheckpoint(eager=True)
+    n_null = bounds.head()["__nulls"]
+    if n_null:
+        raise ValueError(
+            f"exact_global_ntile: {value!r} has {n_null} NULL row(s); the "
+            "tile arithmetic requires a total order on non-null values "
+            "(Spark would sort nulls first, oracles commonly last). Filter "
+            "or impute nulls before calling."
+        )
+    bounds = bounds.drop("__nulls")
     blk = F.aggregate(
         F.col("__bounds"),
         F.lit(0),

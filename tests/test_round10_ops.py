@@ -37,3 +37,20 @@ def test_knn_graph_recall_invariants(spark):
     assert sum(r.n_hit for r in by_lvl[2].values()) > sum(
         r.n_hit for r in by_lvl[1].values()
     )
+
+
+def test_ntile_null_value_raises(spark):
+    """exact_global_ntile's null guard: a NULL in the value column must
+    fail loudly (engines disagree on null sort order), not silently land
+    in tile 1."""
+    import pytest
+    from pyspark.sql import Row
+
+    from cta_train_tracker_analytics_spark.operators.windows import exact_global_ntile
+
+    df = spark.createDataFrame(
+        [Row(id=1, v=1.0), Row(id=2, v=None), Row(id=3, v=3.0)],
+        "id bigint, v double",
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        exact_global_ntile(df, 2, value="v", tiebreak="id")
