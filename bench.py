@@ -252,6 +252,38 @@ _OWNED_DETAIL_KEYS = {
 }
 
 
+def env_fingerprint() -> dict:
+    """Machine-state snapshot recorded with every bench run (r9 verdict
+    #5): turns drift adjudication — 'was that 1.6× flag the engine or the
+    machine?' — from after-the-fact forensics into a lookup against the
+    loadavg/memory/page-cache state the run actually started under."""
+    fp: dict = {"unix_time": int(time.time())}
+    try:
+        la = os.getloadavg()
+        fp["loadavg"] = [round(x, 2) for x in la]
+    except OSError:
+        pass
+    try:
+        with open("/proc/meminfo") as f:
+            mem = {}
+            for line in f:
+                k, _, rest = line.partition(":")
+                if k in ("MemFree", "MemAvailable", "Cached", "Dirty", "SwapFree"):
+                    mem[k.lower() + "_mb"] = int(rest.split()[0]) // 1024
+        fp.update(mem)
+    except (OSError, ValueError):
+        pass
+    try:
+        import shutil as _sh
+
+        fp["disk_free_gb"] = round(
+            _sh.disk_usage(os.path.dirname(os.path.abspath(__file__))).free / 1e9, 1
+        )
+    except OSError:
+        pass
+    return fp
+
+
 def detail_payload(
     prior: dict,
     sf: float,
@@ -260,6 +292,7 @@ def detail_payload(
     best_ever: dict[str, float],
     regressions: list[dict],
     filtered: bool,
+    env: dict | None = None,
 ) -> dict:
     return {
         **{k: v for k, v in prior.items() if k not in _OWNED_DETAIL_KEYS},
@@ -279,6 +312,9 @@ def detail_payload(
         "provenance": {
             "last_run": "filtered" if filtered else "full",
             "merged": bool(filtered and prior.get("queries")),
+            # machine state at run START (env_fingerprint); None only if a
+            # caller (tests) built the payload without one
+            "env": env,
         },
         "method": {
             "sub_second": "median_of_5",
@@ -296,6 +332,7 @@ def detail_payload(
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    env = env_fingerprint()  # before the JVM starts: the state the run saw
 
     spark = get_spark(app_name="cta-spark-bench")
     from cta_train_tracker_analytics_spark.data import TABLES, load
@@ -315,7 +352,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
 
-    def time_query(name: str, n_fixed_runs: int | None = None) -> tuple[list[float], int]:
+    def time_query(name: str) -> tuple[list[float], int]:
         fn = queries[name]
         # min of 3 runs: the first execution pays plan compile + codegen for
         # this query's operators; min measures engine capability, not JIT
@@ -326,11 +363,7 @@ def main() -> None:
         # deltas ≥1.5× are signal.
         runs: list[float] = []
         n = 0
-        while len(runs) < (
-            n_fixed_runs
-            if n_fixed_runs is not None
-            else (3 if not runs or min(runs) >= 1.0 else 5)
-        ):
+        while len(runs) < (3 if not runs or min(runs) >= 1.0 else 5):
             # Each call builds its own DataFrames; clear the cache between
             # runs so abandoned persists can't pile up, and force a JVM GC so
             # the ContextCleaner actually releases dead broadcast/checkpoint
@@ -386,7 +419,10 @@ def main() -> None:
     # noise of the best this machine has ever recorded.
     regressions: list[dict] = []
     for name in regression_candidates(timings_min, best_ever):
-        runs, _ = time_query(name, n_fixed_runs=3)
+        # same adaptive estimator as the main loop (ADVICE r9): a
+        # sub-second candidate re-times as median-of-5, so a lower re-time
+        # replacing the headline never mixes two different estimators
+        runs, _ = time_query(name)
         retimed = round(min(runs), 3)
         print(f"# retime {name}: {retimed:.3f}s (was {timings_min[name]:.3f}s)",
               file=sys.stderr)
@@ -434,7 +470,7 @@ def main() -> None:
         json.dump(
             detail_payload(
                 prior, sf, detail_timings, detail_min, best_ever, regressions,
-                filtered=bool(only),
+                filtered=bool(only), env=env,
             ),
             f,
             indent=1,

@@ -657,6 +657,18 @@ def _staged_max_ts(paths: list[Path], column: str):
                     file_best = st.max
         if file_best is None:
             if md.num_rows > 0:
+                # An ALL-NULL column is a legitimate 'no watermark
+                # contribution' batch, not a stats problem: pyarrow writes
+                # statistics with has_min_max=False and null_count == rows
+                # for all-null chunks (ADVICE r9). Distinguish it from a
+                # genuinely stats-less writer config before failing.
+                all_null = all(
+                    (st := md.row_group(rg).column(idx).statistics) is not None
+                    and st.null_count == md.row_group(rg).num_rows
+                    for rg in range(md.num_row_groups)
+                )
+                if all_null:
+                    continue
                 # Fail loudly (the contract load() follows in data.py): a
                 # writer config without min/max stats must not silently
                 # classify a non-empty source as empty — that would yield

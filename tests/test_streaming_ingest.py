@@ -175,3 +175,14 @@ def test_staged_max_ts_footer_semantics(tmp_path):
     # missing column → loud failure naming the leaves
     with pytest.raises(ValueError, match="not among parquet leaf"):
         _staged_max_ts([p_nested], "nope")
+
+    # (d, ADVICE r9) an ALL-NULL ts column writes stats with
+    # has_min_max=False and null_count == rows: that's a legitimate
+    # 'no watermark contribution' batch, NOT a stats-less writer —
+    # it must be skipped, not raised on
+    allnull = pa.table({"ts": pa.array([None, None], type=pa.timestamp("us"))})
+    p_allnull = tmp_path / "allnull.parquet"
+    pq.write_table(allnull, p_allnull)
+    assert _staged_max_ts([p_allnull], "ts") is None
+    # and alongside a real batch it simply doesn't move the max
+    assert _staged_max_ts([p_allnull, p_nested], "ts") == ts[1]

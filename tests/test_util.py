@@ -106,8 +106,26 @@ def test_bench_detail_payload_carries_foreign_sections_forward():
     assert out["sf1_probe"] == prior["sf1_probe"]
     assert out["some_future_section"] == [1, 2]
     assert out["queries"] == {"q": 1.0}  # owned keys fully replaced
-    assert out["provenance"] == {"last_run": "full", "merged": False}
+    assert out["provenance"] == {"last_run": "full", "merged": False, "env": None}
     filt = bench.detail_payload(
-        prior, 0.1, {"q": 1.0}, {"q": 0.9}, {"q": 0.9}, [], filtered=True
+        prior, 0.1, {"q": 1.0}, {"q": 0.9}, {"q": 0.9}, [], filtered=True,
+        env={"loadavg": [0.5, 0.4, 0.3]},
     )
-    assert filt["provenance"] == {"last_run": "filtered", "merged": True}
+    assert filt["provenance"]["last_run"] == "filtered"
+    assert filt["provenance"]["merged"] is True
+    assert filt["provenance"]["env"] == {"loadavg": [0.5, 0.4, 0.3]}
+
+
+def test_bench_env_fingerprint_shape():
+    """The per-run machine-state snapshot (r9 verdict #5) must carry the
+    fields drift adjudication needs, as plain JSON-serializable scalars."""
+    import json
+
+    import bench
+
+    fp = bench.env_fingerprint()
+    assert isinstance(fp["unix_time"], int)
+    assert "loadavg" in fp and len(fp["loadavg"]) == 3
+    assert fp["memavailable_mb"] > 0
+    assert fp["disk_free_gb"] > 0
+    json.dumps(fp)  # round-trippable
