@@ -897,7 +897,16 @@ def job_gdpr_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     set (customer keys → order keys); no fact table ever shuffles. The
     order-key set is itself derived distributed and only collapses to a
     broadcast at the join. At 100 TB this is the erasure pattern for
-    immutable parquet: compute retained sets, rewrite affected partitions."""
+    immutable parquet: compute retained sets, rewrite affected partitions.
+
+    INPUT CONTRACT (why the broadcast hints are scale-safe, unlike the
+    corpus-growing one ext_tfidf_cosine_pairs dropped): a GDPR deletion
+    batch is bounded by the request queue — regulators measure it in
+    requests per day, not per-row fractions of the corpus — so del_cust
+    and the order keys it fans out to stay executor-memory-small no
+    matter how large the fact tables grow. A caller feeding an UNBOUNDED
+    deletion set (e.g. a full-table re-key) should drop the hints and let
+    AQE choose, the same trade documented at that query."""
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     line = load(spark, sf_dir, "lineitem")
