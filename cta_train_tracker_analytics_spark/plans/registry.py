@@ -60,6 +60,38 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: parity replay (tests/test_oracle_parity.py) and by the non-UTC
 #: driver simulation run before each commit.
 _PRIORITY = [
+    # ---- Round 10 front block (stale-hash policy): every query whose
+    # implementation changed this round gets a fresh driver row in the
+    # SAME round.
+    #   ext_tfidf_cosine_pairs — the rare-trigram broadcast hint dropped
+    #       (r9 verdict #1: that side's cardinality grows with the corpus;
+    #       a shuffled equi-join on gram is equally correct and AQE picks
+    #       the runtime strategy). Pinned by
+    #       tests/test_plans.py::test_tfidf_rare_gram_join_not_broadcast.
+    #   ext_knn_graph — re-keyed (r9 verdict #3) from label-only blocking
+    #       (measured quadratic: 13.1× at 10× data) to the composite
+    #       (label × adaptive IVF cell) block; same-label semantics
+    #       preserved, |block| bounded, oracle replays the assignment.
+    #   ext_knn_graph_ivf — signed-zero canonicalization in the rounded
+    #       cosine output (round(cs,4)+0.0 both engines; the round-10
+    #       nulls sweep caught -0.0/0.0 hash divergence on the re-keyed
+    #       sibling, same latent class here).
+    #   ext_knn_graph_recall — NEW (r9 verdict #4): graph-edge recall@3
+    #       vs the exact graph per seed at nprobe 1 and 2, wiring
+    #       ivf_assign_multi as the measured recall knob.
+    #   win_ntile — null guard (r9 verdict #7): a null count rides in the
+    #       boundary-sketch aggregate and raises loudly; plan changed, so
+    #       re-hash per policy (o_totalprice is non-null → same output).
+    #   str_stream_join_outer — _staged_max_ts now distinguishes an
+    #       all-null ts batch (stats present, null_count==rows → skip)
+    #       from a genuinely stats-less file (still raises) (ADVICE r9).
+    #   job_gdpr_cascade — docstring-only (bounded-deletion-batch input
+    #       contract, r9 verdict #8); fronted on principle.
+    "ext_tfidf_cosine_pairs",
+    "ext_knn_graph",
+    "ext_knn_graph_ivf",
+    "ext_knn_graph_recall",
+    "job_gdpr_cascade",
     # ---- Round 9 front block (stale-hash policy: every query whose
     # implementation changed this round gets a fresh driver row in the
     # SAME round):
@@ -81,7 +113,6 @@ _PRIORITY = [
     #       fixed-label blocking needs at scale.
     "win_ntile",
     "str_stream_join_outer",
-    "ext_knn_graph_ivf",
     # ---- Round 8: finish the backlog (r7 verdict #1). Front block:
     #   0-31   the 32 round-6/7 statistics-tier queries that have never
     #          had a driver row (they sat at positions 50-81 behind the
@@ -111,7 +142,6 @@ _PRIORITY = [
     "win_ohlc",
     "win_session_paths",
     "agg_markov_transitions",
-    "ext_tfidf_cosine_pairs",
     "win_drawdown",
     "agg_gini_coefficient",
     "ext_rfm_segments",
@@ -169,7 +199,6 @@ _PRIORITY = [
     "join_spatial_grid",
     "win_cumulative_distinct",
     "agg_attribution_last_touch",
-    "job_gdpr_cascade",
     "sql_market_share",
     "agg_rollup",
     "win_streak_days",
@@ -223,7 +252,6 @@ _PRIORITY = [
     "ext_bloom_prefilter",
     "agg_funnel",
     "ext_minhash_accuracy",
-    "ext_knn_graph",
     "src_xml",
     "proj_variant_json",
     "sql_ship_priority",
