@@ -3678,6 +3678,114 @@ def ext_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ext_knn_graph_ivf_multi",
+    oracle="""
+    WITH emb AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL),
+    cent AS (SELECT vec_id AS cent_id, embedding AS c FROM (
+                 SELECT vec_id, embedding,
+                        row_number() OVER (ORDER BY vec_id) AS rn,
+                        count(*) OVER () AS n
+                 FROM emb)
+             WHERE rn <= greatest(8, CAST(ceil(n / 250.0) AS BIGINT))),
+    terms0 AS (SELECT e.vec_id, cent.cent_id, unnest(e.embedding)::DOUBLE AS v,
+                      unnest(cent.c)::DOUBLE AS w
+               FROM emb e CROSS JOIN cent),
+    cos0 AS (SELECT vec_id, cent_id,
+                    sum(v * w) / (sqrt(sum(v * v)) * sqrt(sum(w * w))) AS cs
+             FROM terms0 GROUP BY vec_id, cent_id),
+    probes AS (SELECT vec_id, cent_id AS cell,
+                      row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY cs DESC, cent_id) AS probe
+               FROM cos0 QUALIFY probe <= 2),
+    pairs AS (SELECT q.vec_id, r.vec_id AS neighbor_id,
+                     eq.embedding AS va, er.embedding AS vb
+              FROM probes q
+              JOIN emb eq ON eq.vec_id = q.vec_id
+              JOIN probes r ON r.cell = q.cell AND r.probe = 1
+                           AND r.vec_id <> q.vec_id
+              JOIN emb er ON er.vec_id = r.vec_id),
+    terms AS (SELECT vec_id, neighbor_id, unnest(va)::DOUBLE AS x,
+                     unnest(vb)::DOUBLE AS y
+              FROM pairs),
+    s AS (SELECT vec_id, neighbor_id,
+                 sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cs
+          FROM terms GROUP BY vec_id, neighbor_id)
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           round(cs, 4) + 0.0 AS cos_sim,
+           CAST(row_number() OVER (
+               PARTITION BY vec_id ORDER BY cs DESC, neighbor_id)
+               AS BIGINT) AS rnk
+    FROM s QUALIFY rnk <= 3
+    """,
+)
+def ext_knn_graph_ivf_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN graph with QUERY-SIDE MULTI-ASSIGN (nprobe=2): each vector
+    searches its two nearest coarse-quantizer cells while still RESIDING
+    in its argmax cell — the production answer to the cross-cell
+    neighbor loss that ext_knn_graph_recall MEASURED for the
+    single-assign graph (mean edge recall@3 0.37 at nprobe=1 → 0.53 at
+    nprobe=2 on the driver corpus). This is the graph-build analog of
+    ext_sim_search_ivf_nprobe's query fan-out.
+
+    Plan: ONE assignment pass serves both join sides —
+    ``ivf_assign_multi(emb, cents, 2)`` (zero-shuffle broadcast-argmax
+    top-2, map-only) is pinned once (localCheckpoint), the neighbor side
+    filters ``probe == 1`` (residence = argmax cell, identical to
+    ivf_assign's cell by the shared cs-desc/cent_id-asc total order) and
+    the query side keeps both probes. A neighbor's residence cell is
+    unique and a vector's two probed cells are distinct, so no candidate
+    pair is generated twice — no dedup stage needed. Candidate volume is
+    exactly nprobe× the single-assign graph (2×N×|cell| — still linear
+    in the corpus; the measured trade recorded by the recall audit), the
+    self-equi-join keys on cell, and the per-vector top-3 compiles to a
+    partial WindowGroupLimit. Null embeddings excluded corpus- and
+    seed-side; signed zero canonicalized in the rounded output — both
+    contracts inherited from the sibling graph queries."""
+    import math
+
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    n_cells = max(8, math.ceil(emb.count() / 250))
+    centroids = emb.orderBy("vec_id").limit(n_cells).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
+    )
+    assigned = ivf_assign_multi(emb, centroids, 2).localCheckpoint(eager=True)
+    left = assigned.select(
+        F.col("id").alias("vec_id"),
+        F.col("vec").alias("va"),
+        F.col("v_nrm").alias("na"),
+        "cell",
+    )
+    right = assigned.filter(F.col("probe") == 1).select(
+        F.col("id").alias("neighbor_id"),
+        F.col("vec").alias("vb"),
+        F.col("v_nrm").alias("nb"),
+        "cell",
+    )
+    pairs = left.join(right, "cell").filter(F.col("vec_id") != F.col("neighbor_id"))
+    cs = sdot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    scored = pairs.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+        cs.alias("cs"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "vec_id",
+            "neighbor_id",
+            # + 0.0 canonicalizes IEEE negative zero: near-antipodal pairs
+            # round to -0.0 in DuckDB but 0.0 in Spark, and the driver hash
+            # distinguishes them (caught by the round-10 nulls sweep)
+            (F.round("cs", 4) + 0.0).alias("cos_sim"),
+            "rnk",
+        )
+    )
+
+
+@query(
     "ext_knn_graph_recall",
     oracle="""
     WITH emb AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL),

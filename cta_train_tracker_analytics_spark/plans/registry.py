@@ -79,6 +79,10 @@ _PRIORITY = [
     #   ext_knn_graph_recall — NEW (r9 verdict #4): graph-edge recall@3
     #       vs the exact graph per seed at nprobe 1 and 2, wiring
     #       ivf_assign_multi as the measured recall knob.
+    #   ext_knn_graph_ivf_multi — NEW: the production nprobe=2 graph
+    #       build (query-side multi-assign, neighbor side resides in its
+    #       argmax cell) — ships the recall the audit measured (+16pp)
+    #       at exactly 2× candidate volume, still linear in the corpus.
     #   win_ntile — null guard (r9 verdict #7): a null count rides in the
     #       boundary-sketch aggregate and raises loudly; plan changed, so
     #       re-hash per policy (o_totalprice is non-null → same output).
@@ -91,6 +95,7 @@ _PRIORITY = [
     "ext_knn_graph",
     "ext_knn_graph_ivf",
     "ext_knn_graph_recall",
+    "ext_knn_graph_ivf_multi",
     "job_gdpr_cascade",
     # ---- Round 9 front block (stale-hash policy: every query whose
     # implementation changed this round gets a fresh driver row in the

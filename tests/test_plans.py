@@ -540,6 +540,23 @@ def test_knn_graph_ivf_blocks_by_cell_without_corpus_shuffle_for_assignment(spar
     assert re.search(r"Join \[cell#\d+L?\], \[cell#\d+L?\]", p)
 
 
+def test_knn_graph_ivf_multi_single_assignment_pass_feeds_both_sides(spark):
+    """ext_knn_graph_ivf_multi: ONE pinned multi-assign pass serves both
+    join sides (exactly one checkpointed scan source), the self-join stays
+    an equi-join on the cell (never cartesian), and the per-vector top-3
+    compiles to WindowGroupLimit. The assignment itself is map-only —
+    no hashpartitioning on the vector id."""
+    import re
+
+    p = plan(spark, "ext_knn_graph_ivf_multi")
+    assert "CartesianProduct" not in p
+    assert "WindowGroupLimit" in p
+    assert "hashpartitioning(id" not in p
+    assert re.search(r"Join \[cell#\d+L?\], \[cell#\d+L?\]", p)
+    # both sides read the SAME localCheckpoint RDD — the assignment ran once
+    assert p.count("Scan ExistingRDD") == 2
+
+
 def test_minhash_accuracy_no_cartesian(spark):
     p = plan(spark, "ext_minhash_accuracy")
     assert "CartesianProduct" not in p
