@@ -103,6 +103,7 @@ HEADLINE = [
     "ext_knn_graph",
     "ext_knn_graph_ivf",
     "ext_knn_graph_ivf_multi",
+    "ext_knn_graph_ivf_hier",
     "ext_knn_graph_recall",
     "sql_ship_priority",
     "sql_local_supplier_volume",

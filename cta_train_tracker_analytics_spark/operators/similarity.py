@@ -30,6 +30,7 @@ __all__ = [
     "topk_cosine",
     "ivf_assign",
     "ivf_assign_multi",
+    "ivf_assign_two_level",
     "ivf_topk",
     "projection_planes",
     "adaptive_planes",
@@ -265,6 +266,138 @@ def ivf_assign_multi(
         "v_nrm",
         (F.col("pos") + 1).alias("probe"),
         F.col("col.cent_id").alias("cell"),
+    )
+
+
+def ivf_assign_two_level(
+    df: DataFrame,
+    centroids: DataFrame,
+    n_coarse: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hierarchical coarse quantization: argmax over ``n_coarse`` level-1
+    centroids, then argmax over ONLY that branch's leaf centroids — the
+    per-vector scoring cost drops from O(k) to O(n_coarse + k/n_coarse),
+    i.e. O(√k) at the balanced ``n_coarse ≈ √k``.
+
+    Why it exists: the flat ``ivf_assign`` scores EVERY centroid per
+    corpus row. That is the right plan while k is small, but the
+    corpus-adaptive cell count (k = ⌈N/250⌉, which keeps |cell| bounded
+    and the graph build's candidate volume linear) makes flat scoring
+    O(N·k) = O(N²/250) COMPUTE as the corpus grows — zero-shuffle does
+    not save it. Two levels restore O(N·√k) scoring while leaving the
+    leaf partition — and therefore every downstream cell-blocked
+    join/candidate bound — exactly as granular as the flat form's.
+
+    Still zero-shuffle map-only on the corpus: ONE broadcast row carries
+    (a) the coarse-id-sorted level-1 array and (b) a
+    ``map<coarse_id, leaf structs>`` built by assigning each leaf
+    centroid to its nearest coarse centroid (a k×√k problem, reusing
+    ``ivf_assign`` on the tiny centroid table). Both argmax levels use
+    the shared total order (cos DESC, id ASC): the struct arrays are
+    id-sorted, so ``array_position(cs, array_max(cs))`` picks the
+    lowest-id maximum. A vector whose coarse branch holds no leaves
+    (possible only when duplicate coarse vectors tie every leaf away
+    from one of them) gets a NULL cell and drops out of any equi-join —
+    the oracle replay reaches the same outcome through its inner join.
+
+    The broadcast quantizer is O(k) BYTES either way — that is the ANN
+    index itself and replicating it is the standard design (every
+    searcher needs the full codebook); at the extreme where even the
+    codebook outgrows a node, the design moves to sharding leaf cells
+    across executors, which this operator's leaf partition already
+    keys."""
+    coarse = centroids.orderBy("cent_id").limit(n_coarse).select(
+        F.col("cent_id").alias("coarse_id"), F.col("c_vec").alias("g_vec")
+    )
+    # leaf -> coarse: tiny (k × n_coarse) flat argmax on the centroid table
+    leaf_assigned = ivf_assign(
+        centroids,
+        coarse.select(
+            F.col("coarse_id").alias("cent_id"), F.col("g_vec").alias("c_vec")
+        ),
+        id_col="cent_id",
+        vec_col="c_vec",
+    )
+    coarse_row = coarse.select(
+        F.struct(
+            F.col("coarse_id"),
+            F.col("g_vec"),
+            norm(F.col("g_vec")).alias("g_nrm"),
+        ).alias("g")
+    ).agg(F.array_sort(F.collect_list("g")).alias("coarse_arr"))
+    leaf_row = (
+        leaf_assigned.groupBy("cell")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("id").alias("cent_id"),
+                        F.col("vec").alias("c_vec"),
+                        F.col("v_nrm").alias("c_nrm"),
+                    )
+                )
+            ).alias("leaves")
+        )
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("cell", "leaves"))
+            ).alias("leaf_map")
+        )
+    )
+    index = F.broadcast(coarse_row.crossJoin(leaf_row))
+    scored = (
+        df.crossJoin(index)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            norm(F.col(vec_col)).alias("v_nrm"),
+            "coarse_arr",
+            "leaf_map",
+        )
+        .select(
+            "id",
+            "vec",
+            "v_nrm",
+            "leaf_map",
+            "coarse_arr",
+            F.transform(
+                "coarse_arr",
+                lambda g: dot(F.col("vec"), g["g_vec"]) / (F.col("v_nrm") * g["g_nrm"]),
+            ).alias("cs1"),
+        )
+        .select(
+            "id",
+            "vec",
+            "v_nrm",
+            F.element_at(
+                "leaf_map",
+                F.element_at(
+                    "coarse_arr",
+                    F.array_position(F.col("cs1"), F.array_max("cs1")).cast("int"),
+                )["coarse_id"],
+            ).alias("leaves"),
+        )
+        .select(
+            "id",
+            "vec",
+            "v_nrm",
+            "leaves",
+            F.transform(
+                "leaves",
+                lambda c: dot(F.col("vec"), c["c_vec"]) / (F.col("v_nrm") * c["c_nrm"]),
+            ).alias("cs2"),
+        )
+    )
+    return scored.select(
+        "id",
+        "vec",
+        "v_nrm",
+        F.element_at(
+            "leaves",
+            F.array_position(F.col("cs2"), F.array_max("cs2")).cast("int"),
+        )["cent_id"].alias("cell"),
     )
 
 

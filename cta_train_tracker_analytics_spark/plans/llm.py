@@ -43,6 +43,7 @@ from ..operators.similarity import (
     adaptive_planes,
     ivf_assign,
     ivf_assign_multi,
+    ivf_assign_two_level,
     ivf_topk,
     lsh_banded_pairs,
     lsh_bucketed_pairs,
@@ -3779,6 +3780,147 @@ def ext_knn_graph_ivf_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             # + 0.0 canonicalizes IEEE negative zero: near-antipodal pairs
             # round to -0.0 in DuckDB but 0.0 in Spark, and the driver hash
             # distinguishes them (caught by the round-10 nulls sweep)
+            (F.round("cs", 4) + 0.0).alias("cos_sim"),
+            "rnk",
+        )
+    )
+
+
+@query(
+    "ext_knn_graph_ivf_hier",
+    oracle="""
+    WITH emb AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL),
+    cent AS (SELECT vec_id AS cent_id, embedding AS c FROM (
+                 SELECT vec_id, embedding,
+                        row_number() OVER (ORDER BY vec_id) AS rn,
+                        count(*) OVER () AS n
+                 FROM emb)
+             WHERE rn <= greatest(8, CAST(ceil(n / 250.0) AS BIGINT))),
+    -- level-1 quantizer: first ceil(sqrt(k)) leaf centroids (same
+    -- id-agnostic smallest rule), min 2
+    coarse AS (SELECT cent_id AS coarse_id, c AS g FROM (
+                   SELECT cent_id, c,
+                          row_number() OVER (ORDER BY cent_id) AS rn,
+                          count(*) OVER () AS k
+                   FROM cent)
+               WHERE rn <= greatest(2, CAST(ceil(sqrt(k)) AS BIGINT))),
+    -- leaf centroid -> its coarse branch (cos desc, coarse_id asc)
+    lt AS (SELECT cent.cent_id, coarse.coarse_id,
+                  unnest(cent.c)::DOUBLE AS v, unnest(coarse.g)::DOUBLE AS w
+           FROM cent CROSS JOIN coarse),
+    lcos AS (SELECT cent_id, coarse_id,
+                    sum(v * w) / (sqrt(sum(v * v)) * sqrt(sum(w * w))) AS cs
+             FROM lt GROUP BY cent_id, coarse_id),
+    lassign AS (SELECT cent_id, coarse_id FROM lcos
+                QUALIFY row_number() OVER (PARTITION BY cent_id
+                                           ORDER BY cs DESC, coarse_id) = 1),
+    -- vector -> coarse branch
+    vt AS (SELECT e.vec_id, coarse.coarse_id,
+                  unnest(e.embedding)::DOUBLE AS v, unnest(coarse.g)::DOUBLE AS w
+           FROM emb e CROSS JOIN coarse),
+    vcos AS (SELECT vec_id, coarse_id,
+                    sum(v * w) / (sqrt(sum(v * v)) * sqrt(sum(w * w))) AS cs
+             FROM vt GROUP BY vec_id, coarse_id),
+    vassign AS (SELECT vec_id, coarse_id FROM vcos
+                QUALIFY row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY cs DESC, coarse_id) = 1),
+    -- vector -> leaf cell, scoring ONLY its branch's leaves
+    bt AS (SELECT e.vec_id, cent.cent_id,
+                  unnest(e.embedding)::DOUBLE AS v, unnest(cent.c)::DOUBLE AS w
+           FROM emb e
+           JOIN vassign va ON va.vec_id = e.vec_id
+           JOIN lassign la ON la.coarse_id = va.coarse_id
+           JOIN cent ON cent.cent_id = la.cent_id),
+    bcos AS (SELECT vec_id, cent_id,
+                    sum(v * w) / (sqrt(sum(v * v)) * sqrt(sum(w * w))) AS cs
+             FROM bt GROUP BY vec_id, cent_id),
+    assign AS (SELECT vec_id, cent_id AS cell FROM bcos
+               QUALIFY row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cs DESC, cent_id) = 1),
+    pairs AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
+                     ea.embedding AS va, eb.embedding AS vb
+              FROM assign a
+              JOIN assign b ON b.cell = a.cell AND b.vec_id <> a.vec_id
+              JOIN emb ea ON ea.vec_id = a.vec_id
+              JOIN emb eb ON eb.vec_id = b.vec_id),
+    terms AS (SELECT vec_id, neighbor_id, unnest(va)::DOUBLE AS x,
+                     unnest(vb)::DOUBLE AS y
+              FROM pairs),
+    s AS (SELECT vec_id, neighbor_id,
+                 sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cs
+          FROM terms GROUP BY vec_id, neighbor_id)
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           round(cs, 4) + 0.0 AS cos_sim,
+           CAST(row_number() OVER (
+               PARTITION BY vec_id ORDER BY cs DESC, neighbor_id)
+               AS BIGINT) AS rnk
+    FROM s QUALIFY rnk <= 3
+    """,
+)
+def ext_knn_graph_ivf_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN graph with a TWO-LEVEL quantizer assignment — the 100×-scale
+    tier of the IVF graph family. The corpus-adaptive cell count
+    k = ⌈N/250⌉ is what keeps |cell| bounded and the self-join's
+    candidate volume linear, but it makes the FLAT assignment's
+    per-vector scoring O(k): at 100× the corpus the broadcast-argmax
+    scores 100× more centroids per row — O(N·k) = O(N²/250) compute
+    even though it never shuffles. The hierarchical assignment
+    (operators/similarity.py::ivf_assign_two_level) scores
+    ⌈√k⌉ coarse centroids, then only that branch's ~√k leaves:
+    O(N·√k) total, the standard two-level IVF design. The leaf
+    partition is exactly as granular as the flat form's, so the graph
+    build downstream (cell equi-join, per-vector top-3) is unchanged.
+
+    The assignment is approximate ACROSS branches (a vector near a
+    branch boundary may land in a different leaf than the flat argmax
+    would pick — the usual quantizer-tree trade, tunable the same way
+    nprobe tunes search); the oracle replays the two-level argmax
+    bit-for-bit, so the query is hash-verified, not just rows-checked.
+
+    Plan: ONE pinned assignment (localCheckpoint, same compile-cost
+    discipline as the flat sibling), the cell self-equi-join is the
+    only corpus shuffle, per-vector top-3 compiles to a partial
+    WindowGroupLimit. Null embeddings excluded corpus- and seed-side;
+    signed zero canonicalized in the rounded output — both contracts
+    inherited from the graph family."""
+    import math
+
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    n_cells = max(8, math.ceil(emb.count() / 250))
+    n_coarse = max(2, math.ceil(math.sqrt(n_cells)))
+    centroids = emb.orderBy("vec_id").limit(n_cells).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
+    )
+    assigned = ivf_assign_two_level(emb, centroids, n_coarse)
+    assigned = assigned.localCheckpoint(eager=True)
+    left = assigned.select(
+        F.col("id").alias("vec_id"),
+        F.col("vec").alias("va"),
+        F.col("v_nrm").alias("na"),
+        "cell",
+    )
+    right = assigned.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("vec").alias("vb"),
+        F.col("v_nrm").alias("nb"),
+        "cell",
+    )
+    pairs = left.join(right, "cell").filter(F.col("vec_id") != F.col("neighbor_id"))
+    cs = sdot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    scored = pairs.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+        cs.alias("cs"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "vec_id",
+            "neighbor_id",
+            # + 0.0 canonicalizes IEEE negative zero (graph-family contract)
             (F.round("cs", 4) + 0.0).alias("cos_sim"),
             "rnk",
         )

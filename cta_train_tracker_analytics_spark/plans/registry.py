@@ -83,6 +83,12 @@ _PRIORITY = [
     #       build (query-side multi-assign, neighbor side resides in its
     #       argmax cell) — ships the recall the audit measured (+16pp)
     #       at exactly 2× candidate volume, still linear in the corpus.
+    #   ext_knn_graph_ivf_hier — NEW: two-level quantizer assignment
+    #       (operators/similarity.py::ivf_assign_two_level). The
+    #       corpus-adaptive cell count k = ⌈N/250⌉ keeps the graph join
+    #       linear but makes FLAT assignment scoring O(N·k) compute; the
+    #       ⌈√k⌉-way coarse level restores O(N·√k) with the identical
+    #       leaf partition downstream. Oracle replays the tree argmax.
     #   win_ntile — null guard (r9 verdict #7): a null count rides in the
     #       boundary-sketch aggregate and raises loudly; plan changed, so
     #       re-hash per policy (o_totalprice is non-null → same output).
@@ -96,6 +102,7 @@ _PRIORITY = [
     "ext_knn_graph_ivf",
     "ext_knn_graph_recall",
     "ext_knn_graph_ivf_multi",
+    "ext_knn_graph_ivf_hier",
     "job_gdpr_cascade",
     # ---- Round 9 front block (stale-hash policy: every query whose
     # implementation changed this round gets a fresh driver row in the

@@ -557,6 +557,25 @@ def test_knn_graph_ivf_multi_single_assignment_pass_feeds_both_sides(spark):
     assert p.count("Scan ExistingRDD") == 2
 
 
+def test_knn_graph_ivf_hier_keeps_family_plan_shape(spark):
+    """ext_knn_graph_ivf_hier: the TWO-LEVEL assignment must change only
+    the per-vector scoring cost (O(√k) centroids scored instead of O(k)),
+    never the plan family: assignment stays map-only (the quantizer tree
+    is ONE broadcast row; no hashpartitioning on the vector id), ONE
+    pinned assignment feeds both join sides, the self-join keys on the
+    leaf cell (never cartesian), and the per-vector top-3 compiles to
+    WindowGroupLimit."""
+    import re
+
+    p = plan(spark, "ext_knn_graph_ivf_hier")
+    assert "CartesianProduct" not in p
+    assert "WindowGroupLimit" in p
+    assert "hashpartitioning(id" not in p
+    assert re.search(r"Join \[cell#\d+L?\], \[cell#\d+L?\]", p)
+    # both sides read the SAME localCheckpoint RDD — the assignment ran once
+    assert p.count("Scan ExistingRDD") == 2
+
+
 def test_minhash_accuracy_no_cartesian(spark):
     p = plan(spark, "ext_minhash_accuracy")
     assert "CartesianProduct" not in p

@@ -39,6 +39,56 @@ def test_knn_graph_recall_invariants(spark):
     )
 
 
+def test_two_level_assignment_matches_flat_on_separated_clusters(spark):
+    """ivf_assign_two_level must agree with the flat argmax whenever the
+    quantizer tree routes correctly — i.e. on well-separated clusters
+    where every leaf centroid sits in the branch of its own cluster's
+    coarse centroid and every vector's nearest leaf is in the branch its
+    coarse argmax picks. The two-level form exists to cut the per-vector
+    scoring cost from O(k) to O(√k); on separable data it must NOT change
+    a single assignment. (Near branch boundaries the forms may disagree —
+    that approximation is documented and measured by the recall audit,
+    not pinned here.)"""
+    from pyspark.sql import Row
+
+    from cta_train_tracker_analytics_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_two_level,
+    )
+
+    # two well-separated directions in 6-d; two leaves per direction
+    dir_a, dir_b = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0, 0.0, 0.0]
+
+    def perturb(base, i, eps):
+        v = list(base)
+        v[2 + (i % 4)] += eps * (1 + i % 3)
+        return v
+
+    leaves = [
+        Row(cent_id=1, c_vec=perturb(dir_a, 0, 0.05)),  # branch A (coarse)
+        Row(cent_id=2, c_vec=perturb(dir_b, 1, 0.05)),  # branch B (coarse)
+        Row(cent_id=3, c_vec=perturb(dir_a, 2, 0.09)),  # branch A leaf
+        Row(cent_id=4, c_vec=perturb(dir_b, 3, 0.09)),  # branch B leaf
+    ]
+    cents = spark.createDataFrame(leaves, "cent_id bigint, c_vec array<double>")
+    vecs = spark.createDataFrame(
+        [
+            Row(vec_id=i, embedding=perturb(dir_a if i % 2 == 0 else dir_b, i, 0.03))
+            for i in range(40)
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    flat = {r["id"]: r["cell"] for r in ivf_assign(vecs, cents).collect()}
+    hier = {
+        r["id"]: r["cell"]
+        for r in ivf_assign_two_level(vecs, cents, n_coarse=2).collect()
+    }
+    assert len(flat) == len(hier) == 40
+    assert hier == flat
+    # sanity: both branches actually used, so the tree routing was exercised
+    assert len(set(hier.values())) >= 2
+
+
 def test_ntile_null_value_raises(spark):
     """exact_global_ntile's null guard: a NULL in the value column must
     fail loudly (engines disagree on null sort order), not silently land
