@@ -250,7 +250,7 @@ def driver_line(
 #: a bench run only replaces its own sections, never the whole file.
 _OWNED_DETAIL_KEYS = {
     "sf", "total_sec", "queries", "queries_min",
-    "best_ever", "regressions", "provenance", "method",
+    "best_ever", "best_ever_env", "regressions", "provenance", "method",
 }
 
 
@@ -295,6 +295,7 @@ def detail_payload(
     regressions: list[dict],
     filtered: bool,
     env: dict | None = None,
+    best_ever_env: dict | None = None,
 ) -> dict:
     return {
         **{k: v for k, v in prior.items() if k not in _OWNED_DETAIL_KEYS},
@@ -307,6 +308,11 @@ def detail_payload(
         # higher than min-of-3 by construction)
         "queries_min": detail_min,
         "best_ever": best_ever,
+        # the env fingerprint each best_ever entry was SET under (r10
+        # verdict #4): a drift flag adjudicates by comparing the flagged
+        # run's provenance.env against the floor's recorded conditions —
+        # a fingerprint lookup instead of a fresh-process control session
+        "best_ever_env": best_ever_env if best_ever_env is not None else {},
         "regressions": regressions,
         # provenance: whether this file's maps came from one full sweep or
         # carry merged-in rows from a filtered tuning run (a merged
@@ -398,11 +404,13 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     best_ever: dict[str, float] = {}
+    best_ever_env: dict[str, dict] = {}
     prior: dict = {}
     try:
         with open(detail_path) as f:
             prior = json.load(f)
         best_ever = dict(prior.get("best_ever", {}))
+        best_ever_env = dict(prior.get("best_ever_env", {}))
     except (OSError, ValueError):
         pass
     # detail maps: on a filtered (SPARK_GRAFT_BENCH_ONLY) tuning run, MERGE
@@ -466,13 +474,17 @@ def main() -> None:
         # wobble across rounds with an unchanged plan).
         if name not in best_ever or sec < best_ever[name]:
             best_ever[name] = sec
+            # record the machine state this floor was set under (r10
+            # verdict #4): future drift flags compare fingerprints instead
+            # of re-running fresh-process controls
+            best_ever_env[name] = env
 
     total = round(sum(timings.values()), 3)
     with open(detail_path, "w") as f:
         json.dump(
             detail_payload(
                 prior, sf, detail_timings, detail_min, best_ever, regressions,
-                filtered=bool(only), env=env,
+                filtered=bool(only), env=env, best_ever_env=best_ever_env,
             ),
             f,
             indent=1,

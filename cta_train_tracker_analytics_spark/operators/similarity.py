@@ -30,6 +30,7 @@ __all__ = [
     "topk_cosine",
     "ivf_assign",
     "ivf_assign_multi",
+    "ivf_assign_sharded",
     "ivf_assign_two_level",
     "ivf_topk",
     "projection_planes",
@@ -302,12 +303,23 @@ def ivf_assign_two_level(
     from one of them) gets a NULL cell and drops out of any equi-join —
     the oracle replay reaches the same outcome through its inner join.
 
-    The broadcast quantizer is O(k) BYTES either way — that is the ANN
-    index itself and replicating it is the standard design (every
-    searcher needs the full codebook); at the extreme where even the
-    codebook outgrows a node, the design moves to sharding leaf cells
-    across executors, which this operator's leaf partition already
-    keys."""
+    The broadcast quantizer is O(k) BYTES — fine while k ≈ O(√N) as in
+    standard IVF, but under the corpus-adaptive k = ⌈N/250⌉ the leaf
+    map grows linearly with the corpus and at the 100 TB design point
+    no executor holds it. ``ivf_assign_sharded`` is the scale form: it
+    broadcasts ONLY the ⌈√k⌉ coarse level and equi-joins vectors
+    against a leaf table partitioned on the coarse branch, trading one
+    corpus shuffle for an O(√k) ceiling on per-task index bytes. Use
+    this broadcast form when k is genuinely sublinear in N (offline
+    k-means codebooks), the sharded form when k tracks N.
+
+    Degenerate knob: ``n_coarse >= count(centroids)`` makes every
+    centroid both coarse and leaf — the result is then identical to
+    flat ``ivf_assign`` but strictly more work (two argmax levels over
+    the same k). Callers know both counts (they derive ``n_coarse``
+    from the centroid count), so the clamp lives there:
+    ``n_coarse = max(2, min(k - 1, ceil(sqrt(k))))`` — prefer flat
+    ``ivf_assign`` outright when k is too small to split."""
     coarse = centroids.orderBy("cent_id").limit(n_coarse).select(
         F.col("cent_id").alias("coarse_id"), F.col("c_vec").alias("g_vec")
     )
@@ -379,6 +391,142 @@ def ivf_assign_two_level(
                 )["coarse_id"],
             ).alias("leaves"),
         )
+        .select(
+            "id",
+            "vec",
+            "v_nrm",
+            "leaves",
+            F.transform(
+                "leaves",
+                lambda c: dot(F.col("vec"), c["c_vec"]) / (F.col("v_nrm") * c["c_nrm"]),
+            ).alias("cs2"),
+        )
+    )
+    return scored.select(
+        "id",
+        "vec",
+        "v_nrm",
+        F.element_at(
+            "leaves",
+            F.array_position(F.col("cs2"), F.array_max("cs2")).cast("int"),
+        )["cent_id"].alias("cell"),
+    )
+
+
+def ivf_assign_sharded(
+    df: DataFrame,
+    centroids: DataFrame,
+    n_coarse: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-level coarse quantization with the leaf codebook SHARDED
+    across executors — same assignment as ``ivf_assign_two_level``
+    (identical argmax tree, bit-identical output), different physical
+    distribution of the index. This is the 100 TB form for the
+    corpus-adaptive cell count k = ⌈N/250⌉: the two-level variant
+    still ships the FULL k-entry leaf map as one broadcast row to
+    every task — O(N) bytes per task under k ∝ N, which no executor
+    holds at the design point. Here nothing linear in N ever rides a
+    broadcast:
+
+    - Only the ⌈√k⌉-entry COARSE array is broadcast (O(√k) bytes) —
+      each vector picks its coarse branch map-side, exactly as in the
+      two-level form.
+    - The k leaf centroids live in a LEAF TABLE grouped into one row
+      per coarse branch (~√k leaves each), and vectors reach their
+      branch's leaves through a plain shuffled equi-join on
+      ``coarse_id`` — both sides hash-partitioned by branch, so a task
+      holds only the ~√k-leaf shards of the branches it processes.
+      The ``shuffle_hash`` hint pins the join strategy: without it,
+      Catalyst/AQE would happily broadcast the (locally tiny) leaf
+      table and reintroduce the exact structure this operator exists
+      to remove — the hint IS the contract, enforced by a plan test.
+
+    The trade vs the broadcast forms: assignment is no longer
+    zero-shuffle — the corpus moves ONCE, keyed by coarse branch
+    (⌈√k⌉ keys; key count grows with N, so parallelism holds, and AQE
+    skew-join splits any hot branch). That one shuffle buys an O(√k)
+    ceiling on per-task index bytes, which is what actually survives
+    k ∝ N. Row contract matches the two-level form: every input row
+    appears exactly once; a vector whose branch holds no leaves keeps
+    a NULL cell through the LEFT join (the NULL-branch case the
+    two-level docstring describes) and drops out of downstream
+    equi-joins.
+
+    Reference parity: the reference has no ANN layer (its 355 lines
+    are boto3 ingestion, get_train_status.py:82-138); this extends the
+    brief's LLM-pipeline similarity tier."""
+    coarse = centroids.orderBy("cent_id").limit(n_coarse).select(
+        F.col("cent_id").alias("coarse_id"), F.col("c_vec").alias("g_vec")
+    )
+    # leaf -> coarse: tiny (k × √k) flat argmax on the centroid table only
+    leaf_assigned = ivf_assign(
+        centroids,
+        coarse.select(
+            F.col("coarse_id").alias("cent_id"), F.col("g_vec").alias("c_vec")
+        ),
+        id_col="cent_id",
+        vec_col="c_vec",
+    )
+    # one row per branch carrying that branch's ~√k leaf structs — this
+    # table is PARTITIONED on coarse_id by the join below, never broadcast
+    leaf_shards = leaf_assigned.groupBy(F.col("cell").alias("coarse_id")).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("id").alias("cent_id"),
+                    F.col("vec").alias("c_vec"),
+                    F.col("v_nrm").alias("c_nrm"),
+                )
+            )
+        ).alias("leaves")
+    )
+    coarse_row = F.broadcast(
+        coarse.select(
+            F.struct(
+                F.col("coarse_id"),
+                F.col("g_vec"),
+                norm(F.col("g_vec")).alias("g_nrm"),
+            ).alias("g")
+        ).agg(F.array_sort(F.collect_list("g")).alias("coarse_arr"))
+    )
+    # level 1: map-side argmax over the broadcast coarse array (same total
+    # order as the two-level form: cos DESC, coarse_id ASC via id-sorted
+    # array + first-position max)
+    branched = (
+        df.crossJoin(coarse_row)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            norm(F.col(vec_col)).alias("v_nrm"),
+            "coarse_arr",
+        )
+        .select(
+            "id",
+            "vec",
+            "v_nrm",
+            "coarse_arr",
+            F.transform(
+                "coarse_arr",
+                lambda g: dot(F.col("vec"), g["g_vec"]) / (F.col("v_nrm") * g["g_nrm"]),
+            ).alias("cs1"),
+        )
+        .select(
+            "id",
+            "vec",
+            "v_nrm",
+            F.element_at(
+                "coarse_arr",
+                F.array_position(F.col("cs1"), F.array_max("cs1")).cast("int"),
+            )["coarse_id"].alias("coarse_id"),
+        )
+    )
+    # level 2: the ONE corpus shuffle — vectors meet their branch's leaf
+    # shard through a shuffled hash join on coarse_id (hint pinned; a
+    # broadcast here would be the O(N)-bytes structure again)
+    scored = (
+        branched.join(leaf_shards.hint("shuffle_hash"), "coarse_id", "left")
         .select(
             "id",
             "vec",

@@ -60,6 +60,56 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: parity replay (tests/test_oracle_parity.py) and by the non-UTC
 #: driver simulation run before each commit.
 _PRIORITY = [
+    # ---- Round 11 front block (stale-hash policy): every query whose
+    # implementation changed this round gets a fresh driver row in the
+    # SAME round. (Names also present in older blocks below are deduped
+    # by the _ordered() dict — first occurrence wins.)
+    #   ext_knn_graph_ivf_sharded — NEW (r10 verdict #1): the two-level
+    #       assignment with the leaf codebook SHARDED across executors
+    #       (operators/similarity.py::ivf_assign_sharded) — only the ⌈√k⌉
+    #       coarse array is broadcast; vectors repartition by coarse
+    #       branch and equi-join a leaf table partitioned on coarse_id
+    #       (shuffle_hash-pinned). Closes the family's last linear-in-N
+    #       broadcast. Oracle = hier's two-level argmax replay.
+    #   ext_knn_graph / _ivf / _ivf_multi / _ivf_hier — the cell
+    #       self-join sides now pass through an explicitly NUMBERED
+    #       repartition on the block key (r10 verdict #5): AQE's
+    #       byte-based coalescing merged the CPU-dense interpreted-fold
+    #       scoring stage to ONE task (measured: ivf 5.3→2.7 s, multi
+    #       8.8→3.6 s, hier 7.0→4.7 s at sf0.1). Output unchanged;
+    #       plan changed → re-hash per policy. hier also gains the
+    #       n_coarse clamp (ADVICE r10).
+    #   ext_knn_graph_recall — seed rule re-keyed from the literal
+    #       `vec_id < 50` to the 50 smallest EXISTING ids (ADVICE r10:
+    #       sparse/shifted id spaces silently shrank the audit).
+    #   ext_sim_search_ivf / _ivf_nprobe / ext_sim_recall — the search
+    #       family adopts the graph family's corpus-adaptive cell count
+    #       greatest(8, ceil(N/250)) + null-embedding contract (r10
+    #       verdict #2: fixed 8 cells = |cell| grows with N, the probe
+    #       decays to an unpruned scan).
+    #   ext_semdedup — same re-key (its docstring claimed N/k ~constant;
+    #       fixed 8 cells made in-cell pairs O(N²/8) — now the code
+    #       matches the claim).
+    #   ext_kmeans_update — docstring-only (k = model hyperparameter
+    #       note); fronted on principle.
+    #   str_stream_join_outer — _staged_max_ts all-null accounting now
+    #       compares null_count to the column CHUNK's num_values, not the
+    #       row-group's num_rows (ADVICE r10: a nested/repeated leaf's
+    #       value count differs from num_rows, so an all-null nested
+    #       column would have mis-raised). Flat-stats batches (ours)
+    #       behave identically; plan-adjacent helper changed → re-hash.
+    "ext_knn_graph_ivf_sharded",
+    "ext_knn_graph",
+    "ext_knn_graph_ivf",
+    "ext_knn_graph_ivf_multi",
+    "ext_knn_graph_ivf_hier",
+    "ext_knn_graph_recall",
+    "ext_sim_search_ivf",
+    "ext_sim_search_ivf_nprobe",
+    "ext_sim_recall",
+    "ext_semdedup",
+    "ext_kmeans_update",
+    "str_stream_join_outer",
     # ---- Round 10 front block (stale-hash policy): every query whose
     # implementation changed this round gets a fresh driver row in the
     # SAME round.
@@ -98,11 +148,6 @@ _PRIORITY = [
     #   job_gdpr_cascade — docstring-only (bounded-deletion-batch input
     #       contract, r9 verdict #8); fronted on principle.
     "ext_tfidf_cosine_pairs",
-    "ext_knn_graph",
-    "ext_knn_graph_ivf",
-    "ext_knn_graph_recall",
-    "ext_knn_graph_ivf_multi",
-    "ext_knn_graph_ivf_hier",
     "job_gdpr_cascade",
     # ---- Round 9 front block (stale-hash policy: every query whose
     # implementation changed this round gets a fresh driver row in the
@@ -124,7 +169,6 @@ _PRIORITY = [
     #       production form the sf1 probe showed ext_knn_graph's
     #       fixed-label blocking needs at scale.
     "win_ntile",
-    "str_stream_join_outer",
     # ---- Round 8: finish the backlog (r7 verdict #1). Front block:
     #   0-31   the 32 round-6/7 statistics-tier queries that have never
     #          had a driver row (they sat at positions 50-81 behind the
@@ -194,11 +238,6 @@ _PRIORITY = [
     "snk_training_shards",
     "ext_dedup_minhash_mllib",
     "src_binary",
-    "ext_sim_search_ivf",
-    "ext_sim_search_ivf_nprobe",
-    "ext_kmeans_update",
-    "ext_sim_recall",
-    "ext_semdedup",
     "ext_fingerprint_winnow",
     "ext_quality_model",
     "ext_bootstrap_ci",

@@ -659,12 +659,19 @@ def _staged_max_ts(paths: list[Path], column: str):
             if md.num_rows > 0:
                 # An ALL-NULL column is a legitimate 'no watermark
                 # contribution' batch, not a stats problem: pyarrow writes
-                # statistics with has_min_max=False and null_count == rows
-                # for all-null chunks (ADVICE r9). Distinguish it from a
-                # genuinely stats-less writer config before failing.
+                # statistics with has_min_max=False and null_count equal to
+                # the chunk's VALUE count for all-null chunks (ADVICE r9).
+                # The denominator is the column chunk's num_values, not the
+                # row-group's num_rows: for a nested/repeated leaf the two
+                # diverge (a 2-row list column can hold 4 leaf values —
+                # ADVICE r10), and rows-based accounting would mis-raise on
+                # an all-null nested column. num_values counts all leaf
+                # slots including nulls, so null_count == num_values IS
+                # 'every value in this chunk is null' for flat and nested
+                # leaves alike.
                 all_null = all(
-                    (st := md.row_group(rg).column(idx).statistics) is not None
-                    and st.null_count == md.row_group(rg).num_rows
+                    (cc := md.row_group(rg).column(idx)).statistics is not None
+                    and cc.statistics.null_count == cc.num_values
                     for rg in range(md.num_row_groups)
                 )
                 if all_null:

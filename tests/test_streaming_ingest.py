@@ -186,3 +186,18 @@ def test_staged_max_ts_footer_semantics(tmp_path):
     assert _staged_max_ts([p_allnull], "ts") is None
     # and alongside a real batch it simply doesn't move the max
     assert _staged_max_ts([p_allnull, p_nested], "ts") == ts[1]
+
+    # (e, ADVICE r10) an all-null NESTED leaf: the leaf's value count
+    # differs from num_rows (2 rows, 3 leaf values here), so all-null
+    # accounting must compare null_count to the CHUNK's num_values —
+    # rows-based accounting would mis-raise on this legitimate batch
+    allnull_nested = pa.table(
+        {
+            "ts": pa.array(
+                [[None, None], [None]], type=pa.list_(pa.timestamp("us"))
+            )
+        }
+    )
+    p_allnull_nested = tmp_path / "allnull_nested.parquet"
+    pq.write_table(allnull_nested, p_allnull_nested)
+    assert _staged_max_ts([p_allnull_nested], "ts.list.element") is None
