@@ -104,6 +104,8 @@ HEADLINE = [
     "ext_knn_graph_ivf",
     "ext_knn_graph_ivf_multi",
     "ext_knn_graph_ivf_hier",
+    "ext_knn_graph_ivf_sharded",
+    "ext_knn_graph_prod",
     "ext_knn_graph_recall",
     "sql_ship_priority",
     "sql_local_supplier_volume",

@@ -31,6 +31,7 @@ __all__ = [
     "ivf_assign",
     "ivf_assign_multi",
     "ivf_assign_sharded",
+    "ivf_assign_sharded_multi",
     "ivf_assign_two_level",
     "ivf_topk",
     "projection_planes",
@@ -549,6 +550,151 @@ def ivf_assign_sharded(
     )
 
 
+def ivf_assign_sharded_multi(
+    df: DataFrame,
+    centroids: DataFrame,
+    n_coarse: int,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe assignment over the SHARDED two-level index — the
+    production composition the graph family's exhibits measure one axis
+    at a time: corpus-adaptive cells (linear build) + query-side
+    multi-probe (the measured recall knob) + sharded leaf transport
+    (no O(N)-bytes broadcast). Output: (id, vec, v_nrm, probe, cell)
+    with probe = 1..nprobe, exactly ``ivf_assign_multi``'s contract, so
+    the graph build downstream is unchanged.
+
+    Probe semantics under the tree: the vector's top-``nprobe`` COARSE
+    branches are probed (in-row slice over the broadcast O(√k) coarse
+    array, same shape as ``ivf_assign_multi``), each branch's ~√k
+    leaves arrive through the sharded ``coarse_id`` equi-join
+    (shuffle_hash-pinned, as in ``ivf_assign_sharded``), every fetched
+    leaf is scored, and the GLOBAL top-``nprobe`` leaf cells across the
+    union are kept (one groupBy on the vector id merges the per-branch
+    score arrays). This differs from flat ``ivf_assign_multi`` only
+    when a true top-nprobe leaf hides in a branch outside the vector's
+    top-nprobe coarse branches — the standard quantizer-tree
+    approximation, same class as the hier/sharded single-assign trade.
+    Probe 1 (the residence cell) is the argmax over the probed
+    branches' leaf UNION — a superset of the single-assign form's
+    argmax-branch leaves — so it coincides with
+    ``ivf_assign_sharded``'s cell whenever the global-best fetched
+    leaf lives in the argmax branch, and is otherwise strictly BETTER
+    (closer to the flat global argmax; pinned by the never-worse-score
+    test). Residence stays unique per vector and a vector's probes are
+    distinct cells, so a graph build keeps its usual 'neighbor resides
+    in probe 1, no pair generated twice' contract.
+
+    Scale ledger: broadcasts O(√k) bytes; shuffles the corpus twice
+    (once by branch for leaf transport — nprobe× duplicated rows — and
+    once by id for the union merge); per-task index bytes stay O(√k).
+    The total order everywhere is (cos DESC, id ASC) via the struct
+    sort on (negated score, id)."""
+    coarse = centroids.orderBy("cent_id").limit(n_coarse).select(
+        F.col("cent_id").alias("coarse_id"), F.col("c_vec").alias("g_vec")
+    )
+    leaf_assigned = ivf_assign(
+        centroids,
+        coarse.select(
+            F.col("coarse_id").alias("cent_id"), F.col("g_vec").alias("c_vec")
+        ),
+        id_col="cent_id",
+        vec_col="c_vec",
+    )
+    leaf_shards = leaf_assigned.groupBy(F.col("cell").alias("coarse_id")).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("id").alias("cent_id"),
+                    F.col("vec").alias("c_vec"),
+                    F.col("v_nrm").alias("c_nrm"),
+                )
+            )
+        ).alias("leaves")
+    )
+    coarse_row = F.broadcast(
+        coarse.select(
+            F.struct(
+                F.col("coarse_id"),
+                F.col("g_vec"),
+                norm(F.col("g_vec")).alias("g_nrm"),
+            ).alias("g")
+        ).agg(F.array_sort(F.collect_list("g")).alias("coarse_arr"))
+    )
+    # level 1: top-nprobe coarse branches, map-side (in-row sort + slice)
+    branched = (
+        df.crossJoin(coarse_row)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            norm(F.col(vec_col)).alias("v_nrm"),
+            "coarse_arr",
+        )
+        .select(
+            "id",
+            "vec",
+            "v_nrm",
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        "coarse_arr",
+                        lambda g: F.struct(
+                            (
+                                -(
+                                    dot(F.col("vec"), g["g_vec"])
+                                    / (F.col("v_nrm") * g["g_nrm"])
+                                )
+                            ).alias("ncs"),
+                            g["coarse_id"].alias("coarse_id"),
+                        ),
+                    )
+                ),
+                1,
+                nprobe,
+            ).alias("branches"),
+        )
+        .select("id", "vec", "v_nrm", F.explode("branches").alias("b"))
+        .select("id", "vec", "v_nrm", F.col("b.coarse_id").alias("coarse_id"))
+    )
+    # level 2: sharded leaf transport + per-branch (score, leaf) structs
+    per_branch = (
+        branched.join(leaf_shards.hint("shuffle_hash"), "coarse_id", "left")
+        .select(
+            "id",
+            "vec",
+            "v_nrm",
+            F.transform(
+                F.coalesce("leaves", F.array()),
+                lambda c: F.struct(
+                    (
+                        -(dot(F.col("vec"), c["c_vec"]) / (F.col("v_nrm") * c["c_nrm"]))
+                    ).alias("ncs"),
+                    c["cent_id"].alias("cent_id"),
+                ),
+            ).alias("scored"),
+        )
+    )
+    # union merge: global top-nprobe leaf cells across the probed branches
+    merged = per_branch.groupBy("id").agg(
+        F.first("vec").alias("vec"),
+        F.first("v_nrm").alias("v_nrm"),
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("scored"))), 1, nprobe
+        ).alias("probes"),
+    )
+    return merged.select(
+        "id", "vec", "v_nrm", F.posexplode("probes")
+    ).select(
+        "id",
+        "vec",
+        "v_nrm",
+        (F.col("pos") + 1).alias("probe"),
+        F.col("col.cent_id").alias("cell"),
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -671,8 +817,16 @@ def lsh_bucketed_pairs(
     bucketed = with_bucket.select(
         "id", "vec", "nrm", bucket.cast("int").alias("bucket")
     ).localCheckpoint(eager=True)
-    a = bucketed.alias("a")
-    b = bucketed.alias("b")
+    # numbered repartition on the bucket key: the in-bucket cosine verify is
+    # an interpreted ~128-eval fold per candidate pair — byte-light but
+    # CPU-dense, exactly the stage AQE's byte-based coalescing merges to one
+    # task (measured 2.0 s → 0.9 s at sf0.1 for ext_dedup_embed).
+    # REPARTITION_BY_NUM is exempt from coalescing and satisfies the join's
+    # hash distribution, so no extra exchange is added; the width is the
+    # session's shuffle-partition knob, never a hardcode.
+    width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    a = bucketed.repartition(width, "bucket").alias("a")
+    b = bucketed.repartition(width, "bucket").alias("b")
     pairs = a.join(
         b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
     ).select(

@@ -98,6 +98,10 @@ _PRIORITY = [
     #       value count differs from num_rows, so an all-null nested
     #       column would have mis-raised). Flat-stats batches (ours)
     #       behave identically; plan-adjacent helper changed → re-hash.
+    #   ext_knn_graph_prod — NEW: the family's production COMPOSITION
+    #       (adaptive cells + query-side nprobe=2 + sharded two-level
+    #       index transport) as one query; oracle replays the full tree.
+    "ext_knn_graph_prod",
     "ext_knn_graph_ivf_sharded",
     "ext_knn_graph",
     "ext_knn_graph_ivf",
@@ -110,6 +114,11 @@ _PRIORITY = [
     "ext_semdedup",
     "ext_kmeans_update",
     "str_stream_join_outer",
+    #   ext_dedup_embed — lsh_bucketed_pairs' in-bucket verify join gets
+    #       the same numbered-repartition pin (AQE coalescing merged the
+    #       fold stage to one task; measured 2.0→1.4 s at sf0.1). Output
+    #       unchanged; plan changed → re-hash.
+    "ext_dedup_embed",
     # ---- Round 10 front block (stale-hash policy): every query whose
     # implementation changed this round gets a fresh driver row in the
     # SAME round.
@@ -275,7 +284,6 @@ _PRIORITY = [
     "explode_trains",
     "filter_nonempty",
     "ext_dedup_cluster",
-    "ext_dedup_embed",
     "ext_sample_stratified",
     "ext_dedup_cluster_lsss",
     "str_stateful_crossings",
