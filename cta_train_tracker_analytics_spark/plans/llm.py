@@ -1202,6 +1202,126 @@ def ext_sim_search_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ext_sim_search_ivf_sharded",
+    oracle="""
+    WITH emb AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL),
+    cent AS (SELECT vec_id AS cent_id, embedding AS c FROM (
+                 SELECT vec_id, embedding,
+                        row_number() OVER (ORDER BY vec_id) AS rn,
+                        count(*) OVER () AS n
+                 FROM emb)
+             WHERE rn <= greatest(8, CAST(ceil(n / 250.0) AS BIGINT))),
+    coarse AS (SELECT cent_id AS coarse_id, c AS g FROM (
+                   SELECT cent_id, c,
+                          row_number() OVER (ORDER BY cent_id) AS rn,
+                          count(*) OVER () AS k
+                   FROM cent)
+               WHERE rn <= greatest(2, CAST(ceil(sqrt(k)) AS BIGINT))),
+    lt AS (SELECT cent.cent_id, coarse.coarse_id,
+                  unnest(cent.c)::DOUBLE AS v, unnest(coarse.g)::DOUBLE AS w
+           FROM cent CROSS JOIN coarse),
+    lcos AS (SELECT cent_id, coarse_id,
+                    sum(v * w) / (sqrt(sum(v * v)) * sqrt(sum(w * w))) AS cs
+             FROM lt GROUP BY cent_id, coarse_id),
+    lassign AS (SELECT cent_id, coarse_id FROM lcos
+                QUALIFY row_number() OVER (PARTITION BY cent_id
+                                           ORDER BY cs DESC, coarse_id) = 1),
+    vt AS (SELECT e.vec_id, coarse.coarse_id,
+                  unnest(e.embedding)::DOUBLE AS v, unnest(coarse.g)::DOUBLE AS w
+           FROM emb e CROSS JOIN coarse),
+    vcos AS (SELECT vec_id, coarse_id,
+                    sum(v * w) / (sqrt(sum(v * v)) * sqrt(sum(w * w))) AS cs
+             FROM vt GROUP BY vec_id, coarse_id),
+    vassign AS (SELECT vec_id, coarse_id FROM vcos
+                QUALIFY row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY cs DESC, coarse_id) = 1),
+    bt AS (SELECT e.vec_id, cent.cent_id,
+                  unnest(e.embedding)::DOUBLE AS v, unnest(cent.c)::DOUBLE AS w
+           FROM emb e
+           JOIN vassign va ON va.vec_id = e.vec_id
+           JOIN lassign la ON la.coarse_id = va.coarse_id
+           JOIN cent ON cent.cent_id = la.cent_id),
+    bcos AS (SELECT vec_id, cent_id,
+                    sum(v * w) / (sqrt(sum(v * v)) * sqrt(sum(w * w))) AS cs
+             FROM bt GROUP BY vec_id, cent_id),
+    assign AS (SELECT vec_id, cent_id AS cell FROM bcos
+               QUALIFY row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cs DESC, cent_id) = 1),
+    q AS (SELECT a.vec_id AS query_id, a.cell, e.embedding AS qe
+          FROM assign a JOIN emb e USING (vec_id) WHERE a.vec_id < 5),
+    cand AS (SELECT q.query_id, q.qe, e2.vec_id, e2.embedding AS ce
+             FROM q JOIN assign a2 ON a2.cell = q.cell
+             JOIN emb e2 ON e2.vec_id = a2.vec_id),
+    terms AS (SELECT query_id, vec_id, unnest(qe)::DOUBLE AS qa,
+                     unnest(ce)::DOUBLE AS cb
+              FROM cand),
+    s AS (SELECT query_id, vec_id,
+                 sum(qa * cb) / (sqrt(sum(qa * qa)) * sqrt(sum(cb * cb))) AS cs
+          FROM terms GROUP BY query_id, vec_id)
+    SELECT query_id, vec_id, round(cs, 4) AS cos_sim,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, vec_id)
+                AS BIGINT) AS rnk
+    FROM s QUALIFY rnk <= 10
+    """,
+)
+def ext_sim_search_ivf_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF similarity search over the SHARDED two-level index — the
+    search-family twin of ext_knn_graph_ivf_sharded, closing the gap the
+    adaptive cell count itself opens: once k = ⌈N/250⌉, the flat
+    ``ivf_assign`` inside ivf_topk broadcasts an O(N)-bytes codebook —
+    the exact structure the graph family removed this round. Here the
+    corpus is assigned by ``ivf_assign_sharded`` (only the ⌈√k⌉ coarse
+    array broadcast; leaves arrive via the shuffle_hash-pinned branch
+    join), the assignment is pinned ONCE and serves both sides: the
+    query rows (vec_id < 5) are filtered FROM it and broadcast (|Q|
+    bounded), so the search join streams the assigned corpus through a
+    map-side hash join on the cell id — candidates ≈ |Q|·250 rows
+    scored, per-query top-10 under WindowGroupLimit. At 100 TB every
+    structure is bounded: O(√k) broadcast index, one branch-keyed
+    corpus shuffle (the assignment), |Q|-bounded query broadcast,
+    |Q|·250 fold work. Null embeddings excluded corpus- and seed-side;
+    oracle replays the full two-level argmax + cell-restricted top-10
+    bit-for-bit."""
+    import math
+
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    n_cells = max(8, math.ceil(emb.count() / 250))
+    n_coarse = max(2, min(n_cells - 1, math.ceil(math.sqrt(n_cells))))
+    centroids = emb.orderBy("vec_id").limit(n_cells).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
+    )
+    assigned = ivf_assign_sharded(emb, centroids, n_coarse).localCheckpoint(
+        eager=True
+    )
+    qside = F.broadcast(
+        assigned.filter(F.col("id") < 5).select(
+            F.col("id").alias("query_id"),
+            F.col("vec").alias("q_vec"),
+            F.col("v_nrm").alias("q_nrm"),
+            "cell",
+        )
+    )
+    cand = qside.join(assigned, "cell").select(
+        "query_id",
+        F.col("id").alias("vec_id"),
+        (sdot(F.col("q_vec"), F.col("vec")) / (F.col("q_nrm") * F.col("v_nrm"))).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("cos_sim", 4).alias("cos_sim"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
+@query(
     "ext_text_stats",
     oracle="""
     SELECT doc_id,
@@ -2850,10 +2970,14 @@ def ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned because the x-side, y-side, and the final keep-flag join all
     consume it — without the pin the corpus is scanned and argmax'd
     three times. Null embeddings excluded corpus- and seed-side
-    (graph-family null contract). Differs from ext_dedup_embed
-    (sign-LSH buckets): cells here are learned density regions, the
-    published recipe for semantic (not near-literal) duplicate
-    pruning."""
+    (graph-family null contract). The adaptive k makes the flat
+    assignment's broadcast codebook O(N) bytes at the extreme — at that
+    point the assignment swaps to ivf_assign_sharded (identical
+    semantics, O(√k) broadcast ceiling; the graph family ships that
+    form) with no change to the in-cell pass. Differs from
+    ext_dedup_embed (sign-LSH buckets): cells here are learned density
+    regions, the published recipe for semantic (not near-literal)
+    duplicate pruning."""
     import math
 
     emb = load(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())

@@ -110,6 +110,12 @@ _PRIORITY = [
     "ext_knn_graph_recall",
     "ext_sim_search_ivf",
     "ext_sim_search_ivf_nprobe",
+    #   ext_sim_search_ivf_sharded — NEW: search over the sharded
+    #       two-level index (the adaptive cell count makes flat
+    #       assignment's codebook broadcast O(N) bytes; this closes the
+    #       same structure in the search family that the graph family
+    #       closed). One pinned assignment serves corpus AND query side.
+    "ext_sim_search_ivf_sharded",
     "ext_sim_recall",
     "ext_semdedup",
     "ext_kmeans_update",

@@ -188,6 +188,21 @@ def test_knn_graph_prod_keeps_family_plan_shape(spark):
     assert p.count("REPARTITION_BY_NUM") == 2
 
 
+def test_sim_search_ivf_sharded_one_assignment_query_side_broadcast(spark):
+    """ext_sim_search_ivf_sharded: ONE pinned sharded assignment serves
+    both sides — the query rows are filtered from it and broadcast
+    (bounded |Q|), the corpus side streams through a map-side hash join
+    on the cell id (exactly two checkpointed scans, one of them under a
+    BroadcastExchange), per-query top-10 under WindowGroupLimit, never a
+    cartesian."""
+    df = registry.all_queries()["ext_sim_search_ivf_sharded"](spark, SF_DIR)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert "WindowGroupLimit" in p
+    assert "BroadcastHashJoin" in p  # query side rides the broadcast
+    assert p.count("Scan ExistingRDD") == 2
+
+
 def test_dedup_embed_bucket_verify_width_is_pinned(spark):
     """lsh_bucketed_pairs' in-bucket cosine verify is the same byte-light /
     CPU-dense fold stage as the graph family's pair scoring, and AQE's
