@@ -107,6 +107,8 @@ HEADLINE = [
     "ext_knn_graph_ivf_sharded",
     "ext_knn_graph_prod",
     "ext_sim_search_ivf_sharded",
+    "ext_hard_negatives",
+    "ext_hybrid_retrieval_rrf",
     "ext_knn_graph_recall",
     "sql_ship_priority",
     "sql_local_supplier_volume",

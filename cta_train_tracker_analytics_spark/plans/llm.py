@@ -4301,6 +4301,262 @@ def ext_knn_graph_ivf_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ext_hybrid_retrieval_rrf",
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT doc_id AS id, t.tok
+        FROM documents, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t(tok)
+        WHERE t.tok <> ''
+    ),
+    sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY id),
+    qtok AS (SELECT id AS query_id, tok FROM tok WHERE id < 3),
+    inter AS (SELECT q.query_id, d.id, CAST(count(*) AS BIGINT) AS i
+              FROM tok d JOIN qtok q ON q.tok = d.tok AND d.id <> q.query_id
+              GROUP BY q.query_id, d.id),
+    lex AS (SELECT i.query_id, i.id,
+                   i.i / CAST(sq.n + sd.n - i.i AS DOUBLE) AS jac
+            FROM inter i
+            JOIN sizes sq ON sq.id = i.query_id
+            JOIN sizes sd ON sd.id = i.id),
+    lex_r AS (SELECT query_id, id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY jac DESC, id) AS r
+              FROM lex QUALIFY r <= 10),
+    emb AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL),
+    q AS (SELECT vec_id AS query_id, embedding AS qe FROM emb WHERE vec_id < 3),
+    vterms AS (SELECT q.query_id, e.vec_id AS id, unnest(q.qe)::DOUBLE AS qa,
+                      unnest(e.embedding)::DOUBLE AS cb
+               FROM q CROSS JOIN emb e WHERE e.vec_id <> q.query_id),
+    vcos AS (SELECT query_id, id,
+                    sum(qa * cb) / (sqrt(sum(qa * qa)) * sqrt(sum(cb * cb))) AS cs
+             FROM vterms GROUP BY query_id, id),
+    vec_r AS (SELECT query_id, id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cs DESC, id) AS r
+              FROM vcos QUALIFY r <= 10),
+    fused AS (SELECT coalesce(l.query_id, v.query_id) AS query_id,
+                     coalesce(l.id, v.id) AS doc_id,
+                     coalesce(1.0 / (60 + l.r), 0.0)
+                         + coalesce(1.0 / (60 + v.r), 0.0) AS score
+              FROM lex_r l
+              FULL OUTER JOIN vec_r v
+                ON v.query_id = l.query_id AND v.id = l.id)
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(doc_id AS BIGINT) AS doc_id,
+           round(score, 6) AS rrf,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+    FROM fused QUALIFY rnk <= 5
+    """,
+)
+def ext_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID RETRIEVAL with reciprocal-rank fusion (RRF, Cormack et al.
+    2009): for each query document, fuse a LEXICAL ranking (token-set
+    Jaccard against the corpus) with a VECTOR ranking (embedding cosine)
+    by score = Σ 1/(60 + rank), and keep the fused top-5 — the standard
+    recipe when neither arm alone is trusted (lexical misses paraphrase,
+    vectors miss rare exact terms), and the retrieval-side counterpart
+    of the dedup tier's lexical/embedding split. RRF over raw-score
+    fusion because ranks are scale-free: no per-arm score normalization
+    to keep bit-identical across engines.
+
+    Scale shape: both arms are query-bounded. The lexical arm is ONE
+    distinct-token explode of the corpus equi-joined to the BROADCAST
+    query token set (|Q| docs' tokens — bounded), grouped to (query,
+    doc) intersections; no corpus×corpus structure exists. The vector
+    arm is the shared scored_cosine pass (query side broadcast, one
+    corpus scan). Each arm ranks to its top-10 under WindowGroupLimit
+    BEFORE fusion, so the full-outer fuse joins two ≤10-row-per-query
+    tables — trivially bounded. Arms cover different id domains by
+    design (every doc has text, only some have embeddings); RRF's
+    coalesce semantics keep a doc ranked by a single arm alive, exactly
+    as published. Determinism: Jaccard and 1/(60+r) are exact integer
+    divisions in double, fused in fixed written order; every ranking
+    tiebreaks on id."""
+    docs = load(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            F.col("doc_id").alias("id"), F.explode(tokens(F.col("text"))).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds sizes, query side, AND the join
+    )
+    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    qtok = tok.filter(F.col("id") < 3).select(
+        F.col("id").alias("query_id"), "tok"
+    )
+    inter = (
+        tok.join(F.broadcast(qtok), "tok")
+        .filter(F.col("id") != F.col("query_id"))
+        .groupBy("query_id", "id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("i"))
+    )
+    lex = (
+        inter.join(sizes.select(F.col("id"), F.col("n").alias("n_d")), "id")
+        .join(
+            F.broadcast(
+                sizes.select(F.col("id").alias("query_id"), F.col("n").alias("n_q"))
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "id",
+            (F.col("i") / (F.col("n_q") + F.col("n_d") - F.col("i")).cast("double")).alias(
+                "jac"
+            ),
+        )
+    )
+    wl = Window.partitionBy("query_id").orderBy(F.col("jac").desc(), "id")
+    lex_r = (
+        lex.withColumn("r", F.row_number().over(wl))
+        .filter(F.col("r") <= 10)
+        .select("query_id", "id", F.col("r").alias("lr"))
+    )
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    sc = scored_cosine(emb, queries).filter(F.col("vec_id") != F.col("query_id"))
+    wv = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    vec_r = (
+        sc.withColumn("r", F.row_number().over(wv))
+        .filter(F.col("r") <= 10)
+        .select("query_id", F.col("vec_id").alias("id"), F.col("r").alias("vr"))
+    )
+    fused = lex_r.join(vec_r, ["query_id", "id"], "full_outer").select(
+        "query_id",
+        F.col("id").alias("doc_id"),
+        (
+            F.coalesce(1.0 / (60 + F.col("lr")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("vr")), F.lit(0.0))
+        ).alias("score"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        fused.withColumn("rnk", F.row_number().over(wf).cast("bigint"))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.round("score", 6).alias("rrf"),
+            "rnk",
+        )
+    )
+
+
+@query(
+    "ext_hard_negatives",
+    oracle="""
+    WITH emb AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL),
+    cent AS (SELECT vec_id AS cent_id, embedding AS c FROM (
+                 SELECT vec_id, embedding,
+                        row_number() OVER (ORDER BY vec_id) AS rn,
+                        count(*) OVER () AS n
+                 FROM emb)
+             WHERE rn <= greatest(8, CAST(ceil(n / 250.0) AS BIGINT))),
+    terms0 AS (SELECT e.vec_id, cent.cent_id, unnest(e.embedding)::DOUBLE AS v,
+                      unnest(cent.c)::DOUBLE AS w
+               FROM emb e CROSS JOIN cent),
+    cos0 AS (SELECT vec_id, cent_id,
+                    sum(v * w) / (sqrt(sum(v * v)) * sqrt(sum(w * w))) AS cs
+             FROM terms0 GROUP BY vec_id, cent_id),
+    assign AS (SELECT vec_id, cent_id AS cell FROM cos0
+               QUALIFY row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cs DESC, cent_id) = 1),
+    pairs AS (SELECT a.vec_id, b.vec_id AS neg_id,
+                     ea.embedding AS va, eb.embedding AS vb
+              FROM assign a
+              JOIN emb ea ON ea.vec_id = a.vec_id
+              JOIN assign b ON b.cell = a.cell AND b.vec_id <> a.vec_id
+              JOIN emb eb ON eb.vec_id = b.vec_id AND eb.label <> ea.label),
+    terms AS (SELECT vec_id, neg_id, unnest(va)::DOUBLE AS x,
+                     unnest(vb)::DOUBLE AS y
+              FROM pairs),
+    s AS (SELECT vec_id, neg_id,
+                 sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cs
+          FROM terms GROUP BY vec_id, neg_id)
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(neg_id AS BIGINT) AS neg_id,
+           round(cs, 4) + 0.0 AS cos_sim,
+           CAST(row_number() OVER (
+               PARTITION BY vec_id ORDER BY cs DESC, neg_id)
+               AS BIGINT) AS rnk
+    FROM s QUALIFY rnk <= 3
+    """,
+)
+def ext_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE MINING for contrastive training: each anchor's top-3
+    most-cosine-similar vectors with a DIFFERENT label — the pairs that
+    sit closest to the decision boundary and carry the most gradient
+    signal (the exact complement of ext_knn_graph's same-label edges;
+    together they emit the (anchor, positive, hard-negative) triplets a
+    contrastive run consumes).
+
+    Scale shape is the graph family's, unchanged: candidates are blocked
+    by the corpus-adaptive IVF cell (greatest(8, ceil(N/250)) — |cell| ≈
+    250 bounded, candidate volume linear in N), the label mismatch is a
+    cheap residual FILTER on the cell equi-join (labels have tiny
+    cardinality, so ~(1 − 1/|labels|) of in-cell pairs survive — the
+    filter can't be a join key precisely because it's an inequality),
+    per-anchor top-3 compiles to WindowGroupLimit, and the pinned
+    assignment + numbered-width repartition discipline carries over.
+    Like any blocked ANN, negatives are exact WITHIN the anchor's cell;
+    recall across cells tunes by the same multi-assign knob the graph
+    family measures. Null embeddings excluded corpus- and seed-side;
+    signed zero canonicalized — family contracts inherited."""
+    import math
+
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    n_cells = max(8, math.ceil(emb.count() / 250))
+    centroids = emb.orderBy("vec_id").limit(n_cells).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
+    )
+    assigned = ivf_assign(emb, centroids).join(
+        emb.select(F.col("vec_id").alias("id"), "label"), "id"
+    )
+    assigned = assigned.localCheckpoint(eager=True)
+    width = _pinned_shuffle_width(spark)
+    a = assigned.repartition(width, "cell").select(
+        F.col("id").alias("vec_id"),
+        F.col("label").alias("label_a"),
+        "cell",
+        F.col("vec").alias("va"),
+        F.col("v_nrm").alias("na"),
+    )
+    b = assigned.repartition(width, "cell").select(
+        F.col("id").alias("neg_id"),
+        F.col("label").alias("label_b"),
+        "cell",
+        F.col("vec").alias("vb"),
+        F.col("v_nrm").alias("nb"),
+    )
+    pairs = a.join(b, "cell").filter(
+        (F.col("vec_id") != F.col("neg_id"))
+        & (F.col("label_a") != F.col("label_b"))
+    )
+    cs = sdot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    scored = pairs.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("neg_id").cast("bigint").alias("neg_id"),
+        cs.alias("cs"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), "neg_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "vec_id",
+            "neg_id",
+            # + 0.0 canonicalizes IEEE negative zero (graph-family contract)
+            (F.round("cs", 4) + 0.0).alias("cos_sim"),
+            "rnk",
+        )
+    )
+
+
+@query(
     "ext_knn_graph_prod",
     oracle="""
     WITH emb AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL),

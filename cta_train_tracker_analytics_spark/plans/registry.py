@@ -101,6 +101,16 @@ _PRIORITY = [
     #   ext_knn_graph_prod — NEW: the family's production COMPOSITION
     #       (adaptive cells + query-side nprobe=2 + sharded two-level
     #       index transport) as one query; oracle replays the full tree.
+    #   ext_hard_negatives — NEW: contrastive hard-negative mining (per
+    #       anchor, top-3 most-similar DIFFERENT-label vectors), the
+    #       complement of ext_knn_graph's same-label edges; same
+    #       cell-blocked linear shape, label inequality as residual
+    #       filter.
+    #   ext_hybrid_retrieval_rrf — NEW: lexical (token Jaccard) + vector
+    #       (cosine) rankings fused by reciprocal-rank fusion; both arms
+    #       query-bounded, fusion joins two ≤10-row-per-query tables.
+    "ext_hard_negatives",
+    "ext_hybrid_retrieval_rrf",
     "ext_knn_graph_prod",
     "ext_knn_graph_ivf_sharded",
     "ext_knn_graph",

