@@ -619,6 +619,7 @@ def ext_dedup_embed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: sequential-fold distances (list_reduce == Spark's aggregate fold), ties
 #: to the lowest centroid id.
 _PQ_CODES_CTE = """
+    emb AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL),
     cent AS (
         SELECT s, c, list_transform(generate_series(0, 7), d ->
             CAST(((1103515245 * ((s*16 + c)*8 + d) + 12345) % 2001)
@@ -631,7 +632,7 @@ _PQ_CODES_CTE = """
                    (e.embedding[cent.s*8 + i]::DOUBLE - cv[i])
                    * (e.embedding[cent.s*8 + i]::DOUBLE - cv[i])),
                    (a, b) -> a + b) AS dist
-        FROM embeddings e CROSS JOIN cent
+        FROM emb e CROSS JOIN cent
     ),
     codes AS (
         SELECT vec_id, s, c AS code FROM dists
@@ -658,8 +659,11 @@ def ext_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector corpus fit hot storage for ANN scans (ext_sim_search_pq does
     the ADC search over exactly these codes). Assignment is map-only
     column math against literal codebooks: zero shuffle, zero broadcast,
-    stays inside the scan stage."""
-    emb = load(spark, sf_dir, "embeddings")
+    stays inside the scan stage. Null embeddings are excluded on both
+    engines (round-11 full nulls sweep: a null vector has no meaningful
+    code — Spark's fold produced a code from NULL subvectors while the
+    oracle's argmin collapsed, silently diverging)."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     codes = pq_code_cols(F.col("embedding"))
     return spread(emb).select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
@@ -671,7 +675,7 @@ def ext_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_sim_search_pq",
     oracle=f"""
     WITH {_PQ_CODES_CTE},
-    q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+    q AS (SELECT vec_id AS query_id, embedding FROM emb
           WHERE vec_id < 5),
     lut AS (
         SELECT q.query_id, cent.s, cent.c,
@@ -707,8 +711,10 @@ def ext_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     bandwidth cut that makes exhaustive ANN affordable at 100 TB).
     Query side broadcast, one corpus scan, per-query top-k window as the
     only shuffle; production reranks the top-k with exact vectors
-    (compose with topk_cosine on the candidates)."""
-    emb = load(spark, sf_dir, "embeddings")
+    (compose with topk_cosine on the candidates). Null embeddings
+    excluded corpus- and query-side (round-11 nulls sweep, PQ-family
+    contract)."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -719,7 +725,7 @@ def ext_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_sim_search_pq_rerank",
     oracle=f"""
     WITH {_PQ_CODES_CTE},
-    q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+    q AS (SELECT vec_id AS query_id, embedding FROM emb
           WHERE vec_id < 5),
     lut AS (
         SELECT q.query_id, cent.s, cent.c,
@@ -747,8 +753,8 @@ def ext_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                unnest(eq.embedding)::DOUBLE AS qa,
                unnest(ec.embedding)::DOUBLE AS cb
         FROM cand cd
-        JOIN embeddings eq ON eq.vec_id = cd.query_id
-        JOIN embeddings ec ON ec.vec_id = cd.vec_id
+        JOIN emb eq ON eq.vec_id = cd.query_id
+        JOIN emb ec ON ec.vec_id = cd.vec_id
     ),
     exact AS (
         SELECT query_id, vec_id,
@@ -772,8 +778,9 @@ def ext_sim_search_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     that is the difference between an exhaustive vector scan and a keyed
     fetch of 50×|Q| rows. Candidate ids broadcast into the corpus join;
     the only shuffles are the two per-query top-k windows (both compile to
-    partial WindowGroupLimit)."""
-    emb = load(spark, sf_dir, "embeddings")
+    partial WindowGroupLimit). Null embeddings excluded corpus- and
+    query-side (round-11 nulls sweep, PQ-family contract)."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -1042,10 +1049,11 @@ def ext_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ext_sim_search",
     oracle="""
-    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
-               WHERE vec_id < 5),
+    WITH emb AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL),
+    q AS (SELECT vec_id AS query_id, embedding AS qe FROM emb
+          WHERE vec_id < 5),
     pairs AS (SELECT q.query_id, e.vec_id, q.qe, e.embedding AS ce
-              FROM q CROSS JOIN embeddings e),
+              FROM q CROSS JOIN emb e),
     terms AS (SELECT query_id, vec_id, unnest(qe)::DOUBLE AS qa,
                      unnest(ce)::DOUBLE AS cb
               FROM pairs),
@@ -1061,8 +1069,11 @@ def ext_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-10 cosine neighbors for 5 query vectors — query side
     broadcast, ONE corpus scan, per-query top-k window. The scale path for
-    corpus×corpus discovery is ext_dedup_embed's LSH buckets."""
-    emb = load(spark, sf_dir, "embeddings")
+    corpus×corpus discovery is ext_dedup_embed's LSH buckets. Null
+    embeddings excluded corpus- and query-side (round-11 full nulls
+    sweep: a null vector's NULL cosine is ordered NULLS-differently by
+    the two engines' rank windows)."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )

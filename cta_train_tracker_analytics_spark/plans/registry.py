@@ -109,6 +109,28 @@ _PRIORITY = [
     #   ext_hybrid_retrieval_rrf — NEW: lexical (token Jaccard) + vector
     #       (cosine) rankings fused by reciprocal-rank fusion; both arms
     #       query-bounded, fusion joins two ≤10-row-per-query tables.
+    #   win_ewma / win_ohlc / ext_auc / ext_sim_search / ext_embed_pq /
+    #   ext_sim_search_pq / ext_sim_search_pq_rerank / join_salted_skew —
+    #       the round-11 FULL nulls sweep (first full-registry run since
+    #       r7; these landed after it) found null-contract violations:
+    #       all-null EWMA frames divided 0/0 under ANSI, OHLC/AUC rank
+    #       NULLs in engine-dependent order, PQ codes were computed from
+    #       NULL subvectors, and join_salted_skew's round(sum(double),2)
+    #       flipped a .xx5 boundary under the mutated sum order. Fixes:
+    #       null values/embeddings excluded on BOTH engines (the
+    #       established family contract), and the salted join's weighted
+    #       sum moved to order-free BIGINT cents (floor(term*100)).
+    #       join_salted_skew's output VALUES changed (cent-floored) —
+    #       new oracle, fresh hash required; the rest are
+    #       null-only-behavior changes with clean-data output unchanged.
+    "win_ewma",
+    "win_ohlc",
+    "ext_auc",
+    "join_salted_skew",
+    "ext_sim_search",
+    "ext_embed_pq",
+    "ext_sim_search_pq",
+    "ext_sim_search_pq_rerank",
     "ext_hard_negatives",
     "ext_hybrid_retrieval_rrf",
     "ext_knn_graph_prod",
@@ -220,7 +242,6 @@ _PRIORITY = [
     "ext_ks_test",
     "ext_mad_outliers",
     "ext_ab_welch",
-    "win_ohlc",
     "win_session_paths",
     "agg_markov_transitions",
     "win_drawdown",
@@ -291,7 +312,6 @@ _PRIORITY = [
     "job_snapshot_diff",
     "agg_theta_setops",
     "ext_entity_resolution_snm",
-    "ext_auc",
     "ext_drift_psi",
     # ---- verified in earlier rounds, unchanged: re-verify cheapest-first
     "proj_flatten",
@@ -308,9 +328,6 @@ _PRIORITY = [
     "ext_dedup_embed_incremental",
     "ext_lm_perplexity",
     "str_foreach_batch_upsert",
-    "ext_embed_pq",
-    "ext_sim_search_pq",
-    "ext_sim_search_pq_rerank",
     "agg_mode_median",
     "ext_tfidf_topk",
     "ext_url_dedup",
@@ -334,11 +351,9 @@ _PRIORITY = [
     "sql_local_supplier_volume",
     "sql_top_returned_customers",
     "snk_zorder",
-    "win_ewma",
     "str_session_window",
     "str_stateful",
     "str_stream_join",
-    "join_salted_skew",
     "agg_custom_pandas_udaf",
     "agg_pivot",
     "agg_approx_quantile",
@@ -372,7 +387,6 @@ _PRIORITY = [
     "ext_dedup_minhash",
     "ext_decontaminate",
     "ext_dedup_ngram",
-    "ext_sim_search",
 ]
 
 

@@ -719,7 +719,8 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_salted_skew",
     oracle="""
     SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
-           round(sum(e.value * t.weight), 2) AS weighted
+           sum(CAST(floor(e.value * t.weight * 100) AS BIGINT)) / 100.0
+               AS weighted
     FROM events e
     JOIN (VALUES ('click', 1.0), ('view', 0.5), ('purchase', 5.0),
                  ('error', 2.0), ('signup', 3.0)) t(event_type, weight)
@@ -753,7 +754,16 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.round(F.sum(F.col("value") * F.col("weight")), 2).alias("weighted"),
+            # cent-floored weighted sum: round(sum(double), 2) is
+            # summation-order-sensitive at .xx5 boundaries and the engines
+            # sum in different orders (the round-11 full nulls sweep hit
+            # one: 4400.8 vs 4400.79). floor(term*100) is bit-identical
+            # per row on both engines (no half-way ambiguity), and BIGINT
+            # cents sum exactly in any order.
+            (
+                F.sum(F.floor(F.col("value") * F.col("weight") * 100).cast("bigint"))
+                / 100.0
+            ).alias("weighted"),
         )
     )
 

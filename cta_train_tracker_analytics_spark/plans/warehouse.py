@@ -455,7 +455,7 @@ def job_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
       SELECT event_id, user_id, value,
              row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-      FROM events
+      FROM events WHERE value IS NOT NULL
     )
     SELECT cur.user_id, cur.event_id,
            round(sum(past.value * power(0.8, cur.rn - past.rn))
@@ -483,7 +483,17 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     on row numbers.)"""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-15, 0)
     vals = F.collect_list("value").over(w)
-    events = load(spark, sf_dir, "events").withColumn("frame", vals)
+    # NULL CONTRACT (round-11 full nulls sweep): a null value carries no
+    # observation — it is excluded BEFORE the window on both engines, so
+    # frames span the last 16 OBSERVED values. Without the filter,
+    # collect_list silently drops nulls while the frame still counts them
+    # (an all-null frame then divides 0/0 under ANSI), and the oracle's
+    # count(*) normalizer disagrees with the collected length.
+    events = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .withColumn("frame", vals)
+    )
     n = F.size("frame")
     weighted = F.transform(
         "frame", lambda x, i: x * F.pow(F.lit(0.8), (n - 1 - i).cast("double"))
@@ -1761,7 +1771,7 @@ def ext_entity_resolution_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH scored AS (
       SELECT value AS score,
              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ),
     per_score AS (
       SELECT score,
@@ -1797,9 +1807,17 @@ def ext_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum runs over |distinct scores| rows. With billions of distinct
     float scores, quantize to ~1e6 bins first (ext_drift_psi's binning)
     — the bound moves from exact to ±1/bins, a documented knob."""
-    scored = load(spark, sf_dir, "events").select(
-        F.col("value").alias("score"),
-        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+    # NULL CONTRACT (round-11 full nulls sweep): a null score cannot be
+    # ranked — the ordered prefix sum places NULLs first in Spark and last
+    # in DuckDB, silently shifting every rank. Unscored rows are excluded
+    # on both engines (AUC is defined over scored examples).
+    scored = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.col("value").alias("score"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+        )
     )
     per_score = scored.groupBy("score").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_s"),
@@ -2344,7 +2362,7 @@ def ext_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH k AS (
       SELECT CAST(ts AS DATE) AS d, value,
              CAST(epoch(ts) AS BIGINT) * 1000000 + event_id AS ord
-      FROM events
+      FROM events WHERE value IS NOT NULL
     )
     SELECT d,
            round(arg_min(value, ord), 2) AS open,
@@ -2368,7 +2386,11 @@ def win_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain count regardless of row volume. The window-function
     formulation (row_number = 1 ascending and descending) pays a full
     sort per partition; this form replaces it outright."""
-    events = load(spark, sf_dir, "events")
+    # NULL CONTRACT (round-11 full nulls sweep): a bar is built from
+    # OBSERVED prices — null values are excluded on both engines (min_by/
+    # arg_min disagree across engines on whether a null-valued first row
+    # opens the bar, and volume would count unobserved rows).
+    events = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     ord_key = (
         F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
         * 1000000
