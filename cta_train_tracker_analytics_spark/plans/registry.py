@@ -123,6 +123,24 @@ _PRIORITY = [
     #       join_salted_skew's output VALUES changed (cent-floored) —
     #       new oracle, fresh hash required; the rest are
     #       null-only-behavior changes with clean-data output unchanged.
+    #   agg_rollup / agg_cube / agg_grouping_sets / f_uuid /
+    #   job_skew_report / ext_bootstrap_ci / agg_funnel — the round-11
+    #       FULL empty sweep found empty-input divergences: Spark emits
+    #       NO rows for grouping sets over empty input (DuckDB
+    #       synthesizes the standard's () row — oracles now pin Spark
+    #       via HAVING count(*)>0), f_uuid's oracle hardcoded 36 against
+    #       Spark's NULL min/max over no rows, and three queries hit
+    #       ANSI errors on empty aggregates (element_at index 0 in the
+    #       p99, element_at(5) on an empty replicate array, divide by a
+    #       zero funnel top). Guards landed on BOTH engines; clean-data
+    #       outputs unchanged.
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "f_uuid",
+    "job_skew_report",
+    "ext_bootstrap_ci",
+    "agg_funnel",
     "win_ewma",
     "win_ohlc",
     "ext_auc",
@@ -249,7 +267,6 @@ _PRIORITY = [
     "ext_rfm_segments",
     "win_time_weighted_avg",
     "agg_pareto_8020",
-    "job_skew_report",
     "ext_cohort_ltv",
     "ext_text_readability",
     "agg_benford_deviation",
@@ -286,7 +303,6 @@ _PRIORITY = [
     "src_binary",
     "ext_fingerprint_winnow",
     "ext_quality_model",
-    "ext_bootstrap_ci",
     "ext_pagerank",
     "ext_graph_triangles",
     "agg_weighted_median",
@@ -297,7 +313,6 @@ _PRIORITY = [
     "win_cumulative_distinct",
     "agg_attribution_last_touch",
     "sql_market_share",
-    "agg_rollup",
     "win_streak_days",
     "job_backfill_idempotent",
     "str_dedup_rocksdb",
@@ -342,7 +357,6 @@ _PRIORITY = [
     "ext_dedup_paragraph",
     "ext_pmi_collocations",
     "ext_bloom_prefilter",
-    "agg_funnel",
     "ext_minhash_accuracy",
     "src_xml",
     "proj_variant_json",
@@ -372,7 +386,6 @@ _PRIORITY = [
     "ext_dedup_containment",
     "win_session_gap",
     "agg_bitmap_distinct",
-    "agg_cube",
     "win_percent_rank",
     "ext_token_entropy",
     "ext_dedup_incremental",

@@ -370,6 +370,10 @@ def agg_distinct_trains(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
            round(sum(l_quantity), 2) AS sum_qty
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    -- Spark emits NO rows for grouping sets over EMPTY input (not even
+    -- the () row the SQL standard synthesizes); count(*)>0 holds for
+    -- every real group, so this drops only that row
+    HAVING count(*) > 0
     """,
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -622,6 +626,10 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
            round(sum(o_totalprice), 2) AS revenue
     FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    -- Spark emits NO rows for grouping sets over EMPTY input (not even
+    -- the () row the SQL standard synthesizes); count(*)>0 holds for
+    -- every real group, so this drops only that row
+    HAVING count(*) > 0
     """,
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1513,8 +1521,9 @@ def win_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT s.step, s.event_type,
            CAST(CASE s.step WHEN 1 THEN n1 WHEN 2 THEN n2 ELSE n3 END
                 AS BIGINT) AS n_users,
-           round(CASE s.step WHEN 1 THEN n1 WHEN 2 THEN n2 ELSE n3 END
-                 / CAST(n1 AS DOUBLE), 4) AS conv_from_top
+           CASE WHEN n1 > 0 THEN
+               round(CASE s.step WHEN 1 THEN n1 WHEN 2 THEN n2 ELSE n3 END
+                     / CAST(n1 AS DOUBLE), 4) END AS conv_from_top
     FROM (VALUES (1, 'view'), (2, 'click'), (3, 'purchase'))
         AS s(step, event_type)
     CROSS JOIN c
@@ -1584,8 +1593,12 @@ def agg_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.step").alias("step"),
         F.col("s.event_type").alias("event_type"),
         F.col("s.n_users").cast("bigint").alias("n_users"),
-        F.round(
-            F.col("s.n_users") / F.col("n1").cast("double"), 4
+        # empty-input guard (round-11 empty sweep): a funnel with no
+        # top-step users has no defined conversion rate — NULL, not an
+        # ANSI division error
+        F.when(
+            F.col("n1") > 0,
+            F.round(F.col("s.n_users") / F.col("n1").cast("double"), 4),
         ).alias("conv_from_top"),
     )
 

@@ -177,7 +177,10 @@ def f_encode_utf8(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f_uuid",
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS n,
-           CAST(36 AS BIGINT) AS min_len, CAST(36 AS BIGINT) AS max_len
+           -- min/max over an EMPTY table are NULL on the Spark side; the
+           -- literal 36 must collapse with them (round-11 empty sweep)
+           CAST(CASE WHEN count(*) > 0 THEN 36 END AS BIGINT) AS min_len,
+           CAST(CASE WHEN count(*) > 0 THEN 36 END AS BIGINT) AS max_len
     FROM region
     """,
 )

@@ -1009,6 +1009,10 @@ def sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
     GROUP BY ROLLUP(r_name, n_name)
+    -- Spark emits NO rows for grouping sets over EMPTY input (not even
+    -- the () grand-total row the SQL standard synthesizes); count(*)>0
+    -- holds for every real group, so this drops only that row
+    HAVING count(*) > 0
     """,
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2101,18 +2105,29 @@ def ext_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sorted_means = means.agg(F.array_sort(F.collect_list("m")).alias("ms"))
+    # empty-input guards (round-11 empty sweep): with zero events the
+    # means table is empty, so ms is an empty array (element_at(5) is an
+    # ANSI index error) and the full mean divides by count 0 — both
+    # engines then agree on an all-NULL report row
     full_mean = events.agg(
-        F.round(
-            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
-            / (100.0 * F.count(F.lit(1))),
-            4,
+        F.when(
+            F.count(F.lit(1)) > 0,
+            F.round(
+                F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+                / (100.0 * F.count(F.lit(1))),
+                4,
+            ),
         ).alias("mean_value")
     )
     return sorted_means.crossJoin(F.broadcast(full_mean)).select(
         F.lit(200).cast("bigint").alias("n_reps"),
         "mean_value",
-        F.round(F.element_at("ms", 5), 4).alias("ci_low"),
-        F.round(F.element_at("ms", 196), 4).alias("ci_high"),
+        F.when(
+            F.size("ms") >= 5, F.round(F.element_at("ms", 5), 4)
+        ).alias("ci_low"),
+        F.when(
+            F.size("ms") >= 196, F.round(F.element_at("ms", 196), 4)
+        ).alias("ci_high"),
     )
 
 
@@ -3095,9 +3110,14 @@ def job_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n"), 4).alias("mean_rows"),
         # quantile_disc convention: 1-based index ceil(n*q) — verified
         # empirically against DuckDB across n (floor((n-1)*q) does not match)
+        # empty-input guard (round-11 empty sweep): on zero keys the
+        # global aggregate still emits one row and ceil(0*0.99)=0 is an
+        # invalid element_at index under ANSI — a NULL p99 matches the
+        # oracle's quantile over no rows
         F.expr(
-            "CAST(element_at(array_sort(collect_list(n)),"
-            " CAST(ceil(count(n) * 0.99) AS INT)) AS BIGINT)"
+            "CAST(CASE WHEN count(n) > 0 THEN"
+            " element_at(array_sort(collect_list(n)),"
+            " CAST(ceil(count(n) * 0.99) AS INT)) END AS BIGINT)"
         ).alias("p99_rows"),
     )
     return stats.select(
