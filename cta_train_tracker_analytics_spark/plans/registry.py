@@ -60,6 +60,116 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: parity replay (tests/test_oracle_parity.py) and by the non-UTC
 #: driver simulation run before each commit.
 _PRIORITY = [
+    # ---- Round 12 front block (stale-hash policy): every query whose
+    # implementation OR oracle changed this round gets a fresh driver row
+    # in the SAME round.
+    #   ext_knn_graph_prod — probe-1 residence is now CAPPED (r11 verdict
+    #       #1): |cell| ≤ 2·⌈N/k⌉ original residents; overflow vectors
+    #       (lowest residence affinity first) swap to their next-best
+    #       probed leaf via one windowed rank over the already-scored
+    #       union (operators/similarity.py::ivf_assign_sharded_multi
+    #       residence_cap). Bounds Σ|cell|² pair volume under skew; the
+    #       oracle replays the cap + swap bit-for-bit.
+    #   ext_knn_graph_ivf_sharded / ext_sim_search_ivf_sharded /
+    #   ext_knn_graph_ivf_hier — oracle-only change (ADVICE r11 #1): the
+    #       n_coarse formula now mirrors Spark's min(n_cells-1, ·) clamp
+    #       (least(k-1, ...)) so the two engines stay in lockstep if the
+    #       n_cells floor is ever lowered below 5. Unreachable today →
+    #       clean-data output unchanged; oracle text changed → re-hash.
+    #   agg_approx_distinct / agg_hll_union / agg_kll_quantiles /
+    #   ext_compression_quality / ext_dedup_minhash_mllib — upgraded from
+    #       rows-only checks to INVARIANT-checked oracles (r11 verdict
+    #       #6): the sketch value itself can't hash-match DuckDB, so each
+    #       query now emits the exact-side statistic plus a boolean bound
+    #       check (approx within ±5% of exact, KLL within rank error,
+    #       sketch pairs ⊆ exact-threshold pairs …) and the oracle
+    #       computes the exact side and pins the boolean TRUE — the
+    #       driver now checks semantics, not just row counts.
+    #   join_salted_skew — docstring-only (ADVICE r11 #2: the cent-floor
+    #       bias bound < n_rows/100 documented as part of the output
+    #       contract); fronted on principle.
+    "ext_knn_graph_prod",
+    "ext_knn_graph_ivf_sharded",
+    "ext_sim_search_ivf_sharded",
+    "ext_knn_graph_ivf_hier",
+    "agg_approx_distinct",
+    "agg_hll_union",
+    "agg_kll_quantiles",
+    "ext_compression_quality",
+    "ext_dedup_minhash_mllib",
+    "join_salted_skew",
+    # ---- Round 12 age rotation (r11 verdict #4): ~196 queries carry
+    # pre-r11 hashes; the r3 cohort (8 rounds old) then the r4 cohort
+    # (7 rounds old) fill the rest of the ~50-slot driver budget,
+    # longest-unverified first. Overflow rolls to round 13.
+    "src_rest_api",
+    "src_jsonl",
+    "src_listing",
+    "src_queue",
+    "snk_queue",
+    "snk_jsonl_append",
+    "snk_parquet",
+    "snk_keyed_store",
+    "filter_required",
+    "filter_blank_lines",
+    "proj_drop",
+    "ext_dedup_exact",
+    "ext_fingerprint",
+    "ext_dedup_simhash",
+    "ext_text_stats",
+    "ext_token_count",
+    "ext_quality_filter",
+    "ext_lang_id",
+    "ext_chunk_text",
+    "ext_sample_hash",
+    "ext_pii_redact",
+    "flagship_region_pricing",
+    "sql_pricing_summary",
+    "join_dim_broadcast",
+    "join_key_equi",
+    "join_semi_anti",
+    "join_asof",
+    "join_range_interval",
+    "agg_count",
+    "agg_concat_union",
+    "agg_group_by_day",
+    "agg_delay_rate",
+    "f_concat_ws",
+    "f_date_format",
+    "f_iso_ts",
+    "f_now_tz",
+    "f_date_sub",
+    "f_zero_pad",
+    "f_to_json",
+    "f_from_json",
+    "f_encode_utf8",
+    "f_map_lookup",
+    "f_cast_bool",
+    "f_ts_parse",
+    "f_ts_diff",
+    "f_math_std",
+    "f_array_std",
+    "f_geo_haversine",
+    "agg_distinct_trains",
+    "agg_distinct",
+    "win_latest_state",
+    "win_lag_headway",
+    "win_running",
+    "win_rank_topk",
+    "win_frame_range",
+    "sort_limit_topk",
+    "agg_salted_skew",
+    "join_bucketed_colocated",
+    "sort_within_partitions",
+    "set_union_all",
+    "set_intersect",
+    "set_except",
+    "str_tumbling_day",
+    "str_trigger_1min",
+    "str_microbatch_sink",
+    "str_at_least_once",
+    "str_redelivery",
+    "str_dedup_late",
     # ---- Round 11 front block (stale-hash policy): every query whose
     # implementation changed this round gets a fresh driver row in the
     # SAME round. (Names also present in older blocks below are deduped
@@ -144,19 +254,15 @@ _PRIORITY = [
     "win_ewma",
     "win_ohlc",
     "ext_auc",
-    "join_salted_skew",
     "ext_sim_search",
     "ext_embed_pq",
     "ext_sim_search_pq",
     "ext_sim_search_pq_rerank",
     "ext_hard_negatives",
     "ext_hybrid_retrieval_rrf",
-    "ext_knn_graph_prod",
-    "ext_knn_graph_ivf_sharded",
     "ext_knn_graph",
     "ext_knn_graph_ivf",
     "ext_knn_graph_ivf_multi",
-    "ext_knn_graph_ivf_hier",
     "ext_knn_graph_recall",
     "ext_sim_search_ivf",
     "ext_sim_search_ivf_nprobe",
@@ -165,7 +271,6 @@ _PRIORITY = [
     #       assignment's codebook broadcast O(N) bytes; this closes the
     #       same structure in the search family that the graph family
     #       closed). One pinned assignment serves corpus AND query side.
-    "ext_sim_search_ivf_sharded",
     "ext_sim_recall",
     "ext_semdedup",
     "ext_kmeans_update",
@@ -290,8 +395,6 @@ _PRIORITY = [
     "ext_multimodal_cols",
     "ext_frame_sample",
     # ---- round-7 rows, all hash-green in CORRECTNESS_r07, unchanged
-    "agg_kll_quantiles",
-    "ext_compression_quality",
     "agg_heavy_hitters",
     "job_dq_checks",
     "job_retention",
@@ -299,7 +402,6 @@ _PRIORITY = [
     "snk_parquet_partitioned",
     "job_compact_day",
     "snk_training_shards",
-    "ext_dedup_minhash_mllib",
     "src_binary",
     "ext_fingerprint_winnow",
     "ext_quality_model",
@@ -391,7 +493,6 @@ _PRIORITY = [
     "ext_dedup_incremental",
     "win_first_last",
     "join_fuzzy_levenshtein",
-    "agg_hll_union",
     "proj_unpivot",
     "src_jsonl_corrupt",
     "agg_corr",

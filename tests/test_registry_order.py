@@ -30,9 +30,12 @@ def test_oracles_follow_same_order():
 def test_cheap_modules_precede_expensive_in_tail():
     """Past the pinned head, scalar/relational/streaming queries must still
     precede the I/O round-trips and LLM pipelines, so a budget truncation
-    drops the expensive tail first."""
+    drops the expensive tail first. (Representatives are resolved by
+    module — the r12 age rotation moved the original fixed names into the
+    pinned head.)"""
     names = list(registry.all_queries())[len(registry._PRIORITY):]
-    first_scalar = names.index("f_concat_ws")
-    first_io = names.index("src_rest_api")
-    first_llm = names.index("ext_dedup_exact")
+    module = {n: registry.spec(n).fn.__module__.rsplit(".", 1)[-1] for n in names}
+    first_scalar = next(i for i, n in enumerate(names) if module[n] == "scalar_queries")
+    first_io = next(i for i, n in enumerate(names) if module[n] == "io_queries")
+    first_llm = next(i for i, n in enumerate(names) if module[n] == "llm")
     assert first_scalar < first_io < first_llm
