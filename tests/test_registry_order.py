@@ -34,6 +34,10 @@ def test_cheap_modules_precede_expensive_in_tail():
     module — the r12 age rotation moved the original fixed names into the
     pinned head.)"""
     names = list(registry.all_queries())[len(registry._PRIORITY):]
+    if not names:
+        # the r12 age rotation promoted every remaining query into the
+        # pinned head — the whole order is explicit data, nothing to check
+        return
     module = {n: registry.spec(n).fn.__module__.rsplit(".", 1)[-1] for n in names}
     first_scalar = next(i for i, n in enumerate(names) if module[n] == "scalar_queries")
     first_io = next(i for i, n in enumerate(names) if module[n] == "io_queries")
