@@ -1227,7 +1227,8 @@ def ext_sim_search_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
                           row_number() OVER (ORDER BY cent_id) AS rn,
                           count(*) OVER () AS k
                    FROM cent)
-               WHERE rn <= greatest(2, CAST(ceil(sqrt(k)) AS BIGINT))),
+               WHERE rn <= greatest(2, least(k - 1,
+                                             CAST(ceil(sqrt(k)) AS BIGINT)))),
     lt AS (SELECT cent.cent_id, coarse.coarse_id,
                   unnest(cent.c)::DOUBLE AS v, unnest(coarse.g)::DOUBLE AS w
            FROM cent CROSS JOIN coarse),
@@ -4033,7 +4034,8 @@ def ext_knn_graph_ivf_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
                           row_number() OVER (ORDER BY cent_id) AS rn,
                           count(*) OVER () AS k
                    FROM cent)
-               WHERE rn <= greatest(2, CAST(ceil(sqrt(k)) AS BIGINT))),
+               WHERE rn <= greatest(2, least(k - 1,
+                                             CAST(ceil(sqrt(k)) AS BIGINT)))),
     -- leaf centroid -> its coarse branch (cos desc, coarse_id asc)
     lt AS (SELECT cent.cent_id, coarse.coarse_id,
                   unnest(cent.c)::DOUBLE AS v, unnest(coarse.g)::DOUBLE AS w
@@ -4184,7 +4186,8 @@ def ext_knn_graph_ivf_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
                           row_number() OVER (ORDER BY cent_id) AS rn,
                           count(*) OVER () AS k
                    FROM cent)
-               WHERE rn <= greatest(2, CAST(ceil(sqrt(k)) AS BIGINT))),
+               WHERE rn <= greatest(2, least(k - 1,
+                                             CAST(ceil(sqrt(k)) AS BIGINT)))),
     lt AS (SELECT cent.cent_id, coarse.coarse_id,
                   unnest(cent.c)::DOUBLE AS v, unnest(coarse.g)::DOUBLE AS w
            FROM cent CROSS JOIN coarse),
@@ -4582,7 +4585,8 @@ def ext_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
                           row_number() OVER (ORDER BY cent_id) AS rn,
                           count(*) OVER () AS k
                    FROM cent)
-               WHERE rn <= greatest(2, CAST(ceil(sqrt(k)) AS BIGINT))),
+               WHERE rn <= greatest(2, least(k - 1,
+                                             CAST(ceil(sqrt(k)) AS BIGINT)))),
     lt AS (SELECT cent.cent_id, coarse.coarse_id,
                   unnest(cent.c)::DOUBLE AS v, unnest(coarse.g)::DOUBLE AS w
            FROM cent CROSS JOIN coarse),
@@ -4613,10 +4617,34 @@ def ext_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
                     sum(v * w) / (sqrt(sum(v * v)) * sqrt(sum(w * w))) AS cs
              FROM bt GROUP BY vec_id, cent_id),
     -- global top-2 leaf cells across the union (probe 1 = residence)
-    probes AS (SELECT vec_id, cent_id AS cell,
-                      row_number() OVER (PARTITION BY vec_id
-                                         ORDER BY cs DESC, cent_id) AS probe
-               FROM bcos QUALIFY probe <= 2),
+    probes0 AS (SELECT vec_id, cent_id AS cell, cs,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cs DESC, cent_id) AS probe
+                FROM bcos QUALIFY probe <= 2),
+    -- residence cap = 2 * ceil(N / n_cells) (same N, same n_cells
+    -- formula as cent): bounds kept-original-residents per cell
+    caps AS (SELECT 2 * CAST(ceil(count(*) /
+                                  greatest(8.0, ceil(count(*) / 250.0)))
+                             AS BIGINT) AS cap
+             FROM emb),
+    -- occupancy rank of each cell's original residents (affinity DESC)
+    occ AS (SELECT vec_id,
+                   row_number() OVER (PARTITION BY cell
+                                      ORDER BY cs DESC, vec_id) AS occ
+            FROM probes0 WHERE probe = 1),
+    npb AS (SELECT vec_id, count(*) AS n_probes FROM probes0
+            GROUP BY vec_id),
+    -- overflow residents (occ > cap, second probe exists) swap probe
+    -- labels: next-best probed leaf becomes residence, argmax stays
+    -- probed at rank 2
+    probes AS (SELECT p.vec_id,
+                      CASE WHEN o.occ > caps.cap AND npb.n_probes >= 2
+                           THEN 3 - p.probe ELSE p.probe END AS probe,
+                      p.cell
+               FROM probes0 p
+               JOIN occ o ON o.vec_id = p.vec_id
+               JOIN npb ON npb.vec_id = p.vec_id
+               CROSS JOIN caps),
     pairs AS (SELECT q.vec_id, r.vec_id AS neighbor_id,
                      eq.embedding AS va, er.embedding AS vb
               FROM probes q
@@ -4655,9 +4683,18 @@ def ext_knn_graph_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells kept from the scored union — so a cross-branch runner-up leaf
     is probed, not lost (the tree analog of flat multi-assign's global
     top-2 cells; they differ only when a true top-2 leaf hides outside
-    the top-2 branches). Probe 1 is the residence cell; the neighbor
-    side filters probe == 1 exactly as ext_knn_graph_ivf_multi, so no
-    candidate pair is generated twice. Downstream is the family plan
+    the top-2 branches). Probe 1 is the residence cell, and residence
+    occupancy is CAPPED at 2·⌈N/k⌉ original residents per cell (r11
+    verdict: the union-argmax measurably skews occupancy — max cell 715
+    vs flat multi's 346 at identical avg 250, sf1 — and the self-join's
+    pair volume grows with Σ|cell|², which AQE's task-level skew split
+    does not bound). Overflow vectors — lowest residence affinity first,
+    one windowed rank over the already-scored union — swap probe labels:
+    the next-best probed leaf becomes residence, the argmax cell stays
+    probed, so the probed-cell set (and search quality) is unchanged.
+    The neighbor side filters probe == 1 exactly as
+    ext_knn_graph_ivf_multi, so no candidate pair is generated twice.
+    Downstream is the family plan
     verbatim: pinned assignment, numbered-width cell self-equi-join,
     WindowGroupLimit top-3, unrounded-similarity ordering with
     neighbor-id tiebreak, null embeddings excluded both sides, signed
@@ -4666,12 +4703,20 @@ def ext_knn_graph_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     emb = load(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
-    n_cells = max(8, math.ceil(emb.count() / 250))
+    n = emb.count()
+    n_cells = max(8, math.ceil(n / 250))
     n_coarse = max(2, min(n_cells - 1, math.ceil(math.sqrt(n_cells))))
+    # residence cap (r11 verdict #1): each cell keeps at most 2× the
+    # average occupancy of its ORIGINAL probe-1 residents; overflow swaps
+    # to the next-best probed leaf (see ivf_assign_sharded_multi). Bounds
+    # the Σ|cell|² pair volume of the self-join below under skewed data.
+    cap = 2 * math.ceil(n / n_cells)
     centroids = emb.orderBy("vec_id").limit(n_cells).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
     )
-    assigned = ivf_assign_sharded_multi(emb, centroids, n_coarse, 2)
+    assigned = ivf_assign_sharded_multi(
+        emb, centroids, n_coarse, 2, residence_cap=cap
+    )
     assigned = assigned.localCheckpoint(eager=True)
     width = _pinned_shuffle_width(spark)
     left = assigned.repartition(width, "cell").select(

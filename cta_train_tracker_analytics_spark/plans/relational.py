@@ -747,7 +747,19 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffled path local[32] would otherwise broadcast away — at 100 TB
     the dim side of a skewed join is often too big to broadcast, which is
     exactly when salting (or AQE skew-join, also enabled engine-wide)
-    earns its keep. Results are identical to the unsalted join."""
+    earns its keep. Results are identical to the unsalted join.
+
+    Output contract (ADVICE r11): ``weighted`` is the CENT-FLOORED
+    weighted sum — each term is floored to a whole cent before the exact
+    BIGINT summation, so the reported value systematically under-reports
+    the true double sum by < 0.01 per row (bias bound < n_rows/100 for
+    the group, ~50 units over 10k rows). That bias is the price of an
+    order-free, bit-identical cross-engine aggregate: round(sum(double))
+    is summation-order-sensitive at .xx5 boundaries and the engines sum
+    in different orders. Callers needing tighter fidelity can raise the
+    fixed-point scale (micro-units shrink the bound by 10^4, still exact
+    in BIGINT for these magnitudes); the cent scale is kept here because
+    the metric feeds dashboards that render cents."""
     ev = load(spark, sf_dir, "events")
     dim = spark.sql(
         "SELECT event_type, weight FROM VALUES"

@@ -1,0 +1,181 @@
+"""Round-12 operator tests: the probe-1 residence cap on the sharded
+multi-probe IVF assignment (r11 verdict #1).
+
+The union-argmax residence measurably skews cell occupancy (max cell 715
+vs flat multi's 346 at identical avg 250, sf1) and a downstream cell
+self-join's pair volume grows with Σ|cell|² — AQE's skew split balances
+tasks, not pairs, so nothing else bounds the quadratic term. The cap
+keeps at most ``residence_cap`` ORIGINAL residents per cell (highest
+affinity first); overflow vectors swap probe labels so their next-best
+probed leaf becomes residence while the old argmax cell stays probed.
+
+The driver SFs never reach the cap (max occupancy 107 vs cap 126 at
+sf0.01), so these tests manufacture a skewed corpus where it BINDS and
+pin (a) the bound, (b) the swap semantics, (c) bit-identity when the cap
+is slack, and (d) cross-engine parity of the full ext_knn_graph_prod
+query against its DuckDB oracle in the binding regime.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from cta_train_tracker_analytics_spark.operators.similarity import (
+    ivf_assign_sharded_multi,
+)
+from cta_train_tracker_analytics_spark.plans import registry
+
+DIM = 8
+N_SKEW = 400
+
+
+def _lcg_float(seed: int) -> float:
+    # deterministic pseudo-noise in [-0.5, 0.5) without Date/random
+    return ((seed * 1103515245 + 12345) % 2**31) / 2**31 - 0.5
+
+
+def _skewed_rows() -> list[tuple[int, list[float], int]]:
+    """400 vectors, 8 centroid seeds (ids 0-7), ~250 vectors clustered
+    tightly around the id-0 direction — one cell's occupancy (~250) far
+    exceeds the prod cap 2*ceil(400/8) = 100."""
+    rows = []
+    for i in range(N_SKEW):
+        if i == 0:
+            v = [1.0] + [0.0] * (DIM - 1)
+        elif i < 8:
+            # spread seed directions: one-hot-ish on axis i % DIM
+            v = [0.1 * _lcg_float(i * DIM + j) for j in range(DIM)]
+            v[i % DIM] += 1.0
+        elif i < 258:
+            # the hot cluster: id-0 direction plus tiny jitter
+            v = [1.0 + 0.01 * _lcg_float(i * DIM)] + [
+                0.01 * _lcg_float(i * DIM + j) for j in range(1, DIM)
+            ]
+        else:
+            v = [_lcg_float(i * DIM + j) for j in range(DIM)]
+        rows.append((i, [float(x) for x in v], i % 10))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def skewed_emb(spark):
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("label", IntegerType()),
+        ]
+    )
+    return spark.createDataFrame(_skewed_rows(), schema).localCheckpoint()
+
+
+def _cents(emb, n_cells):
+    return (
+        emb.orderBy("vec_id")
+        .limit(n_cells)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec"))
+    )
+
+
+def _collect_probes(df) -> dict[int, list[tuple[int, int]]]:
+    out: dict[int, list[tuple[int, int]]] = {}
+    for r in df.collect():
+        out.setdefault(r["id"], []).append((r["probe"], r["cell"]))
+    return {k: sorted(v) for k, v in out.items()}
+
+
+def test_residence_cap_binds_bounds_and_swaps(spark, skewed_emb):
+    """In the binding regime: (a) every cell keeps at most ``cap`` of its
+    ORIGINAL probe-1 residents, (b) each demoted vector's new residence
+    is exactly its old probe-2 cell with the old residence still probed
+    (label swap — the probed-cell SET is unchanged, so search quality is
+    too), (c) untouched vectors are bit-identical."""
+    n_cells, cap = 8, 100
+    cents = _cents(skewed_emb, n_cells)
+    unc = _collect_probes(ivf_assign_sharded_multi(skewed_emb, cents, 3, 2))
+    cpd = _collect_probes(
+        ivf_assign_sharded_multi(skewed_emb, cents, 3, 2, residence_cap=cap)
+    )
+    assert set(unc) == set(cpd)
+    res_u = {i: dict(p)[1] for i, p in unc.items()}
+    res_c = {i: dict(p)[1] for i, p in cpd.items()}
+    demoted = [i for i in unc if res_u[i] != res_c[i]]
+    assert demoted, "cap never bound — the skewed corpus is not skewed"
+    # (a) the bound: kept original residents per cell <= cap
+    for cell in set(res_u.values()):
+        kept = sum(1 for i in unc if res_u[i] == cell and res_c[i] == cell)
+        assert kept <= cap, f"cell {cell} kept {kept} > cap {cap}"
+    # the hot cell actually overflowed (sanity that the regime is real)
+    hot = max(set(res_u.values()), key=lambda c: sum(1 for i in res_u if res_u[i] == c))
+    assert sum(1 for i in unc if res_u[i] == hot) > cap
+    for i in demoted:
+        probes_u, probes_c = dict(unc[i]), dict(cpd[i])
+        # (b) swap semantics: same probed-cell set, labels 1/2 exchanged
+        assert set(probes_u.values()) == set(probes_c.values())
+        assert probes_c[1] == probes_u[2]
+        assert probes_c[2] == probes_u[1]
+    for i in set(unc) - set(demoted):
+        assert unc[i] == cpd[i]  # (c) untouched rows identical
+
+
+def test_residence_cap_slack_is_bit_identical(spark, skewed_emb):
+    """A cap that never binds must leave the assignment — rows, probe
+    numbering, everything — exactly as the uncapped form produces it."""
+    cents = _cents(skewed_emb, 8)
+    unc = _collect_probes(ivf_assign_sharded_multi(skewed_emb, cents, 3, 2))
+    big = _collect_probes(
+        ivf_assign_sharded_multi(skewed_emb, cents, 3, 2, residence_cap=10**9)
+    )
+    assert unc == big
+
+
+def test_prod_capped_parity_on_skewed_corpus(spark, skewed_emb, tmp_path):
+    """Cross-engine parity of ext_knn_graph_prod IN the binding regime:
+    the driver's sf0.01 run never triggers the cap (occupancy 107 vs cap
+    126), so this is the check that the oracle's cap/swap replay matches
+    Spark bit-for-bit where it matters. The skewed corpus is written as
+    a synthetic embeddings table and both engines run the registered
+    query/oracle pair on it."""
+    sf_dir = str(tmp_path)
+    skewed_emb.repartition(1).write.parquet(f"{sf_dir}/embeddings.parquet")
+    spec = registry.spec("ext_knn_graph_prod")
+    got = spec.fn(spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet/*.parquet')"
+    )
+    want = con.execute(spec.oracle).df()
+    con.close()
+    # sanity: the cap bound on this corpus (residence actually moved)
+    n = N_SKEW
+    n_cells = max(8, math.ceil(n / 250))
+    cap = 2 * math.ceil(n / n_cells)
+    cents = _cents(skewed_emb, n_cells)
+    occ = (
+        ivf_assign_sharded_multi(skewed_emb, cents, 3, 2)
+        .filter(F.col("probe") == 1)
+        .groupBy("cell")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert occ > cap
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    a = sorted(map(tuple, got[cols].itertuples(index=False)))
+    b = sorted(map(tuple, want[cols].itertuples(index=False)))
+    assert len(a) == len(b) > 0
+    assert a == b
