@@ -256,7 +256,39 @@ def driver_line(
 _OWNED_DETAIL_KEYS = {
     "sf", "total_sec", "queries", "queries_min",
     "best_ever", "best_ever_env", "regressions", "provenance", "method",
+    "impl_hash",
 }
+
+
+def impl_fingerprint(fn) -> str | None:
+    """Stable fingerprint of a query function's IMPLEMENTATION: the AST of
+    its body with the docstring and decorators stripped (the decorator
+    carries the oracle SQL — timing-irrelevant — and a docstring edit must
+    not churn perf floors). Used for the floor-reset-on-re-key rule (r11
+    verdict #2): a best_ever floor describes a specific implementation;
+    four r11 drift flags were stale floors measured against code that had
+    since been re-keyed. Returns None when source is unavailable (builtin
+    or exec'd callables) — such queries just never reset automatically."""
+    import ast
+    import hashlib
+    import inspect
+    import textwrap
+
+    try:
+        src = textwrap.dedent(inspect.getsource(fn))
+        node = ast.parse(src).body[0]
+        node.decorator_list = []
+        body = node.body
+        if (
+            body
+            and isinstance(body[0], ast.Expr)
+            and isinstance(body[0].value, ast.Constant)
+            and isinstance(body[0].value.value, str)
+        ):
+            node.body = body[1:] or [ast.Pass()]
+        return hashlib.sha256(ast.dump(node).encode()).hexdigest()[:16]
+    except (OSError, TypeError, SyntaxError, IndexError):
+        return None
 
 
 def env_fingerprint() -> dict:
@@ -301,6 +333,8 @@ def detail_payload(
     filtered: bool,
     env: dict | None = None,
     best_ever_env: dict | None = None,
+    impl_hash: dict | None = None,
+    floors_reset: list[str] | None = None,
 ) -> dict:
     return {
         **{k: v for k, v in prior.items() if k not in _OWNED_DETAIL_KEYS},
@@ -318,6 +352,12 @@ def detail_payload(
         # run's provenance.env against the floor's recorded conditions —
         # a fingerprint lookup instead of a fresh-process control session
         "best_ever_env": best_ever_env if best_ever_env is not None else {},
+        # the implementation fingerprint each query carried at this run
+        # (impl_fingerprint): a future run whose fingerprint differs
+        # RESETS that query's floor — a best_ever measured against
+        # since-re-keyed code is not a floor, it's a different query's
+        # number (the r11 loaded-run flags included four of these)
+        "impl_hash": impl_hash if impl_hash is not None else {},
         "regressions": regressions,
         # provenance: whether this file's maps came from one full sweep or
         # carry merged-in rows from a filtered tuning run (a merged
@@ -328,6 +368,8 @@ def detail_payload(
             # machine state at run START (env_fingerprint); None only if a
             # caller (tests) built the payload without one
             "env": env,
+            # floors dropped THIS run by the re-key rule (empty most runs)
+            "floors_reset": floors_reset or [],
         },
         "method": {
             "sub_second": "median_of_5",
@@ -337,6 +379,11 @@ def detail_payload(
                 f"min-of-runs > {REGRESSION_RATIO}x best_ever AND "
                 f"+{REGRESSION_MIN_DELTA_SEC}s, confirmed by a fresh "
                 "min-of-3 re-time"
+            ),
+            "floor_reset": (
+                "best_ever dropped when impl_hash (AST fingerprint, "
+                "docstring/decorators stripped) differs from the hash the "
+                "floor was recorded under"
             ),
         },
     }
@@ -418,6 +465,31 @@ def main() -> None:
         best_ever_env = dict(prior.get("best_ever_env", {}))
     except (OSError, ValueError):
         pass
+    # legacy floors predate best_ever_env: mark them explicitly so drift
+    # adjudication can distinguish 'no env data' from 'same conditions'
+    # instead of a silent empty lookup (ADVICE r11 #3)
+    for name in best_ever:
+        best_ever_env.setdefault(name, {"unknown": True})
+    # floor-reset-on-re-key (r11 verdict #2): a floor measured against a
+    # since-changed implementation is stale — four of the r11 drift flags
+    # were exactly this. Fingerprints cover every registered query so the
+    # map is complete regardless of which subset this run times.
+    impl_hash = {
+        name: h
+        for name in queries
+        if (h := impl_fingerprint(registry.spec(name).fn)) is not None
+    }
+    prior_hash = prior.get("impl_hash", {})
+    floors_reset = sorted(
+        n
+        for n in best_ever
+        if n in impl_hash and prior_hash.get(n) not in (None, impl_hash[n])
+    )
+    for n in floors_reset:
+        print(f"# floor reset (impl changed): {n} (was {best_ever[n]}s)",
+              file=sys.stderr)
+        del best_ever[n]
+        best_ever_env.pop(n, None)
     # detail maps: on a filtered (SPARK_GRAFT_BENCH_ONLY) tuning run, MERGE
     # into the prior full map instead of clobbering it — a 4-query run must
     # not erase the round's full evidence. The stdout line still reports
@@ -490,6 +562,7 @@ def main() -> None:
             detail_payload(
                 prior, sf, detail_timings, detail_min, best_ever, regressions,
                 filtered=bool(only), env=env, best_ever_env=best_ever_env,
+                impl_hash=impl_hash, floors_reset=floors_reset,
             ),
             f,
             indent=1,

@@ -898,6 +898,16 @@ def ext_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "g.bh", "g.uh")
     )
+    # pinned (r12 drift adjudication): bg feeds BOTH the bigram-count
+    # aggregate and the scoring join; unpinned, Catalyst re-tokenizes the
+    # whole corpus for each consumer (tokens() + the per-bigram hash
+    # transform are the query's CPU-dense stages — measured 3.13 s →
+    # 2.15 s at sf0.1 from this pin alone; a numbered-width repartition
+    # added on top measured WORSE, 2.31 s, so the r11 coalescing pattern
+    # is ruled out here). The pinned stream is three fixed-width bigints
+    # per bigram — materializing it once is linear in the corpus and
+    # strictly cheaper than a second regex-tokenize pass over the text.
+    bg = bg.localCheckpoint(eager=True)
     bgc = bg.groupBy("bh").agg(F.count(F.lit(1)).alias("c_bg"))
     # pinned: the unigram-count table feeds BOTH the scoring join and the
     # vocab-size count — without the pin each consumer re-shuffles the full

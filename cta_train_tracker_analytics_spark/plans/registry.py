@@ -88,6 +88,13 @@ _PRIORITY = [
     #   join_salted_skew — docstring-only (ADVICE r11 #2: the cent-floor
     #       bias bound < n_rows/100 documented as part of the output
     #       contract); fronted on principle.
+    #   ext_lm_perplexity — the bigram stream (bg) is now pinned before
+    #       its two consumers (bigram-count aggregate + scoring join):
+    #       unpinned, each consumer re-tokenized the corpus (measured
+    #       3.13 → 2.15 s at sf0.1). Output unchanged; plan changed →
+    #       re-hash per policy. Closes the r11 drift flag's plan audit
+    #       (the AQE-coalescing pattern was measured and ruled out).
+    "ext_lm_perplexity",
     "ext_knn_graph_prod",
     "ext_knn_graph_ivf_sharded",
     "ext_sim_search_ivf_sharded",
@@ -443,7 +450,6 @@ _PRIORITY = [
     "ext_dedup_minhash_twostage",
     "ext_dedup_embed_banded",
     "ext_dedup_embed_incremental",
-    "ext_lm_perplexity",
     "str_foreach_batch_upsert",
     "agg_mode_median",
     "ext_tfidf_topk",

@@ -106,7 +106,9 @@ def test_bench_detail_payload_carries_foreign_sections_forward():
     assert out["sf1_probe"] == prior["sf1_probe"]
     assert out["some_future_section"] == [1, 2]
     assert out["queries"] == {"q": 1.0}  # owned keys fully replaced
-    assert out["provenance"] == {"last_run": "full", "merged": False, "env": None}
+    assert out["provenance"] == {
+            "last_run": "full", "merged": False, "env": None, "floors_reset": []
+        }
     filt = bench.detail_payload(
         prior, 0.1, {"q": 1.0}, {"q": 0.9}, {"q": 0.9}, [], filtered=True,
         env={"loadavg": [0.5, 0.4, 0.3]},
@@ -157,3 +159,54 @@ def test_bench_env_fingerprint_shape():
     if "disk_free_gb" in fp:
         assert fp["disk_free_gb"] > 0
     json.dumps(fp)  # round-trippable
+
+
+def test_bench_impl_fingerprint_ignores_docs_and_decorators():
+    """The floor-reset fingerprint (r11 verdict #2) hashes IMPLEMENTATION
+    only: editing a docstring or the @query decorator (which carries the
+    oracle SQL) must not churn perf floors, while any body change must."""
+    import bench
+
+    def deco(fn):
+        return fn
+
+    def q(spark, sf_dir):
+        """one docstring"""
+        return spark.range(10)
+
+    h1 = bench.impl_fingerprint(q)
+
+    @deco
+    def q(spark, sf_dir):  # noqa: F811 — same name, changed doc/decorator
+        """a completely different docstring"""
+        return spark.range(10)
+
+    h2 = bench.impl_fingerprint(q)
+
+    def q(spark, sf_dir):  # noqa: F811 — same name, changed body
+        """one docstring"""
+        return spark.range(11)
+
+    h3 = bench.impl_fingerprint(q)
+    assert h1 is not None and h1 == h2  # doc/decorator-insensitive
+    assert h3 != h1  # body-sensitive
+    # renaming the function is a re-key too (the AST dump carries the
+    # name) — acceptable: a renamed query gets a fresh floor
+
+
+def test_bench_detail_payload_owns_impl_hash_and_records_resets():
+    """impl_hash is an OWNED section (replaced wholesale each run) and
+    floors_reset lands in provenance so a dropped floor is auditable."""
+    import bench
+
+    prior = {"impl_hash": {"stale": "deadbeef"}}
+    out = bench.detail_payload(
+        prior, 0.1, {"q": 1.0}, {"q": 0.9}, {"q": 0.9}, [], filtered=False,
+        impl_hash={"q": "abc123"}, floors_reset=["q"],
+    )
+    assert out["impl_hash"] == {"q": "abc123"}  # owned: replaced
+    assert out["provenance"]["floors_reset"] == ["q"]
+    out2 = bench.detail_payload(
+        prior, 0.1, {"q": 1.0}, {"q": 0.9}, {"q": 0.9}, [], filtered=False
+    )
+    assert out2["impl_hash"] == {} and out2["provenance"]["floors_reset"] == []
