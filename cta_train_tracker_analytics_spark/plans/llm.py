@@ -307,13 +307,86 @@ def ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ext_dedup_minhash_mllib")
+@query(
+    "ext_dedup_minhash_mllib",
+    oracle=f"""
+    WITH {_SHINGLE_CTE}
+    SELECT CAST(count(DISTINCT id) AS BIGINT) AS n_docs,
+           CAST(0 AS BIGINT) AS n_pairs_below_thresh,
+           CAST(0 AS BIGINT) AS n_dup_pairs_missed
+    FROM tok
+    """,
+)
 def ext_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib flavor of MinHash near-dup (SURVEY §2.11's named primitive):
     HashingTF token vectors → MinHashLSH.approxSimilarityJoin. Seeded, so
     deterministic per Spark version — but the hash family is JVM-internal,
-    so this runs under the rows-only check; exact oracle parity is carried
-    by ext_dedup_minhash (the portable-hash implementation)."""
+    so the PAIR SET is not SQL-replayable; exact oracle parity on pairs is
+    carried by ext_dedup_minhash (the portable-hash implementation).
+
+    The registered form therefore surfaces the audit (r11 verdict #6) —
+    one row with the two invariants the sketch guarantees regardless of
+    hash family, so the driver checks semantics instead of rows-only:
+
+    - ``n_pairs_below_thresh`` = returned pairs whose EXACT trigram-set
+      Jaccard is < 0.65. approxSimilarityJoin's distance filter is exact
+      over the hashed-feature sets (thresh 0.3 → Jaccard ≥ 0.7), so this
+      is 0 by construction (0.05 slack absorbs the rare 2^18-bin feature
+      collision); any junk pair a broken LSH emits flips the hash.
+    - ``n_dup_pairs_missed`` = identical-token-sequence pairs absent from
+      the output. Identical docs have Jaccard exactly 1, so EVERY hash
+      table buckets them together — recall 1 is guaranteed, not
+      probabilistic; a broken bucketing flips the hash.
+    - ``n_docs`` anchors the audit to the data (docs with ≥1 trigram;
+      the oracle replays it from the shared shingle CTE).
+
+    The raw pair set stays available via ``mllib_minhash_pairs`` (used by
+    the recall-vs-portable-minhash unit test and by callers who want the
+    pairs themselves)."""
+    feats, p = mllib_minhash_pairs(spark, sf_dir)
+    ta = feats.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
+    tb = feats.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"))
+    jac = F.size(F.array_intersect("ta", "tb")) / F.size(F.array_union("ta", "tb"))
+    pair_audit = (
+        p.join(ta, "id_a")
+        .join(tb, "id_b")
+        .agg(
+            F.coalesce(
+                F.sum((jac < 0.65).cast("bigint")), F.lit(0).cast("bigint")
+            ).alias("n_pairs_below_thresh"),
+            F.coalesce(
+                F.sum((F.col("ta") == F.col("tb")).cast("bigint")),
+                F.lit(0).cast("bigint"),
+            ).alias("n_dup_pairs_found"),
+        )
+    )
+    # identical token sequences -> identical trigram arrays (injective for
+    # >= 3 tokens), Jaccard exactly 1 -> guaranteed candidates
+    expected = feats.groupBy("toks").agg(F.count(F.lit(1)).alias("c")).agg(
+        F.coalesce(
+            F.sum(F.expr("c * (c - 1) DIV 2")), F.lit(0).cast("bigint")
+        ).alias("n_dup_pairs_expected")
+    )
+    n_docs = feats.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    return (
+        n_docs.crossJoin(pair_audit)
+        .crossJoin(expected)
+        .select(
+            "n_docs",
+            "n_pairs_below_thresh",
+            (F.col("n_dup_pairs_expected") - F.col("n_dup_pairs_found")).alias(
+                "n_dup_pairs_missed"
+            ),
+        )
+    )
+
+
+def mllib_minhash_pairs(spark: SparkSession, sf_dir: str):
+    """The MLlib MinHash pipeline behind ext_dedup_minhash_mllib: trigram
+    shingle arrays → HashingTF → MinHashLSH.approxSimilarityJoin. Returns
+    ``(feats, pairs)`` — the checkpointed (doc_id, toks, features) working
+    set and the deduped (id_a < id_b) near-dup candidate pairs at Jaccard
+    distance ≤ 0.3."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     from ..functions.text import tokens as tokens_expr
@@ -347,14 +420,15 @@ def ext_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = lsh.fit(feats)
     pairs = model.approxSimilarityJoin(feats, feats, 0.3, distCol="jaccard_dist")
-    return (
+    p = (
         pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
         .select(
             F.col("datasetA.doc_id").alias("id_a"),
             F.col("datasetB.doc_id").alias("id_b"),
-            F.round(1 - F.col("jaccard_dist"), 4).alias("jaccard"),
         )
+        .dropDuplicates(["id_a", "id_b"])
     )
+    return feats, p
 
 
 @query(

@@ -960,15 +960,48 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS d,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           CAST(TRUE AS BOOLEAN) AS within_10pct
+    FROM events GROUP BY CAST(ts AS DATE)
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-count sketch — the one-pass, mergeable,
-    fixed-memory scale path for agg_distinct_trains at 100 TB. Sketch
-    estimates are engine-specific, so this runs under the rows-only check
-    (exact-count parity is covered by agg_distinct_trains)."""
+    fixed-memory scale path for agg_distinct_trains at 100 TB.
+
+    The sketch ESTIMATE is engine-specific (DuckDB's approx estimator
+    differs), so the registered form surfaces the audit instead of the
+    raw number (r11 verdict #6): per day, the exact distinct count plus
+    a boolean pinning the HLL estimate within ±10% of it — rsd=0.02
+    gives a 2% relative standard deviation, so 10% is a 5σ bound that
+    only a broken sketch violates; the oracle computes the exact side
+    and pins the boolean TRUE, which upgrades the old rows-only row to
+    a real semantic check (an estimator drifting past 5σ now flips the
+    driver hash). Production pipelines surface the estimate itself; the
+    exact side here doubles as that estimate's ground truth."""
     ev = load(spark, sf_dir, "events")
-    return ev.groupBy(F.to_date("ts").alias("d")).agg(
-        F.approx_count_distinct("user_id", rsd=0.02).cast("bigint").alias("n_users_approx")
+    per_day = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.approx_count_distinct("user_id", rsd=0.02)
+        .cast("bigint")
+        .alias("approx"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users_exact"),
+    )
+    return per_day.select(
+        "d",
+        "n_users_exact",
+        F.when(F.col("n_users_exact") == 0, F.col("approx") == 0)
+        .otherwise(
+            (
+                F.abs(F.col("approx") - F.col("n_users_exact"))
+                / F.col("n_users_exact").cast("double")
+            )
+            <= 0.10
+        )
+        .alias("within_10pct"),
     )
 
 
@@ -1155,7 +1188,15 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_hll_union")
+@query(
+    "agg_hll_union",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           CAST(TRUE AS BOOLEAN) AS merged_within_10pct
+    FROM events GROUP BY event_type
+    """,
+)
 def agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RE-AGGREGATABLE distinct sketches — the pattern behind every rollup
     table: build one HLL sketch per (day, event_type) partial, then merge
@@ -1163,21 +1204,44 @@ def agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     what a 100 TB pipeline persists; month/quarter/lifetime uniques then
     cost a sketch merge (bytes per group), never a re-scan of raw events.
     Spark's HLL binary format is stable across shuffles and versions
-    (Apache DataSketches), so the partials are storable columns. No SQL
-    oracle: DuckDB's approx_count_distinct uses a different estimator, so
-    the driver records the rows-only check; the unit test bounds the
-    estimate against the exact count (within HLL's documented rsd)."""
+    (Apache DataSketches), so the partials are storable columns.
+
+    The merged ESTIMATE is engine-specific (DuckDB has no DataSketches
+    HLL), so the registered form surfaces the audit (r11 verdict #6):
+    per event_type, the exact distinct count plus a boolean pinning the
+    merged-sketch estimate within ±10% of it — default lgConfigK=12
+    gives ~1.6% rsd, so 10% is a >5σ bound that only a broken sketch or
+    a broken MERGE violates (and the merge is exactly what this operator
+    exists to exercise). The oracle computes the exact side and pins the
+    boolean TRUE — a real semantic check instead of rows-only."""
     ev = load(spark, sf_dir, "events")
     daily = ev.groupBy(
         F.to_date("ts").alias("d"), "event_type"
     ).agg(F.hll_sketch_agg("user_id").alias("sk"))
-    return (
-        daily.groupBy("event_type")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias(
-                "approx_users"
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias("approx")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_users_exact")
+    )
+    # eqNullSafe: a NULL event_type group (dirty feeds) exists on both
+    # sides and must pair with itself — a plain equi-join would drop it
+    # while the oracle's GROUP BY keeps it (round-11 nulls-sweep class)
+    return exact.alias("x").join(
+        F.broadcast(merged).alias("m"),
+        F.col("x.event_type").eqNullSafe(F.col("m.event_type")),
+    ).select(
+        F.col("x.event_type").alias("event_type"),
+        "n_users_exact",
+        F.when(F.col("n_users_exact") == 0, F.col("approx") == 0)
+        .otherwise(
+            (
+                F.abs(F.col("approx") - F.col("n_users_exact"))
+                / F.col("n_users_exact").cast("double")
             )
+            <= 0.10
         )
+        .alias("merged_within_10pct"),
     )
 
 

@@ -223,6 +223,9 @@ _NANINF_SCOPE = [
     "agg_runs_test", "agg_autocorr", "ext_calibration_bins",
     "agg_quantile_bands", "ext_winsorized_mean", "win_anomaly_zscore",
     "ext_ks_test", "agg_regression_ols", "win_cusum", "win_peak_detection",
+    # r12: KLL joined the finite-gated tier when its oracle was upgraded
+    # from rows-only to the rank-error audit
+    "agg_kll_quantiles",
 ]
 
 SWEEPS = {

@@ -177,20 +177,27 @@ def test_lsh_bucketed_pairs_finds_identical_vectors(spark):
 
 
 def test_mllib_minhash_recalls_verified_pairs(spark):
-    """ext_dedup_minhash_mllib is rows-only forever at the driver (its hash
-    family is JVM-internal), so its verification lives HERE: the candidate
-    set must recall ≥90% of the pairs the portable, oracle-hash-verified
-    ext_dedup_minhash emits at the same Jaccard ≥ 0.7 threshold on the same
-    trigram shingles (measured 1.0 at sf0.001). Both are 8-table/16-perm
-    LSH, so large recall gaps mean a broken shingle or join stage, not
-    sketch noise."""
+    """ext_dedup_minhash_mllib's PAIR SET is JVM-hash-specific (the driver
+    checks the invariant audit instead, r11 verdict #6), so the recall
+    check lives HERE: the candidate set must recall ≥90% of the pairs the
+    portable, oracle-hash-verified ext_dedup_minhash emits at the same
+    Jaccard ≥ 0.7 threshold on the same trigram shingles (measured 1.0 at
+    sf0.001). Both are 8-table/16-perm LSH, so large recall gaps mean a
+    broken shingle or join stage, not sketch noise."""
     from cta_train_tracker_analytics_spark.plans import registry
+    from cta_train_tracker_analytics_spark.plans.llm import mllib_minhash_pairs
 
     q = registry.all_queries()
     ref = {(r["id_a"], r["id_b"]) for r in q["ext_dedup_minhash"](spark, SF_DIR).collect()}
-    ml = {(r["id_a"], r["id_b"]) for r in q["ext_dedup_minhash_mllib"](spark, SF_DIR).collect()}
+    _, pairs = mllib_minhash_pairs(spark, SF_DIR)
+    ml = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert ref, "portable minhash found no pairs — fixture drift"
     assert len(ref & ml) / len(ref) >= 0.9
+    # the registered audit form over the same pipeline must be clean
+    audit = q["ext_dedup_minhash_mllib"](spark, SF_DIR).collect()[0]
+    assert audit["n_docs"] > 0
+    assert audit["n_pairs_below_thresh"] == 0
+    assert audit["n_dup_pairs_missed"] == 0
 
 
 def test_banded_lsh_supersets_single_table(spark):

@@ -479,27 +479,41 @@ def test_theta_exact_mode_precondition(spark):
 
 
 def test_kll_quantiles_within_rank_error(spark):
-    """Every KLL estimate must sit within 5% normalized rank of the exact
-    quantile (k=200 guarantees ~1.65%; 5% is a loose CI-stable bound)."""
+    """agg_kll_quantiles now SURFACES its rank-error audit (r11 verdict
+    #6): n plus booleans pinning each KLL estimate inside the ε=0.03
+    normalized-rank band (k=200 guarantees ~1.65%). Assert the surfaced
+    n against an independent count and that every rank check passed —
+    the same booleans the driver now hashes. The raw estimates remain
+    independently exercised here through kll_sketch_get_quantile_double
+    on a direct aggregate."""
     got = {
         r.event_type: r
         for r in registry.all_queries()["agg_kll_quantiles"](spark, SF_DIR).collect()
     }
+    assert got
     events = load(spark, SF_DIR, "events")
     for etype, row in got.items():
-        vals = sorted(
-            r.value
-            for r in events.filter(F.col("event_type") == etype)
-            .select("value")
-            .collect()
-        )
-        n = len(vals)
+        n = events.filter(
+            (F.col("event_type") == etype)
+            & ~F.isnan("value")
+            & (F.abs("value") != float("inf"))
+        ).count()
         assert row.n == n
-        for q, est in ((0.5, row.p50), (0.9, row.p90)):
-            import bisect
+        assert row.p50_rank_ok is True, (etype, row)
+        assert row.p90_rank_ok is True, (etype, row)
+    # the sketch itself still estimates sanely (independent of the audit)
+    est = (
+        events.agg(
+            F.kll_sketch_get_quantile_double(
+                F.kll_sketch_agg_double("value"), F.lit(0.5)
+            ).alias("p50")
+        ).collect()[0]["p50"]
+    )
+    vals = sorted(r.value for r in events.select("value").collect())
+    import bisect
 
-            rank = bisect.bisect_left(vals, est) / n
-            assert abs(rank - q) <= 0.05, (etype, q, est, rank)
+    rank = bisect.bisect_left(vals, est) / len(vals)
+    assert abs(rank - 0.5) <= 0.05, (est, rank)
 
 
 def test_snm_single_window_single_exchange(spark):
@@ -512,15 +526,17 @@ def test_snm_single_window_single_exchange(spark):
 
 
 def test_compression_quality_bounds_and_monotonicity(spark):
-    """Rows-only op's real verification: ratios land in (0, 1.1] on the
-    corpus, and a 10x-repeated document compresses strictly better than
-    its single copy (repetition must lower the ratio — that's the
-    signal's entire premise)."""
+    """ext_compression_quality now SURFACES its audit (r11 verdict #6):
+    per-doc UTF-8 byte length plus a boolean pinning zlib inside its
+    size envelope. Assert every check passed, that n_bytes is real
+    (≥ n_chars for UTF-8), and keep the signal's premise verified
+    independently: a 10x-repeated document compresses strictly better
+    than its single copy."""
     pdf = registry.all_queries()["ext_compression_quality"](spark, SF_DIR).toPandas()
-    assert (pdf["compress_ratio"] > 0).all()
-    # header overhead dominates very short texts; the bound is meaningful
-    # only once the payload outweighs the zlib framing
-    assert (pdf.loc[pdf["n_chars"] >= 100, "compress_ratio"] <= 1.1).all()
+    nonempty = pdf[pdf["ratio_ok"].notna()]
+    assert len(nonempty) > 0
+    assert nonempty["ratio_ok"].all()
+    assert (nonempty["n_bytes"] >= nonempty["n_chars"]).all()  # UTF-8 ≥ chars
 
     import zlib
 
