@@ -558,6 +558,7 @@ def ivf_assign_sharded_multi(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     residence_cap: int | None = None,
+    n_branches: int | None = None,
 ) -> DataFrame:
     """Multi-probe assignment over the SHARDED two-level index — the
     production composition the graph family's exhibits measure one axis
@@ -612,7 +613,21 @@ def ivf_assign_sharded_multi(
     assignments and inherit the target cell's natural diversity — the
     one-pass form the verdict's recipe names). Cost: one extra
     corpus-wide hash shuffle (the rank window on the residence cell);
-    ``None`` preserves the uncapped plan bit-for-bit."""
+    ``None`` preserves the uncapped plan bit-for-bit. Measured on both a
+    uniform 20k corpus and the clustered sf1 probe corpus, the cap
+    changes graph edge recall by EXACTLY zero at every branch setting —
+    the swap keeps the probed-cell set intact, so only residence (and
+    with it the pair-volume bound) moves.
+
+    ``n_branches`` (default: ``nprobe``) decouples how many COARSE
+    branches are probed from how many leaf cells are kept: the
+    round-12 recall probe measured that restricting the union to the
+    top-2 branches is the tree's entire recall cost (graph recall@3
+    0.64 uniform / 0.53 clustered at 2 branches vs the flat family's
+    ~1.0; 3 branches → 0.73/0.63; 4 branches → 0.81/0.76). Probing b
+    branches costs b·√k leaf scores per vector — still O(N·√k) total
+    for constant b, preserving the tree's advantage over flat
+    assignment's O(N·k)."""
     coarse = centroids.orderBy("cent_id").limit(n_coarse).select(
         F.col("cent_id").alias("coarse_id"), F.col("c_vec").alias("g_vec")
     )
@@ -673,7 +688,7 @@ def ivf_assign_sharded_multi(
                     )
                 ),
                 1,
-                nprobe,
+                n_branches if n_branches is not None else nprobe,
             ).alias("branches"),
         )
         .select("id", "vec", "v_nrm", F.explode("branches").alias("b"))

@@ -4686,10 +4686,12 @@ def ext_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     vcos AS (SELECT vec_id, coarse_id,
                     sum(v * w) / (sqrt(sum(v * v)) * sqrt(sum(w * w))) AS cs
              FROM vt GROUP BY vec_id, coarse_id),
-    -- top-2 coarse branches per vector (query-side multi-probe, level 1)
+    -- top-4 coarse branches per vector (the r12 recall probe measured
+    -- the 2-branch union as the tree's whole recall cost: graph@3 0.64
+    -- uniform / 0.53 clustered at 2 branches vs 0.81/0.76 at 4)
     vbranch AS (SELECT vec_id, coarse_id FROM vcos
                 QUALIFY row_number() OVER (PARTITION BY vec_id
-                                           ORDER BY cs DESC, coarse_id) <= 2),
+                                           ORDER BY cs DESC, coarse_id) <= 4),
     -- all leaves of the probed branches, scored
     bt AS (SELECT e.vec_id, cent.cent_id,
                   unnest(e.embedding)::DOUBLE AS v, unnest(cent.c)::DOUBLE AS w
@@ -4762,12 +4764,18 @@ def ext_knn_graph_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(N)-bytes structure anywhere, the r10 verdict's last `weak`).
 
     Assignment (operators/similarity.py::ivf_assign_sharded_multi):
-    top-2 coarse branches in-row over the broadcast coarse array, both
-    branches' leaves fetched via the sharded join, GLOBAL top-2 leaf
-    cells kept from the scored union — so a cross-branch runner-up leaf
-    is probed, not lost (the tree analog of flat multi-assign's global
-    top-2 cells; they differ only when a true top-2 leaf hides outside
-    the top-2 branches). Probe 1 is the residence cell, and residence
+    top-4 coarse branches in-row over the broadcast coarse array, the
+    probed branches' leaves fetched via the sharded join, GLOBAL top-2
+    leaf cells kept from the scored union — so a cross-branch runner-up
+    leaf is probed, not lost. The branch count is the tree's measured
+    recall knob (r12 recall probe, uniform 20k corpus at the realized
+    80-cell regime / clustered sf1 copies): 2 branches → graph edge
+    recall@3 0.64/0.53, 3 → 0.73/0.63, 4 → 0.81/0.76, vs the flat
+    family's 0.99–1.0 at O(N·k) assignment cost. Probing b branches is
+    b·√k leaf scores per vector — O(N·√k) for constant b, the whole
+    point of the tree; the residual gap to flat multi is the quantizer
+    approximation, and a caller needing flat-level recall at sublinear
+    k should use ext_knn_graph_ivf_multi. Probe 1 is the residence cell, and residence
     occupancy is CAPPED at 2·⌈N/k⌉ original residents per cell (r11
     verdict: the union-argmax measurably skews occupancy — max cell 715
     vs flat multi's 346 at identical avg 250, sf1 — and the self-join's
@@ -4799,7 +4807,7 @@ def ext_knn_graph_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
     )
     assigned = ivf_assign_sharded_multi(
-        emb, centroids, n_coarse, 2, residence_cap=cap
+        emb, centroids, n_coarse, 2, residence_cap=cap, n_branches=4
     )
     assigned = assigned.localCheckpoint(eager=True)
     width = _pinned_shuffle_width(spark)
