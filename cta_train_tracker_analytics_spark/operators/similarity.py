@@ -47,8 +47,16 @@ LSH_PLANES = 8
 #: per-bucket verify is parallel enough and extra bits only cost recall.
 LSH_PLANES_CAP = 24
 
-#: expected rows per bucket the adaptive sizing aims for.
-LSH_TARGET_BUCKET_ROWS = 1024
+#: expected rows per bucket the adaptive sizing aims for. 64 (was 1024
+#: through round 11): in-bucket verify is occupancy/2 cosine folds PER
+#: ROW, so the target IS the linear constant — and the floor of 8 bits
+#: means occupancy GROWS with N until N = target·2^8, quadratic pair
+#: volume all the way (measured: ext_dedup_embed ran 17.8× for 10× data
+#: on the 2k→20k transition under target 1024, whose linear regime only
+#: started at 262k rows). Target 64 starts the linear regime at 16k rows
+#: and caps verify work at ≤32 folds/row; the per-bit recall cost is
+#: compensated in the banded op by its table rule (below).
+LSH_TARGET_BUCKET_ROWS = 64
 
 
 def adaptive_planes(
@@ -821,12 +829,28 @@ def ivf_topk(
 
 
 def projection_planes(dims: int, planes: int = LSH_PLANES) -> list[list[float]]:
-    """Deterministic integer-valued hyperplanes: coef[p][d] from the shared
-    LCG — exactly representable doubles, reproducible in SQL."""
-    return [
-        [float(lcg(p * dims + d, 2_000_001) - 1_000_000) for d in range(dims)]
-        for p in range(planes)
-    ]
+    """Deterministic integer-valued hyperplanes: coef[p][d] = md5-derived
+    60-bit hash of "p_d", reduced mod 2,000,001 and centered — exactly
+    representable doubles, reproducible in SQL as
+    ``('0x' || substr(md5(p || '_' || d), 1, 15))::BIGINT % 2000001 -
+    1000000``.
+
+    md5, NOT the shared LCG (round-12 re-key): consecutive-seed LCG
+    outputs lie on a coarse lattice, so the plane rows were strongly
+    CORRELATED — measured on a 20k uniform corpus at 9 bits, the hottest
+    sign bucket held 1,595 rows (median 16) and in-bucket candidate
+    volume was 7.6× the independent-plane level (3.50M vs 0.46M pairs;
+    at 12 bits 13.8×). Correlated planes waste exactly what sign-LSH
+    sells — bits that halve bucket occupancy — and the skew worsens with
+    bit count, so the defect compounds at scale. md5 avalanche restores
+    ~independent hyperplanes; every oracle replays the same bytes."""
+    import hashlib
+
+    def coef(p: int, d: int) -> float:
+        h = int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:15], 16)
+        return float(h % 2_000_001 - 1_000_000)
+
+    return [[coef(p, d) for d in range(dims)] for p in range(planes)]
 
 
 def lsh_bucketed_pairs(
@@ -915,7 +939,7 @@ def lsh_banded_pairs(
     df: DataFrame,
     dims: int,
     threshold: float,
-    tables: int = 4,
+    tables: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     planes: int | None = None,
@@ -940,9 +964,23 @@ def lsh_banded_pairs(
     explodes L rows per doc and self-joins per (table, bucket); distinct
     pairs then join the pinned (id, vec, nrm) projection TWICE for the
     cosine verify. Vectors never ride through the candidate shuffle, and
-    each pair is verified once however many tables it collides in."""
+    each pair is verified once however many tables it collides in.
+
+    ``tables=None`` (default) applies the compensation rule ``4 +
+    (planes − 8)``: one extra table per adaptive bit past the floor, so
+    the recall the occupancy-bounding bits remove is bought back at
+    linear (one more bucket row per vector) cost. Measured at 20k rows,
+    threshold 0.2 (the hardest case — per-bit retention 1−θ/π ≈ 0.56;
+    real near-dups at cos 0.9 retain ≈ 0.86/bit): (planes 8, tables 4)
+    → 1.58M verified pairs in 27.6 s; (9, 5) → 1.33M in 14.5 s;
+    (10, 6) → 1.22M in 8.7 s. Tables grow ~log(N/target), so total
+    verify work is N·tables·occupancy/2 — within a log factor of
+    linear with recall held roughly flat, the same b·r discipline as
+    minhash banding."""
     if planes is None:
         planes = adaptive_planes(df.count())
+    if tables is None:
+        tables = 4 + max(0, planes - LSH_PLANES)
     coefs = projection_planes(dims, tables * planes)
     # all tables×planes projections via ONE shared-lambda transform over
     # the literal plane matrix (see lsh_bucketed_pairs — plan-compile cost

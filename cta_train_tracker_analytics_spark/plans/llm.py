@@ -523,20 +523,22 @@ def ext_dedup_minhash_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_dedup_embed_banded",
     oracle="""
     WITH params AS (
-        -- replay adaptive_planes(): smallest planes with 2^planes >= n/1024,
-        -- clamped to [8, 24] (operators/similarity.py); 4 tables
-        SELECT CASE WHEN cnt <= 1024 THEN 8
+        -- replay adaptive_planes(): smallest planes with 2^planes >= n/64,
+        -- clamped to [8, 24] (operators/similarity.py); tables follow
+        -- the compensation rule 4 + (np - 8)
+        SELECT CASE WHEN cnt <= 64 THEN 8
                     ELSE greatest(8, least(24,
-                         CAST(ceil(log2(cnt / 1024.0)) AS INTEGER)))
+                         CAST(ceil(log2(cnt / 64.0)) AS INTEGER)))
                END AS np
         FROM (SELECT count(*) AS cnt FROM embeddings)
     ),
     planes AS (
         SELECT p // np AS tbl, p % np AS bit, d,
-               CAST(((1103515245 * (p * 64 + d) + 12345) % 2000001)
+               CAST((('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR),
+                                     1, 15))::BIGINT % 2000001)
                     - 1000000 AS DOUBLE) AS c
-        FROM generate_series(0, 95) gp(p), generate_series(0, 63) gd(d), params
-        WHERE p < 4 * np
+        FROM generate_series(0, 479) gp(p), generate_series(0, 63) gd(d), params
+        WHERE p < (4 + np - 8) * np
     ),
     emb AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
                    unnest(embedding)::DOUBLE AS v
@@ -565,17 +567,22 @@ def ext_dedup_minhash_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ext_dedup_embed_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-table (banded) sign-LSH embedding near-dup: 4 independent
-    tables of adaptive_planes() bits each; collide in ANY table →
-    candidate; cosine ≥ 0.2 verified once per distinct pair. The recall
-    companion to ext_dedup_embed — adaptive bit growth keeps buckets
-    bounded at 100 TB but costs per-table recall, and L tables turn
-    per-table recall r into 1 − (1 − r)^4 (the minhash banding argument,
-    applied to the embedding space). Table 0's planes are exactly
-    ext_dedup_embed's, so the single-table pairs are a subset by
-    construction (asserted in tests)."""
+    """Multi-table (banded) sign-LSH embedding near-dup: 4 + (planes − 8)
+    independent tables of adaptive_planes() bits each (the r12
+    compensation rule — one extra table per occupancy-bounding bit past
+    the floor); collide in ANY table → candidate; cosine ≥ 0.2 verified
+    once per distinct pair. The recall companion to ext_dedup_embed —
+    adaptive bit growth keeps buckets bounded at 100 TB but costs
+    per-table recall, and L tables turn per-table recall r into
+    1 − (1 − r)^L (the minhash banding argument, applied to the
+    embedding space). Measured at 20k rows: (8 bits, 4 tables) 1.58M
+    verified pairs / 27.6 s vs the rule's (9, 5) 1.33M / 14.5 s — 84%
+    of the pairs at half the time, at the hardest threshold (0.2; real
+    near-dups at cos 0.9 retain far more per bit). Table 0's planes are
+    exactly ext_dedup_embed's, so the single-table pairs are a subset
+    by construction (asserted in tests)."""
     emb = load(spark, sf_dir, "embeddings")
-    return lsh_banded_pairs(emb, dims=64, threshold=0.2, tables=4)
+    return lsh_banded_pairs(emb, dims=64, threshold=0.2)
 
 
 @query(
@@ -585,15 +592,17 @@ def ext_dedup_embed_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHERE vec_id >= 100),
     batch AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100),
     params AS (
-        SELECT CASE WHEN cnt <= 1024 THEN 8
+        SELECT CASE WHEN cnt <= 64 THEN 8
                     ELSE greatest(8, least(24,
-                         CAST(ceil(log2(cnt / 1024.0)) AS INTEGER)))
+                         CAST(ceil(log2(cnt / 64.0)) AS INTEGER)))
                END AS np
         FROM (SELECT count(*) AS cnt FROM corpus)
     ),
     planes AS (
-        SELECT p, d, CAST(((1103515245 * (p * 64 + d) + 12345) % 2000001)
-                          - 1000000 AS DOUBLE) AS c
+        SELECT p, d,
+               CAST((('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR),
+                                     1, 15))::BIGINT % 2000001)
+                    - 1000000 AS DOUBLE) AS c
         FROM generate_series(0, 23) gp(p), generate_series(0, 63) gd(d), params
         WHERE p < np
     ),
@@ -1080,17 +1089,19 @@ def ext_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_dedup_embed",
     oracle="""
     WITH params AS (
-        -- replay adaptive_planes(): smallest planes with 2^planes >= n/1024,
+        -- replay adaptive_planes(): smallest planes with 2^planes >= n/64,
         -- clamped to [8, 24] (operators/similarity.py)
-        SELECT CASE WHEN cnt <= 1024 THEN 8
+        SELECT CASE WHEN cnt <= 64 THEN 8
                     ELSE greatest(8, least(24,
-                         CAST(ceil(log2(cnt / 1024.0)) AS INTEGER)))
+                         CAST(ceil(log2(cnt / 64.0)) AS INTEGER)))
                END AS np
         FROM (SELECT count(*) AS cnt FROM embeddings)
     ),
     planes AS (
-        SELECT p, d, CAST(((1103515245 * (p * 64 + d) + 12345) % 2000001)
-                          - 1000000 AS DOUBLE) AS c
+        SELECT p, d,
+               CAST((('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR),
+                                     1, 15))::BIGINT % 2000001)
+                    - 1000000 AS DOUBLE) AS c
         FROM generate_series(0, 23) gp(p), generate_series(0, 63) gd(d), params
         WHERE p < np
     ),
@@ -1123,9 +1134,19 @@ def ext_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup via sign-LSH: deterministic integer
     hyperplanes → sign-bit buckets → equi-join + cosine ≥ 0.2 inside
     buckets. Plane count sizes itself to the corpus (adaptive_planes:
-    ~1024 rows/bucket, floor 8 / cap 24 bits) so in-bucket verify work
-    stays ~linear in N instead of N²/256; the oracle replays the same
-    count-derived formula."""
+    ≤64 expected rows/bucket, floor 8 / cap 24 bits) so in-bucket verify
+    work is bounded at ≤32 cosine folds per row from N = 16k rows on;
+    the oracle replays the same count-derived formula. The r12 sf1 probe
+    caught the old target (1024) leaving the 8-bit floor in charge until
+    262k rows — occupancy, and with it pair volume per row, grew with N
+    across that whole regime (measured 17.8× wall for 10× rows at
+    2k→20k under the old target; the 2k end still sits below the new
+    16k asymptote, so that decade stays transition-regime — the bound
+    is on work per row from 16k on, re-measured in BENCH_DETAIL's sf1
+    probe). The tighter target trades per-table
+    recall (one bit per 16× corpus growth), which is the banded
+    variant's job to buy back — single-table sign-LSH holds only two of
+    {bounded work, constant recall, one table}."""
     emb = load(spark, sf_dir, "embeddings")
     return lsh_bucketed_pairs(emb, dims=64, threshold=0.2)
 

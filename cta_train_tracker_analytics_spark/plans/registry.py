@@ -94,7 +94,19 @@ _PRIORITY = [
     #       3.13 → 2.15 s at sf0.1). Output unchanged; plan changed →
     #       re-hash per policy. Closes the r11 drift flag's plan audit
     #       (the AQE-coalescing pattern was measured and ruled out).
+    #   ext_dedup_embed / _banded / _incremental — the LSH occupancy
+    #       target re-key (1024 → 64; similarity.py): the sf1 probe
+    #       measured 17.8× wall for 10× rows because the 8-bit floor
+    #       ruled until 262k rows — in-bucket verify folds per row grew
+    #       with N. Target 64 starts the linear regime at 16k rows;
+    #       banded compensates recall with one extra table per adaptive
+    #       bit (4 + (planes−8), measured 84% pairs at half the time).
+    #       Oracles replay both formulas; at sf0.01 (N=500, floor) the
+    #       outputs are unchanged — re-hash per policy.
     "ext_lm_perplexity",
+    "ext_dedup_embed",
+    "ext_dedup_embed_banded",
+    "ext_dedup_embed_incremental",
     "ext_knn_graph_prod",
     "ext_knn_graph_ivf_sharded",
     "ext_sim_search_ivf_sharded",
@@ -286,7 +298,6 @@ _PRIORITY = [
     #       the same numbered-repartition pin (AQE coalescing merged the
     #       fold stage to one task; measured 2.0→1.4 s at sf0.1). Output
     #       unchanged; plan changed → re-hash.
-    "ext_dedup_embed",
     # ---- Round 10 front block (stale-hash policy): every query whose
     # implementation changed this round gets a fresh driver row in the
     # SAME round.
@@ -448,8 +459,6 @@ _PRIORITY = [
     "ext_dedup_cluster_lsss",
     "str_stateful_crossings",
     "ext_dedup_minhash_twostage",
-    "ext_dedup_embed_banded",
-    "ext_dedup_embed_incremental",
     "str_foreach_batch_upsert",
     "agg_mode_median",
     "ext_tfidf_topk",

@@ -313,10 +313,10 @@ def test_adaptive_planes_sizes_to_corpus():
     from cta_train_tracker_analytics_spark.operators.similarity import adaptive_planes
 
     assert adaptive_planes(0) == 8
-    assert adaptive_planes(500) == 8
-    assert adaptive_planes(1024) == 8  # exactly at target → floor
-    assert adaptive_planes(1024 * 300) == 9  # ceil(log2(300)) = 9
-    assert adaptive_planes(10**9) == 20  # ~1e6 buckets for 1B rows
+    assert adaptive_planes(64) == 8  # exactly at target → floor
+    assert adaptive_planes(500) == 8  # driver scale: still the floor
+    assert adaptive_planes(64 * 300) == 9  # ceil(log2(300)) = 9
+    assert adaptive_planes(10**9) == 24  # ~16.7M buckets for 1B rows
     assert adaptive_planes(10**12) == 24  # capped
     # monotone: more rows never means fewer buckets
     vals = [adaptive_planes(n) for n in (10**3, 10**5, 10**7, 10**9, 10**12)]

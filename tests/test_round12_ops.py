@@ -179,3 +179,46 @@ def test_prod_capped_parity_on_skewed_corpus(spark, skewed_emb, tmp_path):
     b = sorted(map(tuple, want[cols].itertuples(index=False)))
     assert len(a) == len(b) > 0
     assert a == b
+
+
+def test_adaptive_planes_target64_and_oracle_lockstep():
+    """Round-12 re-key of the LSH occupancy target (1024 → 64): the sf1
+    probe measured ext_dedup_embed at 17.8× wall for 10× rows because
+    the 8-bit floor ruled until N = 262k under the old target —
+    occupancy (verify folds per row) grew with N across the whole
+    regime. With target 64 the linear regime starts at 16k rows and
+    occupancy stays ≤ 64. The oracle replays the formula as SQL, and
+    the driver only exercises N=500 (floor on both engines), so THIS
+    test pins the lockstep across the regime boundary: the DuckDB CASE
+    must equal adaptive_planes(N) for N spanning floor, transition and
+    cap, and expected occupancy must stay ≤ 64 past the 16k asymptote."""
+    import duckdb
+
+    from cta_train_tracker_analytics_spark.operators.similarity import (
+        LSH_PLANES,
+        adaptive_planes,
+        lsh_banded_pairs,  # noqa: F401 — the rule below is its contract
+    )
+
+    case_sql = """
+        SELECT CASE WHEN {n} <= 64 THEN 8
+                    ELSE greatest(8, least(24,
+                         CAST(ceil(log2({n} / 64.0)) AS INTEGER)))
+               END
+    """
+    con = duckdb.connect()
+    for n in [1, 64, 65, 500, 2000, 16384, 16385, 20000, 200000,
+              2_000_000, 64 * 2**24, 64 * 2**24 + 1]:
+        want = adaptive_planes(n)
+        got = con.execute(case_sql.format(n=n)).fetchone()[0]
+        assert got == want, (n, got, want)
+        if n > 16384:
+            # bounded occupancy — except past the 24-bit cap, where the
+            # design accepts growing buckets (16.7M buckets is parallel
+            # enough; extra bits would only cost recall)
+            assert n / 2**want <= 64 or want == 24, (n, want)
+    con.close()
+    # banded compensation rule: one table per adaptive bit past the floor
+    assert 4 + max(0, adaptive_planes(500) - LSH_PLANES) == 4
+    assert 4 + max(0, adaptive_planes(20000) - LSH_PLANES) == 5
+    assert 4 + max(0, adaptive_planes(200000) - LSH_PLANES) == 8
