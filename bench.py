@@ -110,6 +110,7 @@ HEADLINE = [
     "ext_hard_negatives",
     "ext_hybrid_retrieval_rrf",
     "ext_knn_graph_recall",
+    "ext_knn_graph_prod_recall",
     "sql_ship_priority",
     "sql_local_supplier_volume",
     "sql_top_returned_customers",

@@ -4675,10 +4675,12 @@ def ext_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ext_knn_graph_prod",
-    oracle="""
-    WITH emb AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL),
+#: shared oracle CTE chain: ext_knn_graph_prod's full tree replay —
+#: clamped coarse count, 4-branch union, residence cap + swap, and the
+#: scored graph pairs (CTE `s`). Reused verbatim by the prod query and
+#: its recall audit so the two can never drift.
+_PROD_TREE_CTES = """
+    emb AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL),
     cent AS (SELECT vec_id AS cent_id, embedding AS c FROM (
                  SELECT vec_id, embedding,
                         row_number() OVER (ORDER BY vec_id) AS rn,
@@ -4765,6 +4767,13 @@ def ext_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     s AS (SELECT vec_id, neighbor_id,
                  sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cs
           FROM terms GROUP BY vec_id, neighbor_id)
+"""
+
+
+@query(
+    "ext_knn_graph_prod",
+    oracle=f"""
+    WITH {_PROD_TREE_CTES}
     SELECT CAST(vec_id AS BIGINT) AS vec_id,
            CAST(neighbor_id AS BIGINT) AS neighbor_id,
            round(cs, 4) + 0.0 AS cos_sim,
@@ -4861,6 +4870,101 @@ def ext_knn_graph_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
             # + 0.0 canonicalizes IEEE negative zero (graph-family contract)
             (F.round("cs", 4) + 0.0).alias("cos_sim"),
             "rnk",
+        )
+    )
+
+
+@query(
+    "ext_knn_graph_prod_recall",
+    oracle=f"""
+    WITH {_PROD_TREE_CTES},
+    g AS (SELECT vec_id AS g_qid, neighbor_id AS g_nid FROM s
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cs DESC, neighbor_id) <= 3),
+    -- seed sample: the 50 smallest EXISTING ids (id-agnostic, the
+    -- family's audit rule)
+    sd AS (SELECT vec_id FROM emb ORDER BY vec_id LIMIT 50),
+    qv AS (SELECT vec_id AS query_id, embedding AS qe FROM emb
+           WHERE vec_id IN (SELECT vec_id FROM sd)),
+    xp AS (SELECT q.query_id, e.vec_id, q.qe, e.embedding AS ce
+           FROM qv q CROSS JOIN emb e WHERE e.vec_id <> q.query_id),
+    xt AS (SELECT query_id, vec_id, unnest(qe)::DOUBLE AS qa,
+                  unnest(ce)::DOUBLE AS cb
+           FROM xp),
+    xs AS (SELECT query_id, vec_id,
+                  sum(qa * cb) / (sqrt(sum(qa * qa)) * sqrt(sum(cb * cb))) AS cs
+           FROM xt GROUP BY query_id, vec_id),
+    ex AS (SELECT query_id, vec_id FROM xs
+           QUALIFY row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cs DESC, vec_id) <= 3)
+    SELECT CAST(e.query_id AS BIGINT) AS query_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(g.g_nid) AS BIGINT) AS n_hit,
+           round(count(g.g_nid) / CAST(count(*) AS DOUBLE), 4) AS recall
+    FROM ex e LEFT JOIN g ON g.g_qid = e.query_id AND g.g_nid = e.vec_id
+    GROUP BY e.query_id
+    """,
+)
+def ext_knn_graph_prod_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge recall@3 of the SHIPPED production graph composition
+    (ext_knn_graph_prod) against the exact graph, per seed — the quality
+    yardstick the family pattern demands (search has ext_sim_recall,
+    the flat graph has ext_knn_graph_recall; until round 12 the
+    production tree's recall lived only in a probe script). The r12
+    uniform-corpus probe measured the number this query now tracks
+    continuously: 0.81 uniform / 0.76 clustered at 4 probed branches
+    (0.64/0.53 at the r11 form's 2 branches — the branch union is the
+    tree's whole recall cost; the residence cap measures exactly zero).
+
+    Audit shape (the family discipline): exact top-3 needs a
+    seed×corpus pass, so the audit runs on the 50 smallest existing ids
+    — |S| bounds the cost at |S|×N scored rows — while the approximate
+    side is the registered prod query itself (same function, same
+    oracle CTEs via _PROD_TREE_CTES, so the audit can never drift from
+    what ships). At driver scale (8 cells, 3 coarse branches ≤ the 4
+    probed) the tree degenerates to flat multi-probe and recall is the
+    flat family's; the tree-approximation regime is exercised by
+    scripts/recall_probe.py at 80 cells and recorded in BENCH_DETAIL
+    `recall_uniform`."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    seeds = emb.orderBy("vec_id").limit(50).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    sc = (
+        scored_cosine(emb, seeds)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    exact = (
+        sc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "vec_id")
+    )
+    g = ext_knn_graph_prod(spark, sf_dir).select(
+        F.col("vec_id").alias("g_qid"), F.col("neighbor_id").alias("g_nid")
+    )
+    hits = exact.join(
+        g,
+        (F.col("query_id") == F.col("g_qid")) & (F.col("vec_id") == F.col("g_nid")),
+        "left",
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.count("g_nid").cast("bigint").alias("n_hit"),
+            F.round(
+                F.count("g_nid") / F.count(F.lit(1)).cast("double"), 4
+            ).alias("recall"),
+        )
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            "n_exact",
+            "n_hit",
+            "recall",
         )
     )
 

@@ -103,11 +103,17 @@ _PRIORITY = [
     #       bit (4 + (planes−8), measured 84% pairs at half the time).
     #       Oracles replay both formulas; at sf0.01 (N=500, floor) the
     #       outputs are unchanged — re-hash per policy.
+    #   ext_knn_graph_prod_recall — NEW (r12): edge recall@3 of the
+    #       SHIPPED production composition vs the exact graph per seed —
+    #       the quality yardstick the family pattern demands; shares
+    #       prod's oracle CTE chain (_PROD_TREE_CTES) so the audit can
+    #       never drift from what ships.
     "ext_lm_perplexity",
     "ext_dedup_embed",
     "ext_dedup_embed_banded",
     "ext_dedup_embed_incremental",
     "ext_knn_graph_prod",
+    "ext_knn_graph_prod_recall",
     "ext_knn_graph_ivf_sharded",
     "ext_sim_search_ivf_sharded",
     "ext_knn_graph_ivf_hier",
