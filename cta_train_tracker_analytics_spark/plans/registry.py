@@ -60,6 +60,73 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: parity replay (tests/test_oracle_parity.py) and by the non-UTC
 #: driver simulation run before each commit.
 _PRIORITY = [
+    # ---- Round 13 front block (stale-hash policy + r12 verdict #2):
+    # FIRST the three queries re-keyed by the round-13 round(avg(…),4)
+    # boundary probe — ext_calibration_bins had a bin mean landing
+    # EXACTLY on a .00005 boundary at sf0.001 (213.63375, n=8), one cent
+    # of drift from the r7 -9.38375 cross-engine flip; it and
+    # ext_winsorized_mean now round entirely in BIGINT cents (winsorized
+    # additionally swaps interpolated quantile bounds for integer-index
+    # order statistics — interpolation midpoints land on half-cents);
+    # f_math_std.avg_qty hardened with the same recipe ahead of its r4
+    # re-queue. THEN the rest of the r4 hash cohort (33 queries, 9
+    # rounds old — the oldest hashes in the registry; the r12 rotation's
+    # 50-slot budget cut off before them), THEN the r5 cohort head.
+    # Overflow (~17 r5 names) rolls to round 14.
+    "ext_calibration_bins",
+    "ext_winsorized_mean",
+    "f_math_std",
+    # r4 cohort (driver hash age 9 rounds)
+    "agg_distinct",
+    "agg_distinct_trains",
+    "agg_salted_skew",
+    "f_array_std",
+    "f_cast_bool",
+    "f_date_sub",
+    "f_encode_utf8",
+    "f_from_json",
+    "f_geo_haversine",
+    "f_map_lookup",
+    "f_now_tz",
+    "f_to_json",
+    "f_ts_diff",
+    "f_ts_parse",
+    "f_zero_pad",
+    "join_bucketed_colocated",
+    "set_except",
+    "set_intersect",
+    "set_union_all",
+    "sort_limit_topk",
+    "sort_within_partitions",
+    "str_at_least_once",
+    "str_dedup_late",
+    "str_microbatch_sink",
+    "str_redelivery",
+    "str_trigger_1min",
+    "str_tumbling_day",
+    "win_frame_range",
+    "win_lag_headway",
+    "win_latest_state",
+    "win_rank_topk",
+    "win_running",
+    # r5 cohort head (hash age 8 rounds)
+    "agg_approx_quantile",
+    "agg_bitmap_distinct",
+    "agg_corr",
+    "agg_custom_pandas_udaf",
+    "agg_pivot",
+    "ext_bm25",
+    "ext_decontaminate",
+    "ext_dedup_containment",
+    "ext_dedup_incremental",
+    "ext_dedup_minhash",
+    "ext_dedup_ngram",
+    "ext_domain_cap",
+    "ext_embed_quantize",
+    "ext_mix_weights",
+    "ext_repetition_stats",
+    "ext_seq_pack",
+    "ext_token_entropy",
     # ---- Round 12 front block (stale-hash policy): every query whose
     # implementation OR oracle changed this round gets a fresh driver row
     # in the SAME round.
@@ -162,39 +229,6 @@ _PRIORITY = [
     "f_concat_ws",
     "f_date_format",
     "f_iso_ts",
-    "f_now_tz",
-    "f_date_sub",
-    "f_zero_pad",
-    "f_to_json",
-    "f_from_json",
-    "f_encode_utf8",
-    "f_map_lookup",
-    "f_cast_bool",
-    "f_ts_parse",
-    "f_ts_diff",
-    "f_math_std",
-    "f_array_std",
-    "f_geo_haversine",
-    "agg_distinct_trains",
-    "agg_distinct",
-    "win_latest_state",
-    "win_lag_headway",
-    "win_running",
-    "win_rank_topk",
-    "win_frame_range",
-    "sort_limit_topk",
-    "agg_salted_skew",
-    "join_bucketed_colocated",
-    "sort_within_partitions",
-    "set_union_all",
-    "set_intersect",
-    "set_except",
-    "str_tumbling_day",
-    "str_trigger_1min",
-    "str_microbatch_sink",
-    "str_at_least_once",
-    "str_redelivery",
-    "str_dedup_late",
     # ---- Round 11 front block (stale-hash policy): every query whose
     # implementation changed this round gets a fresh driver row in the
     # SAME round. (Names also present in older blocks below are deduped
@@ -406,11 +440,9 @@ _PRIORITY = [
     "agg_autocorr",
     "win_peak_detection",
     "ext_survival_km",
-    "ext_calibration_bins",
     "ext_basket_lift",
     "agg_quantile_bands",
     "win_cusum",
-    "ext_winsorized_mean",
     "agg_regression_ols",
     "set_intersect_all",
     "set_except_all",
@@ -491,37 +523,20 @@ _PRIORITY = [
     "str_session_window",
     "str_stateful",
     "str_stream_join",
-    "agg_custom_pandas_udaf",
-    "agg_pivot",
-    "agg_approx_quantile",
     "snk_parquet_sorted",
-    "ext_seq_pack",
-    "ext_repetition_stats",
-    "ext_bm25",
-    "ext_domain_cap",
-    "ext_embed_quantize",
     "src_csv",
     "str_sliding_10min",
     "ext_vocab_topk",
-    "ext_mix_weights",
     "snk_orc",
     "job_prep_training_corpus",
-    "ext_dedup_containment",
     "win_session_gap",
-    "agg_bitmap_distinct",
     "win_percent_rank",
-    "ext_token_entropy",
-    "ext_dedup_incremental",
     "win_first_last",
     "join_fuzzy_levenshtein",
     "proj_unpivot",
     "src_jsonl_corrupt",
-    "agg_corr",
     "win_change_points",
     "src_parquet_evolve",
-    "ext_dedup_minhash",
-    "ext_decontaminate",
-    "ext_dedup_ngram",
 ]
 
 

@@ -274,7 +274,8 @@ def f_ts_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f_math_std",
     oracle="""
     SELECT l_returnflag,
-           round(avg(l_quantity), 4) AS avg_qty,
+           ((CAST(sum(l_quantity) AS BIGINT) * 20000 + count(*))
+               // (2 * count(*))) / CAST(10000.0 AS DOUBLE) AS avg_qty,
            round(stddev_samp(l_quantity), 4) AS std_qty,
            round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
            round(min(l_quantity), 4) AS min_qty,
@@ -285,10 +286,24 @@ def f_ts_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 def f_math_std(spark: SparkSession, sf_dir: str) -> DataFrame:
     """avg/stddev/percentile/min/max — the horizon & headway statistics
     surface (SURVEY §2.8 f_math_std). percentile() is the exact interpolated
-    quantile, matching DuckDB quantile_cont."""
+    quantile, matching DuckDB quantile_cont.
+
+    avg_qty rounds in pure BIGINT arithmetic (quantities are integers;
+    (s·2·10^4 + n) div (2n), nonnegative so no sign branch) — hardened by
+    the round-13 boundary probe ahead of this query's r4→r13 hash
+    re-queue: raw round(avg, 4) is the known data-dependent cross-engine
+    boundary (Spark rounds the shortest-decimal repr, DuckDB the binary
+    value). std/median keep plain round(): irrational-valued statistics
+    have measure-zero boundary risk, probed clean on today's data."""
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        (
+            F.expr(
+                "(cast(sum(l_quantity) as bigint) * 20000 + count(*))"
+                " div (2 * count(*))"
+            )
+            / 10000.0
+        ).alias("avg_qty"),
         F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
         F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("median_qty"),
         F.round(F.min("l_quantity"), 4).alias("min_qty"),

@@ -3808,14 +3808,23 @@ def ext_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
      s AS (
       SELECT least(CAST(floor(value / 50.0) AS INTEGER), 9) AS bin,
              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
-             value
+             CAST(round(value * 100) AS BIGINT) AS cents
       FROM events
+    ),
+    g AS (
+      SELECT CAST(bin AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(cents) AS c,
+             CAST(sum(label) AS BIGINT) AS pos
+      FROM s GROUP BY bin
     )
-    SELECT CAST(bin AS BIGINT) AS bin,
-           CAST(count(*) AS BIGINT) AS n,
-           round(avg(value), 4) AS mean_score,
-           round(avg(label), 6) AS purchase_rate
-    FROM s GROUP BY bin
+    SELECT bin, n,
+           (CASE WHEN c >= 0 THEN (c * 200 + n) // (2 * n)
+                 ELSE -(((-c) * 200 + n) // (2 * n)) END)
+               / CAST(10000.0 AS DOUBLE) AS mean_score,
+           ((pos * 2000000 + n) // (2 * n)) / CAST(1000000.0 AS DOUBLE)
+               AS purchase_rate
+    FROM g
     """,
 )
 def ext_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3825,17 +3834,36 @@ def ext_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fixed bin edges (ext_drift_psi's) rather than deciles: mergeable
     across days and no quantile pre-pass.
 
+    Both averages round ENTIRELY in BIGINT arithmetic (exact cents sum /
+    exact label count, then half-away-from-zero via (|s|·2·10^k + n) div
+    (2n) — agg_seasonality_profile's recipe): the round-13 boundary
+    probe found a bin whose mean lands EXACTLY on a .00005 boundary at
+    sf0.001 (213.63375, n=8) — a raw round(avg(value), 4) there is one
+    cent of data drift away from the r7 -9.38375 cross-engine flip, and
+    double-summation order across engines is a second latent surface the
+    integer sum removes. Same events.value ≤2-decimal input contract as
+    agg_seasonality_profile.
+
     Scale: one conditional aggregate over the scan, ten groups out."""
     s = _finite_values(load(spark, sf_dir, "events")).select(
         F.least(F.floor(F.col("value") / 50.0).cast("int"), F.lit(9)).alias("bin"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
-        "value",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
     )
-    return s.groupBy("bin").agg(
+    g = s.groupBy("bin").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.round(F.avg("value"), 4).alias("mean_score"),
-        F.round(F.avg("label"), 6).alias("purchase_rate"),
-    ).select(F.col("bin").cast("bigint"), "n", "mean_score", "purchase_rate")
+        F.sum("cents").alias("c"),
+        F.sum("label").cast("bigint").alias("pos"),
+    )
+    mean_score = F.when(
+        F.col("c") >= 0, F.expr("(c * 200 + n) div (2 * n)")
+    ).otherwise(-F.expr("((-c) * 200 + n) div (2 * n)"))
+    return g.select(
+        F.col("bin").cast("bigint").alias("bin"),
+        "n",
+        (mean_score / 10000.0).alias("mean_score"),
+        (F.expr("(pos * 2000000 + n) div (2 * n)") / 1000000.0).alias("purchase_rate"),
+    )
 
 
 @query(
@@ -4092,19 +4120,42 @@ def ext_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_winsorized_mean",
     oracle="""
     WITH events AS (SELECT * FROM main.events WHERE isfinite(value)),
-     b AS (
+     e AS (
+      SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cents, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM e
+    ),
+    b AS (
       SELECT event_type,
-             quantile_cont(value, 0.05) AS lo,
-             quantile_cont(value, 0.95) AS hi
-      FROM events GROUP BY event_type
+             min(CASE WHEN rn = (n + 19) // 20 THEN cents END) AS lo_c,
+             min(CASE WHEN rn = (19 * n + 19) // 20 THEN cents END) AS hi_c
+      FROM r GROUP BY event_type
+    ),
+    g AS (
+      SELECT e.event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(e.cents) AS c,
+             sum(least(greatest(e.cents, b.lo_c), b.hi_c)) AS wc,
+             CAST(sum(CASE WHEN e.cents < b.lo_c OR e.cents > b.hi_c
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+      FROM e JOIN b USING (event_type)
+      GROUP BY e.event_type
     )
-    SELECT e.event_type,
-           round(avg(e.value), 4) AS raw_mean,
-           round(avg(least(greatest(e.value, b.lo), b.hi)), 4) AS winsorized_mean,
-           CAST(count(*) FILTER (e.value < b.lo OR e.value > b.hi) AS BIGINT)
-               AS n_clipped
-    FROM events e JOIN b ON e.event_type = b.event_type
-    GROUP BY e.event_type
+    SELECT event_type,
+           (CASE WHEN c >= 0 THEN (c * 200 + n) // (2 * n)
+                 ELSE -(((-c) * 200 + n) // (2 * n)) END)
+               / CAST(10000.0 AS DOUBLE) AS raw_mean,
+           (CASE WHEN wc >= 0 THEN (wc * 200 + n) // (2 * n)
+                 ELSE -(((-wc) * 200 + n) // (2 * n)) END)
+               / CAST(10000.0 AS DOUBLE) AS winsorized_mean,
+           n_clipped
+    FROM g
     """,
 )
 def ext_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4113,28 +4164,67 @@ def ext_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     size (unlike trimming) while capping outlier leverage; read next to
     ext_mad_outliers (which counts the tail this op neutralizes).
 
-    Scale: one exact-percentile pass for the per-group bounds (5 rows,
+    Re-keyed by the round-13 boundary probe: the p5/p95 bounds are now
+    ORDER STATISTICS (the ceil(q·n)-th smallest, indices computed in
+    pure integer arithmetic: (n+19) div 20 / (19n+19) div 20) instead of
+    interpolated quantile_cont values, and both means round entirely in
+    BIGINT cents (agg_seasonality_profile's recipe). Interpolated bounds
+    are engine-divergent twice over — the midpoint of two cents values
+    lands exactly on a half-cent, and clipping to a non-cents double
+    feeds an order-sensitive double sum; order-statistic bounds are data
+    values (exact cents), so clip, sum, and round all stay integer.
+    Same events.value ≤2-decimal input contract as seasonality.
+
+    Scale: one per-group sort-rank pass for the bounds (5 groups,
     broadcast back), one clipped aggregate — the same
     two-pass-with-broadcast shape as MAD; percentile_approx swaps in at
-    extreme cardinality."""
-    events = _finite_values(load(spark, sf_dir, "events"))
-    b = events.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.05)).alias("lo"),
-        F.percentile("value", F.lit(0.95)).alias("hi"),
+    extreme cardinality where an exact per-group sort is a luxury."""
+    events = _finite_values(load(spark, sf_dir, "events")).select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
     )
-    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
-    return (
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    r = events.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    b = r.groupBy("event_type").agg(
+        F.min(F.when(F.col("rn") == F.expr("(n + 19) div 20"), F.col("cents"))).alias("lo_c"),
+        F.min(F.when(F.col("rn") == F.expr("(19 * n + 19) div 20"), F.col("cents"))).alias("hi_c"),
+    )
+    clip = F.least(F.greatest(F.col("cents"), F.col("lo_c")), F.col("hi_c"))
+    g = (
         events.join(F.broadcast(b), "event_type")
         .groupBy("event_type")
         .agg(
-            F.round(F.avg("value"), 4).alias("raw_mean"),
-            F.round(F.avg(clipped), 4).alias("winsorized_mean"),
-            F.count(
-                F.when((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1)
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").alias("c"),
+            F.sum(clip).alias("wc"),
+            F.sum(
+                F.when(
+                    (F.col("cents") < F.col("lo_c")) | (F.col("cents") > F.col("hi_c")), 1
+                ).otherwise(0)
             )
             .cast("bigint")
             .alias("n_clipped"),
         )
+    )
+
+    def _mean4(col: str):
+        return (
+            F.when(F.col(col) >= 0, F.expr(f"({col} * 200 + n) div (2 * n)"))
+            .otherwise(-F.expr(f"((-{col}) * 200 + n) div (2 * n)"))
+            / 10000.0
+        )
+
+    return g.select(
+        "event_type",
+        _mean4("c").alias("raw_mean"),
+        _mean4("wc").alias("winsorized_mean"),
+        "n_clipped",
     )
 
 

@@ -5,18 +5,26 @@ Spark rounds the shortest-decimal repr (BigDecimal.valueOf), DuckDB the
 binary value, so a result landing EXACTLY on a `.5`-in-shortest-repr
 boundary at the rounded digit flips between engines (found live by the
 round-7 negative-values sweep at -9.38375; fixed for
-agg_seasonality_profile via pure-BIGINT rounding). Nine other oracle
-sites still use raw `round(avg|sum(...), k)` — the documented policy is
-"latent, data-dependent; fix only if a driver hash flips". These probes
-convert that from latent to MONITORED: for every such site, at both
-driver scale factors, the unrounded aggregate must sit measurably far
-from any half-point boundary — if testdata regeneration or a query edit
-ever moves a value onto one, this fails before the driver hash does.
+agg_seasonality_profile via pure-BIGINT rounding). The remaining oracle
+sites that use raw `round(avg|sum(...), k)` are documented-latent; these
+probes convert that to MONITORED: for every such site, at both driver
+scale factors, the unrounded aggregate must sit measurably far from any
+half-point boundary — if testdata regeneration or a query edit ever
+moves a value onto one, this fails before the driver hash does.
 
-Also pins agg_seasonality_profile's input contract (warehouse.py): its
-per-row cents quantization `round(value*100, 0)` is exact only for
-≤2-decimal inputs; the probe asserts every events.value is unambiguous
-at the half-cent boundary.
+The round-13 boundary pre-sweep (PLANS.md; exact-Fraction probe at
+three SFs) RE-KEYED three of the originally monitored sites to the
+pure-BIGINT recipe after finding a calibration bin mean landing exactly
+on a boundary at sf0.001: ext_calibration_bins (both columns),
+ext_winsorized_mean (order-statistic bounds + cents), and
+f_math_std.avg_qty. Their probes are removed below — BIGINT rounding
+has no boundary to monitor.
+
+Also pins the ≤2-decimal events.value input contract shared by
+agg_seasonality_profile, ext_calibration_bins, and ext_winsorized_mean
+(warehouse.py): per-row cents quantization `round(value*100, 0)` is
+exact only for ≤2-decimal inputs; the probe asserts every events.value
+is unambiguous at the half-cent boundary.
 """
 
 from __future__ import annotations
@@ -56,9 +64,8 @@ PROBES = [
     ("delay_rate", 4, """
         SELECT avg(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS v
         FROM orders GROUP BY o_orderpriority"""),
-    # scalar_queries.py f_math_std (avg/stddev/median all rounded at 4)
-    ("math_std_avg", 4,
-     "SELECT avg(l_quantity) AS v FROM lineitem GROUP BY l_returnflag"),
+    # scalar_queries.py f_math_std (avg re-keyed to BIGINT r13; stddev and
+    # median keep raw round() — irrational-valued statistics, monitored)
     ("math_std_stddev", 4,
      "SELECT stddev_samp(l_quantity) AS v FROM lineitem GROUP BY l_returnflag"),
     ("math_std_median", 4,
@@ -70,27 +77,8 @@ PROBES = [
     ("skew_factor", 4, """
         SELECT max(n) / round(avg(n), 4) AS v FROM (
             SELECT count(*)::DOUBLE AS n FROM orders GROUP BY o_custkey)"""),
-    # warehouse.py ext_calibration_bins (mean_score @4, purchase_rate @6)
-    ("calibration_mean_score", 4, """
-        SELECT avg(value) AS v FROM events WHERE isfinite(value)
-        GROUP BY least(CAST(floor(value / 50.0) AS INTEGER), 9)"""),
-    ("calibration_purchase_rate", 6, """
-        SELECT avg(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS v
-        FROM events WHERE isfinite(value)
-        GROUP BY least(CAST(floor(value / 50.0) AS INTEGER), 9)"""),
-    # warehouse.py ext_winsorized_mean (raw + clipped means @4)
-    ("winsorized_raw_mean", 4, """
-        SELECT avg(value) AS v FROM events WHERE isfinite(value)
-        GROUP BY event_type"""),
-    ("winsorized_clipped_mean", 4, """
-        WITH ev AS (SELECT * FROM events WHERE isfinite(value)),
-        b AS (SELECT event_type,
-                     quantile_cont(value, 0.05) AS lo,
-                     quantile_cont(value, 0.95) AS hi
-              FROM ev GROUP BY event_type)
-        SELECT avg(least(greatest(e.value, b.lo), b.hi)) AS v
-        FROM ev e JOIN b ON e.event_type = b.event_type
-        GROUP BY e.event_type"""),
+    # ext_calibration_bins + ext_winsorized_mean: re-keyed to pure-BIGINT
+    # rounding in r13 (PLANS.md boundary pre-sweep) — no probes needed.
 ]
 
 #: An aggregate this close to a half-point (in units of the rounded digit)
