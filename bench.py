@@ -257,21 +257,26 @@ def driver_line(
 _OWNED_DETAIL_KEYS = {
     "sf", "total_sec", "queries", "queries_min",
     "best_ever", "best_ever_env", "regressions", "provenance", "method",
-    "impl_hash",
+    "impl_hash", "impl_hash_meta",
 }
 
 
-def impl_fingerprint(fn) -> str | None:
-    """Stable fingerprint of a query function's IMPLEMENTATION: the AST of
-    its body with the docstring and decorators stripped (the decorator
-    carries the oracle SQL — timing-irrelevant — and a docstring edit must
-    not churn perf floors). Used for the floor-reset-on-re-key rule (r11
-    verdict #2): a best_ever floor describes a specific implementation;
-    four r11 drift flags were stale floors measured against code that had
-    since been re-keyed. Returns None when source is unavailable (builtin
-    or exec'd callables) — such queries just never reset automatically."""
+#: Fingerprint scheme version. Bumped whenever impl_fingerprint itself
+#: changes shape (v2 = r13: helper closure + constant folding). Recorded
+#: in BENCH_DETAIL impl_hash_meta together with the Python version
+#: (ast.dump output can change across interpreter minors — ADVICE r12):
+#: when EITHER differs from the prior file's, every hash differs for
+#: scheme reasons, not code reasons, so the floor-reset rule is skipped
+#: for that one run instead of mass-destroying the measurement history.
+FINGERPRINT_VERSION = 2
+
+
+def _stripped_def_dump(fn) -> str | None:
+    """ast.dump of a function def with decorators and docstring removed
+    (the decorator carries the oracle SQL — timing-irrelevant — and a
+    docstring edit must not churn perf floors). None when source is
+    unavailable (builtins, exec'd callables, C extensions)."""
     import ast
-    import hashlib
     import inspect
     import textwrap
 
@@ -279,7 +284,7 @@ def impl_fingerprint(fn) -> str | None:
         src = textwrap.dedent(inspect.getsource(fn))
         node = ast.parse(src).body[0]
         node.decorator_list = []
-        body = node.body
+        body = getattr(node, "body", None)
         if (
             body
             and isinstance(body[0], ast.Expr)
@@ -287,9 +292,82 @@ def impl_fingerprint(fn) -> str | None:
             and isinstance(body[0].value.value, str)
         ):
             node.body = body[1:] or [ast.Pass()]
-        return hashlib.sha256(ast.dump(node).encode()).hexdigest()[:16]
-    except (OSError, TypeError, SyntaxError, IndexError):
+        return ast.dump(node)
+    except (OSError, TypeError, SyntaxError, IndexError, ValueError):
         return None
+
+
+_CONST_TYPES = (int, float, complex, str, bytes, bool, tuple, frozenset)
+
+
+def _collect_deps(fn, parts: dict[str, str], visited: set[str]) -> None:
+    """Walk ``fn``'s AST, resolve every referenced bare name and
+    module-attribute against its globals, and fold in (a) the stripped AST
+    of every same-top-level-package function it calls (recursively) and
+    (b) the repr of every plain constant it references. (b) is what makes
+    value-only re-keys visible: ``LSH_TARGET_BUCKET_ROWS`` appears in
+    ``adaptive_planes``'s signature default only as a Name node — the r12
+    1024→64 re-key changed behavior without changing any AST the v1
+    fingerprint saw (ADVICE r12 #1)."""
+    import ast
+    import inspect
+    import textwrap
+    import types
+
+    dump = _stripped_def_dump(fn)
+    if dump is None:
+        return
+    mod = getattr(fn, "__module__", "") or ""
+    key = f"{mod}.{getattr(fn, '__qualname__', fn.__name__)}"
+    if key in visited:
+        return
+    visited.add(key)
+    parts[key] = dump
+    top = mod.split(".")[0]
+    g = getattr(fn, "__globals__", {})
+    try:
+        tree = ast.parse(textwrap.dedent(inspect.getsource(fn)))
+    except (OSError, TypeError, SyntaxError, ValueError):
+        return
+    refs: list[tuple[str, object]] = []
+    for n in ast.walk(tree):
+        if isinstance(n, ast.Name) and n.id in g:
+            refs.append((n.id, g[n.id]))
+        elif (
+            isinstance(n, ast.Attribute)
+            and isinstance(n.value, ast.Name)
+            and isinstance(g.get(n.value.id), types.ModuleType)
+        ):
+            base = g[n.value.id]
+            if (getattr(base, "__name__", "").split(".")[0] == top
+                    and hasattr(base, n.attr)):
+                refs.append((f"{n.value.id}.{n.attr}", getattr(base, n.attr)))
+    for name, val in refs:
+        if inspect.isfunction(val):
+            if (getattr(val, "__module__", "") or "").split(".")[0] == top:
+                _collect_deps(val, parts, visited)
+        elif isinstance(val, _CONST_TYPES):
+            parts.setdefault(f"const:{mod}:{name}", repr(val))
+
+
+def impl_fingerprint(fn) -> str | None:
+    """Stable fingerprint of a query function's IMPLEMENTATION: the
+    stripped AST of its own body PLUS the stripped ASTs of every
+    same-package helper function it (transitively) references and the
+    values of module-level constants those bodies name (v2, r13 — v1
+    hashed only the plan function's own body, so helper-only re-keys like
+    the r12 LSH occupancy change slipped past the floor-reset rule; see
+    ADVICE r12). Used for floor-reset-on-re-key (r11 verdict #2): a
+    best_ever floor describes a specific implementation. Returns None when
+    source is unavailable — such queries never reset automatically."""
+    import hashlib
+
+    parts: dict[str, str] = {}
+    _collect_deps(fn, parts, visited=set())
+    if not parts:
+        return None
+    blob = "\n".join(f"{k}\n{v}" for k, v in sorted(parts.items()))
+    return hashlib.sha256(blob.encode()).hexdigest()[:16]
 
 
 def env_fingerprint() -> dict:
@@ -335,7 +413,8 @@ def detail_payload(
     env: dict | None = None,
     best_ever_env: dict | None = None,
     impl_hash: dict | None = None,
-    floors_reset: list[str] | None = None,
+    floors_reset: dict[str, dict] | None = None,
+    impl_hash_meta: dict | None = None,
 ) -> dict:
     return {
         **{k: v for k, v in prior.items() if k not in _OWNED_DETAIL_KEYS},
@@ -359,6 +438,11 @@ def detail_payload(
         # since-re-keyed code is not a floor, it's a different query's
         # number (the r11 loaded-run flags included four of these)
         "impl_hash": impl_hash if impl_hash is not None else {},
+        # fingerprint scheme + interpreter the impl_hash map was computed
+        # under (ADVICE r12): a mass hash re-key after a scheme bump or a
+        # Python upgrade is distinguishable from real code re-keys, and
+        # main() skips floor resets for that one transition run
+        "impl_hash_meta": impl_hash_meta if impl_hash_meta is not None else {},
         "regressions": regressions,
         # provenance: whether this file's maps came from one full sweep or
         # carry merged-in rows from a filtered tuning run (a merged
@@ -369,8 +453,11 @@ def detail_payload(
             # machine state at run START (env_fingerprint); None only if a
             # caller (tests) built the payload without one
             "env": env,
-            # floors dropped THIS run by the re-key rule (empty most runs)
-            "floors_reset": floors_reset or [],
+            # floors dropped THIS run by the re-key rule (empty most
+            # runs): {name: {old_floor, old_env}} so a reset floor stays
+            # adjudicable and recoverable, not a bare name whose value
+            # survives only on stderr (ADVICE r12 #2)
+            "floors_reset": floors_reset or {},
         },
         "method": {
             "sub_second": "median_of_5",
@@ -382,9 +469,12 @@ def detail_payload(
                 "min-of-3 re-time"
             ),
             "floor_reset": (
-                "best_ever dropped when impl_hash (AST fingerprint, "
-                "docstring/decorators stripped) differs from the hash the "
-                "floor was recorded under"
+                "best_ever dropped when impl_hash (AST fingerprint of the "
+                "plan function body + transitively referenced same-package "
+                "helper bodies + referenced module-level constant values, "
+                "docstrings/decorators stripped) differs from the hash the "
+                "floor was recorded under; skipped wholesale when "
+                "impl_hash_meta (scheme version + Python) changed"
             ),
         },
     }
@@ -481,12 +571,38 @@ def main() -> None:
         if (h := impl_fingerprint(registry.spec(name).fn)) is not None
     }
     prior_hash = prior.get("impl_hash", {})
-    floors_reset = sorted(
+    # scheme gate (ADVICE r12): if the fingerprint VERSION or the Python
+    # interpreter changed since the prior file, every hash differs for
+    # scheme reasons — re-key the map but skip resets for this one run
+    # instead of mass-destroying the floor history.
+    import platform
+
+    impl_hash_meta = {
+        "version": FINGERPRINT_VERSION,
+        "python": platform.python_version(),
+    }
+    prior_meta = prior.get("impl_hash_meta", {})
+    scheme_changed = bool(prior_hash) and prior_meta != impl_hash_meta
+    if scheme_changed:
+        print(
+            f"# fingerprint scheme changed ({prior_meta or 'v1-implicit'} -> "
+            f"{impl_hash_meta}): re-keying impl_hash, floors kept",
+            file=sys.stderr,
+        )
+    reset_names = sorted(
         n
         for n in best_ever
-        if n in impl_hash and prior_hash.get(n) not in (None, impl_hash[n])
+        if not scheme_changed
+        and n in impl_hash
+        and prior_hash.get(n) not in (None, impl_hash[n])
     )
-    for n in floors_reset:
+    # record the dropped floor's value + env (ADVICE r12 #2): a reset must
+    # stay adjudicable/recoverable, not survive only on stderr
+    floors_reset = {
+        n: {"old_floor": best_ever[n], "old_env": best_ever_env.get(n)}
+        for n in reset_names
+    }
+    for n in reset_names:
         print(f"# floor reset (impl changed): {n} (was {best_ever[n]}s)",
               file=sys.stderr)
         del best_ever[n]
@@ -564,6 +680,7 @@ def main() -> None:
                 prior, sf, detail_timings, detail_min, best_ever, regressions,
                 filtered=bool(only), env=env, best_ever_env=best_ever_env,
                 impl_hash=impl_hash, floors_reset=floors_reset,
+                impl_hash_meta=impl_hash_meta,
             ),
             f,
             indent=1,

@@ -107,7 +107,7 @@ def test_bench_detail_payload_carries_foreign_sections_forward():
     assert out["some_future_section"] == [1, 2]
     assert out["queries"] == {"q": 1.0}  # owned keys fully replaced
     assert out["provenance"] == {
-            "last_run": "full", "merged": False, "env": None, "floors_reset": []
+            "last_run": "full", "merged": False, "env": None, "floors_reset": {}
         }
     filt = bench.detail_payload(
         prior, 0.1, {"q": 1.0}, {"q": 0.9}, {"q": 0.9}, [], filtered=True,
@@ -195,18 +195,95 @@ def test_bench_impl_fingerprint_ignores_docs_and_decorators():
 
 
 def test_bench_detail_payload_owns_impl_hash_and_records_resets():
-    """impl_hash is an OWNED section (replaced wholesale each run) and
-    floors_reset lands in provenance so a dropped floor is auditable."""
+    """impl_hash and impl_hash_meta are OWNED sections (replaced wholesale
+    each run) and floors_reset lands in provenance as {name: {old_floor,
+    old_env}} — a dropped floor stays adjudicable and recoverable, not a
+    bare name whose value survives only on stderr (ADVICE r12 #2)."""
     import bench
 
-    prior = {"impl_hash": {"stale": "deadbeef"}}
+    prior = {"impl_hash": {"stale": "deadbeef"}, "impl_hash_meta": {"version": 0}}
+    reset = {"q": {"old_floor": 0.5, "old_env": {"unix_time": 1}}}
     out = bench.detail_payload(
         prior, 0.1, {"q": 1.0}, {"q": 0.9}, {"q": 0.9}, [], filtered=False,
-        impl_hash={"q": "abc123"}, floors_reset=["q"],
+        impl_hash={"q": "abc123"}, floors_reset=reset,
+        impl_hash_meta={"version": bench.FINGERPRINT_VERSION, "python": "3.x"},
     )
     assert out["impl_hash"] == {"q": "abc123"}  # owned: replaced
-    assert out["provenance"]["floors_reset"] == ["q"]
+    assert out["impl_hash_meta"]["version"] == bench.FINGERPRINT_VERSION
+    assert out["provenance"]["floors_reset"] == reset
     out2 = bench.detail_payload(
         prior, 0.1, {"q": 1.0}, {"q": 0.9}, {"q": 0.9}, [], filtered=False
     )
-    assert out2["impl_hash"] == {} and out2["provenance"]["floors_reset"] == []
+    assert out2["impl_hash"] == {} and out2["provenance"]["floors_reset"] == {}
+    assert out2["impl_hash_meta"] == {}
+
+
+def test_bench_impl_fingerprint_sees_helper_and_constant_changes(tmp_path):
+    """v2 fingerprint (ADVICE r12 #1): a behavior change confined to a
+    same-package HELPER — including a value-only re-key of a module-level
+    constant the helper names (the r12 LSH_TARGET_BUCKET_ROWS 1024→64
+    case, invisible to the v1 own-body hash) — must churn the dependent
+    query's fingerprint and thereby reset its floor."""
+    import importlib
+    import sys
+
+    import bench
+
+    pkg = tmp_path / "fakepkg"
+    (pkg / "ops").mkdir(parents=True)
+    (pkg / "__init__.py").write_text("")
+    (pkg / "ops" / "__init__.py").write_text("")
+
+    def write_helper(const: int, body: str = "return x * TARGET") -> None:
+        (pkg / "ops" / "helper.py").write_text(
+            f"TARGET = {const}\n\ndef scale(x, t=TARGET):\n    {body}\n"
+        )
+
+    (pkg / "plan.py").write_text(
+        "from .ops.helper import scale\n\ndef q(spark, sf_dir):\n"
+        "    return scale(2)\n"
+    )
+    write_helper(1024)
+    sys.path.insert(0, str(tmp_path))
+    try:
+        mod = importlib.import_module("fakepkg.plan")
+        h1 = bench.impl_fingerprint(mod.q)
+
+        write_helper(64)  # constant value ONLY — no AST shape change
+        importlib.reload(importlib.import_module("fakepkg.ops.helper"))
+        mod = importlib.reload(mod)
+        h2 = bench.impl_fingerprint(mod.q)
+
+        write_helper(64, body="return x * TARGET + 0")  # helper body change
+        importlib.reload(importlib.import_module("fakepkg.ops.helper"))
+        mod = importlib.reload(mod)
+        h3 = bench.impl_fingerprint(mod.q)
+    finally:
+        sys.path.remove(str(tmp_path))
+        for m in list(sys.modules):
+            if m.startswith("fakepkg"):
+                del sys.modules[m]
+    assert h1 is not None and h2 is not None and h3 is not None
+    assert h1 != h2  # constant re-key visible
+    assert h2 != h3  # helper body change visible
+
+
+def test_bench_real_registry_fingerprint_covers_lsh_constant():
+    """The shipped wiring, not just the fake package: ext_dedup_embed's
+    fingerprint must fold in operators/similarity.py helpers and the
+    LSH_TARGET_BUCKET_ROWS value (the exact r12 change the v1 scheme
+    missed)."""
+    import bench
+    from cta_train_tracker_analytics_spark.operators import similarity
+    from cta_train_tracker_analytics_spark.plans import registry
+
+    fn = registry.spec("ext_dedup_embed").fn
+    h1 = bench.impl_fingerprint(fn)
+    assert h1 is not None
+    old = similarity.LSH_TARGET_BUCKET_ROWS
+    try:
+        similarity.LSH_TARGET_BUCKET_ROWS = old + 1
+        h2 = bench.impl_fingerprint(fn)
+    finally:
+        similarity.LSH_TARGET_BUCKET_ROWS = old
+    assert h2 != h1
