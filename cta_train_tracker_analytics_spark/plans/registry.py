@@ -73,6 +73,15 @@ _PRIORITY = [
     # rounds old — the oldest hashes in the registry; the r12 rotation's
     # 50-slot budget cut off before them), THEN the r5 cohort head.
     # Overflow (~17 r5 names) rolls to round 14.
+    # (added mid-round-13) the three recall AUDITS re-keyed to
+    # NON-CENTROID seeds: the old 50-smallest-ids seed rule coincided
+    # with the data-sampled centroids and measured the quantizer's
+    # self-recall — 0.81 on centroid seeds vs 0.15 full-graph on the
+    # same 20k uniform corpus (PLANS.md round-13). Behavior change on
+    # both engines → fresh driver rows required.
+    "ext_knn_graph_prod_recall",
+    "ext_knn_graph_recall",
+    "ext_sim_recall",
     "ext_calibration_bins",
     "ext_winsorized_mean",
     "f_math_std",
@@ -180,7 +189,6 @@ _PRIORITY = [
     "ext_dedup_embed_banded",
     "ext_dedup_embed_incremental",
     "ext_knn_graph_prod",
-    "ext_knn_graph_prod_recall",
     "ext_knn_graph_ivf_sharded",
     "ext_sim_search_ivf_sharded",
     "ext_knn_graph_ivf_hier",
@@ -322,7 +330,6 @@ _PRIORITY = [
     "ext_knn_graph",
     "ext_knn_graph_ivf",
     "ext_knn_graph_ivf_multi",
-    "ext_knn_graph_recall",
     "ext_sim_search_ivf",
     "ext_sim_search_ivf_nprobe",
     #   ext_sim_search_ivf_sharded — NEW: search over the sharded
@@ -330,7 +337,6 @@ _PRIORITY = [
     #       assignment's codebook broadcast O(N) bytes; this closes the
     #       same structure in the search family that the graph family
     #       closed). One pinned assignment serves corpus AND query side.
-    "ext_sim_recall",
     "ext_semdedup",
     "ext_kmeans_update",
     "str_stream_join_outer",

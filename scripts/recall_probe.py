@@ -38,29 +38,28 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 UNIFORM_DIR = "/tmp/cta_sf1_uniform"
+MIXTURE_DIR = "/tmp/cta_sf1_mixture"
 COPY_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/cta_sf1")
 N_VECS = 20_000
 DIM = 64
 SEED = 1234
+MIX_SEED = 77
+MIX_CLUSTERS = 100   # within-cluster cos ≈ 0.61 at noise 0.1 — the
+MIX_NOISE = 0.1      # realistic regime where the tree's knobs act (r13)
 N_SEEDS = 50  # ext_knn_graph_recall's seed-sample size
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DETAIL_PATH = os.path.join(REPO_ROOT, "BENCH_DETAIL.json")
 
 
-def generate(spark, regen: bool = False) -> None:
-    dest = os.path.join(UNIFORM_DIR, "embeddings.parquet")
-    if os.path.exists(dest) and not regen:
-        return
+def _write_corpus(spark, dirname: str, v, regen: bool, label: str) -> None:
     import shutil
 
-    import numpy as np
-
-    shutil.rmtree(UNIFORM_DIR, ignore_errors=True)
-    os.makedirs(UNIFORM_DIR, exist_ok=True)
-    rng = np.random.default_rng(SEED)
-    v = rng.standard_normal((N_VECS, DIM)).astype("float32")
-    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    dest = os.path.join(dirname, "embeddings.parquet")
+    if os.path.exists(dest) and not regen:
+        return
+    shutil.rmtree(dirname, ignore_errors=True)
+    os.makedirs(dirname, exist_ok=True)
     rows = [
         (int(i), [float(x) for x in v[i]], int(i % 10)) for i in range(N_VECS)
     ]
@@ -81,7 +80,29 @@ def generate(spark, regen: bool = False) -> None:
         ]
     )
     spark.createDataFrame(rows, schema).repartition(8).write.parquet(dest)
-    print(f"# generated uniform corpus: {N_VECS} x {DIM}", file=sys.stderr)
+    print(f"# generated {label} corpus: {N_VECS} x {DIM}", file=sys.stderr)
+
+
+def generate(spark, regen: bool = False) -> None:
+    import numpy as np
+
+    rng = np.random.default_rng(SEED)
+    v = rng.standard_normal((N_VECS, DIM)).astype("float32")
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    _write_corpus(spark, UNIFORM_DIR, v, regen, "uniform")
+
+    # genuinely clustered corpus (r13): the regime where a tree quantizer
+    # has structure to exploit — 100 unit-mean Gaussian clusters at noise
+    # 0.1 give within-cluster cos ≈ 0.61 vs ≈ 0 between. (The sf1 COPY
+    # corpus is sign-modulated — within a copy it is uniform, so it
+    # exercises cost honestly but not clustered-recall.)
+    rng = np.random.default_rng(MIX_SEED)
+    mu = rng.standard_normal((MIX_CLUSTERS, DIM))
+    mu /= np.linalg.norm(mu, axis=1, keepdims=True)
+    lab = rng.integers(0, MIX_CLUSTERS, N_VECS)
+    vm = mu[lab] + MIX_NOISE * rng.standard_normal((N_VECS, DIM))
+    vm = (vm / np.linalg.norm(vm, axis=1, keepdims=True)).astype("float32")
+    _write_corpus(spark, MIXTURE_DIR, vm, regen, "mixture")
 
 
 def graph_recall(spark, sf_dir: str) -> dict[int, float]:
@@ -104,43 +125,46 @@ def sim_recall(spark, sf_dir: str) -> float:
 
 
 def prod_edge_recall(spark, sf_dir: str) -> float:
-    """Edge recall@3 of ext_knn_graph_prod vs the exact graph, over the
-    50 smallest-id seeds (the same seed rule the recall query uses)."""
+    """Mean edge recall@3 of ext_knn_graph_prod vs the exact graph, from
+    the SHIPPED audit query itself (ext_knn_graph_prod_recall — since r13
+    its seeds are the 50 smallest NON-CENTROID ids, so the probe and the
+    driver-hashed audit can never disagree about what they measure)."""
+    from cta_train_tracker_analytics_spark.plans import registry
+
+    rows = registry.all_queries()["ext_knn_graph_prod_recall"](
+        spark, sf_dir
+    ).collect()
+    return round(sum(r["recall"] for r in rows) / len(rows), 4)
+
+
+def prod_full_graph_recall(spark, sf_dir: str) -> float:
+    """FULL-GRAPH edge recall@3 of ext_knn_graph_prod — every vector a
+    query, exact side brute-forced in numpy (r13: the honest quality
+    number; any seed sample of a data-sampled-centroid index risks bias,
+    and the old centroid-coincident seeds measured 0.81 where this
+    metric reads 0.15)."""
+    import numpy as np
+
     from cta_train_tracker_analytics_spark.data import load
-    from cta_train_tracker_analytics_spark.operators.similarity import dot, norm
     from cta_train_tracker_analytics_spark.plans import registry
 
     emb = load(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
-    seeds = emb.orderBy("vec_id").limit(N_SEEDS).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
-    )
-    cand = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
-    scored = (
-        cand.crossJoin(F.broadcast(seeds))
-        .filter(F.col("cid") != F.col("qid"))
-        .select(
-            "qid",
-            "cid",
-            (
-                dot(F.col("qe"), F.col("ce"))
-                / (norm(F.col("qe")) * norm(F.col("ce")))
-            ).alias("cs"),
-        )
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("qid").orderBy(F.col("cs").desc(), "cid")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    v = np.array([r["embedding"] for r in rows], dtype="float64")
+    order = np.argsort(ids)
+    ids, v = ids[order], v[order]
+    nrm = np.linalg.norm(v, axis=1)
+    sims = (v @ v.T) / np.outer(nrm, nrm)
+    np.fill_diagonal(sims, -np.inf)
+    top3 = np.argpartition(-sims, 3, axis=1)[:, :3]
     exact = {
-        (r["qid"], r["cid"])
-        for r in scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 3)
-        .collect()
+        (int(ids[i]), int(ids[j])) for i in range(len(ids)) for j in top3[i]
     }
-    seed_ids = {q for q, _ in exact}
     got = {
         (r["vec_id"], r["neighbor_id"])
         for r in registry.all_queries()["ext_knn_graph_prod"](spark, sf_dir)
-        .filter(F.col("vec_id").isin(list(seed_ids)))
+        .select("vec_id", "neighbor_id")
         .collect()
     }
     return round(len(exact & got) / len(exact), 4)
@@ -157,21 +181,27 @@ def main() -> int:
     generate(spark, regen=args.regen)
 
     record: dict[str, dict] = {}
-    for label, d in (("uniform", UNIFORM_DIR), ("clustered_copies", COPY_DIR)):
+    for label, d in (
+        ("uniform", UNIFORM_DIR),
+        ("mixture", MIXTURE_DIR),
+        ("clustered_copies", COPY_DIR),
+    ):
         if not os.path.exists(os.path.join(d, "embeddings.parquet")):
             print(f"# skipping {label}: {d} absent", file=sys.stderr)
             continue
         g = graph_recall(spark, d)
         s = sim_recall(spark, d)
         p = prod_edge_recall(spark, d)
+        fg = prod_full_graph_recall(spark, d)
         record[label] = {
             "graph_recall_at3_nprobe1": g.get(1),
             "graph_recall_at3_nprobe2": g.get(2),
             "sim_recall_at10_nprobe1": s,
             "prod_edge_recall_at3": p,
+            "prod_full_graph_recall_at3": fg,
         }
         print(f"# {label}: graph@3 np1={g.get(1)} np2={g.get(2)} "
-              f"sim@10 np1={s} prod@3={p}", file=sys.stderr)
+              f"sim@10 np1={s} prod@3={p} prod_full@3={fg}", file=sys.stderr)
 
     with open(DETAIL_PATH) as f:
         detail = json.load(f)
@@ -180,9 +210,15 @@ def main() -> int:
         **prior,
         "dataset": {
             "uniform": f"{N_VECS} seeded unit vectors, dim {DIM}, "
-                       f"cells=ceil(N/250)=80",
-            "clustered_copies": "the sf1 probe corpus (sign-modulated copies)",
+                       f"cells=ceil(N/250)=80 (adversarial: no structure)",
+            "mixture": f"{MIX_CLUSTERS} Gaussian clusters, noise {MIX_NOISE} "
+                       "(within-cluster cos~0.61 — the realistic regime)",
+            "clustered_copies": "the sf1 probe corpus (sign-modulated "
+                                "copies; uniform WITHIN a copy)",
         },
+        "seed_rule": "non-centroid seeds since r13 (the pre-r13 smallest-id "
+                     "seeds coincided with centroids and read the "
+                     "quantizer's self-recall, 4-5x optimistic)",
         **record,
     }
     with open(DETAIL_PATH, "w") as f:
