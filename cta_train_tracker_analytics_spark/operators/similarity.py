@@ -628,14 +628,20 @@ def ivf_assign_sharded_multi(
     with it the pair-volume bound) moves.
 
     ``n_branches`` (default: ``nprobe``) decouples how many COARSE
-    branches are probed from how many leaf cells are kept: the
-    round-12 recall probe measured that restricting the union to the
-    top-2 branches is the tree's entire recall cost (graph recall@3
-    0.64 uniform / 0.53 clustered at 2 branches vs the flat family's
-    ~1.0; 3 branches → 0.73/0.63; 4 branches → 0.81/0.76). Probing b
-    branches costs b·√k leaf scores per vector — still O(N·√k) total
-    for constant b, preserving the tree's advantage over flat
-    assignment's O(N·k)."""
+    branches are probed from how many leaf cells are kept. Honest
+    effect (r13, FULL-graph edge recall@3 — the r12 figures 0.64→0.81
+    were measured on centroid-coincident seeds and tracked the
+    quantizer's self-recall): on a genuinely clustered 20k corpus
+    (within-cluster cos ≈ 0.6) 2 → 4 branches lifts 0.514 → 0.617 vs
+    flat multi-assign's 0.722 at the same nprobe — the knob recovers
+    most of the tree's pruning loss exactly when coarse structure
+    exists; on a UNIFORM corpus every IVF variant is probed-fraction-
+    bound (~0.15 at 2 of 80 cells) and branch count changes nothing.
+    The primary recall/cost dial is ``nprobe`` (candidate volume scales
+    linearly with it: 0.617 → 0.703 at nprobe 4 on the clustered
+    corpus). Probing b branches costs b·√k leaf scores per vector —
+    still O(N·√k) total for constant b, preserving the tree's advantage
+    over flat assignment's O(N·k)."""
     coarse = centroids.orderBy("cent_id").limit(n_coarse).select(
         F.col("cent_id").alias("coarse_id"), F.col("c_vec").alias("g_vec")
     )
@@ -735,6 +741,18 @@ def ivf_assign_sharded_multi(
         # the first two probes, demoting the vector to its next-best
         # probed leaf while the old argmax cell stays probed at rank 2.
         # F.get (never-throwing) handles the empty-probes NULL branch.
+        #
+        # CROSS-ENGINE-ORDERING SURFACE (ADVICE r12 #3): this window
+        # ranks on UNROUNDED double cosines (r1_ncs) that Spark computes
+        # by a sequential in-row fold while the DuckDB oracle sums over
+        # an unnest — a near-tie whose last-ulp ordering differs across
+        # engines would flip WHICH vector overflows the cap, changing
+        # residence and downstream graph edges. Same risk class as the
+        # family's other unrounded-cs windows, but this one adds a new
+        # surface (occupancy rank, not top-k rank). The binding-regime
+        # parity test covers the shipped corpus; if a driver hash for a
+        # prod-family query ever flips with no code change, audit this
+        # window's tie distances first.
         with_r1 = merged.select(
             "id",
             "vec",

@@ -4728,9 +4728,10 @@ _PROD_TREE_CTES = """
     vcos AS (SELECT vec_id, coarse_id,
                     sum(v * w) / (sqrt(sum(v * v)) * sqrt(sum(w * w))) AS cs
              FROM vt GROUP BY vec_id, coarse_id),
-    -- top-4 coarse branches per vector (the r12 recall probe measured
-    -- the 2-branch union as the tree's whole recall cost: graph@3 0.64
-    -- uniform / 0.53 clustered at 2 branches vs 0.81/0.76 at 4)
+    -- top-4 coarse branches per vector (honest r13 numbers: on a
+    -- clustered corpus full-graph recall@3 is 0.514 at 2 branches vs
+    -- 0.617 at 4; on a uniform corpus branch count changes nothing --
+    -- recall there is probed-fraction-bound)
     vbranch AS (SELECT vec_id, coarse_id FROM vcos
                 QUALIFY row_number() OVER (PARTITION BY vec_id
                                            ORDER BY cs DESC, coarse_id) <= 4),

@@ -82,6 +82,10 @@ _PRIORITY = [
     "ext_knn_graph_prod_recall",
     "ext_knn_graph_recall",
     "ext_sim_recall",
+    # fronted on principle: a comment-only honest-numbers edit inside
+    # the shared _PROD_TREE_CTES oracle text (output identical; the
+    # stale-hash policy re-queues ANY oracle-text touch)
+    "ext_knn_graph_prod",
     "ext_calibration_bins",
     "ext_winsorized_mean",
     "f_math_std",
@@ -188,7 +192,6 @@ _PRIORITY = [
     "ext_dedup_embed",
     "ext_dedup_embed_banded",
     "ext_dedup_embed_incremental",
-    "ext_knn_graph_prod",
     "ext_knn_graph_ivf_sharded",
     "ext_sim_search_ivf_sharded",
     "ext_knn_graph_ivf_hier",
