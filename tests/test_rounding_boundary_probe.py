@@ -90,11 +90,104 @@ BOUNDARY_MARGIN = 1e-6
 
 def _views(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
-    for t in ("region", "nation", "customer", "orders", "lineitem", "events"):
+    for t in ("region", "nation", "customer", "orders", "lineitem", "events",
+              "documents", "embeddings"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     return con
+
+
+# --------------------------------------------------------------------------
+# Registry-driven probes for INTEGER-RATIO rounded outputs (added r13,
+# ahead of the r5 cohort's r14 hash re-queue): jaccard / containment /
+# weight / percent_rank-style columns are exact rationals num/den of
+# integer counts — the same boundary class as round(avg(cents)) — so
+# their oracles are re-run with every round(…, k) STRIPPED and the raw
+# values probed. One refinement over the aggregate probes above: a ratio
+# whose double is EXACTLY on the boundary (a dyadic rational like
+# percent_rank = 1/32 → 0.03125) is BENIGN — both engines see the same
+# exact double and round half away from zero identically (Spark
+# BigDecimal HALF_UP; DuckDB round()). The danger class is
+# near-but-not-exact (the r7 -9.38375 shape: the exact rational is on
+# the boundary but its double is not), where Spark rounds the shortest
+# decimal repr and DuckDB the binary value.
+# --------------------------------------------------------------------------
+
+#: (query, column, k) — column must appear as round(expr, k) in the oracle
+RATIO_SITES = [
+    ("ext_decontaminate", "bench_frac", 4),
+    ("ext_dedup_containment", "containment", 4),
+    ("ext_dedup_minhash", "jaccard", 4),
+    ("ext_dedup_ngram", "jaccard", 4),
+    ("ext_mix_weights", "weight", 6),
+    ("ext_repetition_stats", "top_unigram_frac", 6),
+    ("ext_repetition_stats", "dup_token_frac", 6),
+    ("ext_repetition_stats", "dup_bigram_frac", 6),
+    ("ext_token_entropy", "ttr", 4),
+    ("win_percent_rank", "pct_rank", 4),
+    ("win_percent_rank", "cume", 4),
+    ("agg_corr", "qty_price_cov", 2),
+]
+
+
+def _strip_rounds(sql: str) -> str:
+    """Remove every ``round(expr, k)`` wrapper (paren-matched), leaving
+    ``(expr)`` so the probed column carries the raw double."""
+    out = sql
+    while True:
+        i = out.lower().find("round(")
+        if i < 0:
+            return out
+        depth = 0
+        j = i + len("round(") - 1  # position of the opening paren
+        last_comma = None
+        for p in range(j, len(out)):
+            c = out[p]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    end = p
+                    break
+            elif c == "," and depth == 1:
+                last_comma = p
+        else:  # unbalanced — leave untouched rather than corrupt
+            return out
+        inner = out[j + 1: last_comma if last_comma is not None else end]
+        out = out[:i] + "(" + inner + ")" + out[end + 1:]
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_integer_ratio_outputs_avoid_inexact_half_boundaries(sf_dir):
+    from cta_train_tracker_analytics_spark.plans import registry
+
+    con = _views(sf_dir)
+    offenders = []
+    by_query: dict[str, list[tuple[str, int]]] = {}
+    for q, col, k in RATIO_SITES:
+        by_query.setdefault(q, []).append((col, k))
+    for q, cols in by_query.items():
+        sql = _strip_rounds(registry.spec(q).oracle)
+        rows = con.execute(sql).fetch_df()
+        for col, k in cols:
+            for v in rows[col]:
+                if v is None or v != v:
+                    continue
+                x = float(v) * 10**k * 2
+                nearest_odd = 2 * round((x - 1) / 2) + 1
+                d = abs(x - nearest_odd)
+                # d == 0: dyadic-exact boundary, both engines agree
+                # (away from zero on the same exact double) — benign
+                if 0 < d <= BOUNDARY_MARGIN:
+                    offenders.append((q, col, sf_dir, float(v)))
+    con.close()
+    assert offenders == [], (
+        "integer-ratio output sits NEAR (not exactly on) a .5 rounding "
+        "boundary — the engines may round it apart; apply the BIGINT "
+        f"recipe at these sites: {offenders}"
+    )
 
 
 @pytest.mark.parametrize("sf_dir", SF_DIRS)
