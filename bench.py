@@ -222,6 +222,29 @@ def regression_candidates(
     return out
 
 
+def tag_floor_protocols(
+    best_ever: dict[str, float], best_ever_env: dict[str, dict]
+) -> None:
+    """Annotate every floor's env record with the measurement PROTOCOL it
+    was set under (r13 verdict #3). The r12/r13 adjudication sessions
+    proved every env-unknown floor is a pre-r11 DEEP-WARM full-bench
+    minimum that fresh processes sit 1.2-1.8x above — a different
+    measurement protocol, not a regression band; tagging them once lets
+    the guard report the protocol next to the ratio so future rounds stop
+    re-litigating the same class. Floors that predate best_ever_env also
+    get the explicit {"unknown": True} marker here (ADVICE r11 #3: 'no
+    env data' must be distinguishable from 'same conditions'). Floors set
+    by a recorded bench run are tagged ``bench-run`` at set time in
+    main(); this only backfills records missing a tag. Mutates in place.
+    """
+    for name in best_ever:
+        best_ever_env.setdefault(name, {"unknown": True})
+    for env_rec in best_ever_env.values():
+        env_rec.setdefault(
+            "protocol", "legacy-warm" if env_rec.get("unknown") else "bench-run"
+        )
+
+
 def driver_line(
     timings: dict[str, float], total: float, sf: float, filtered: bool = False
 ) -> str:
@@ -415,6 +438,7 @@ def detail_payload(
     impl_hash: dict | None = None,
     floors_reset: dict[str, dict] | None = None,
     impl_hash_meta: dict | None = None,
+    floors_carried_unverified: list[str] | None = None,
 ) -> dict:
     return {
         **{k: v for k, v in prior.items() if k not in _OWNED_DETAIL_KEYS},
@@ -458,6 +482,13 @@ def detail_payload(
             # adjudicable and recoverable, not a bare name whose value
             # survives only on stderr (ADVICE r12 #2)
             "floors_reset": floors_reset or {},
+            # floors kept through a fingerprint-scheme or interpreter
+            # transition (ADVICE r13 #2): the reset rule was skipped for
+            # this run, so any of these whose implementation ALSO changed
+            # in the same window carries a stale floor — adjudicate
+            # before trusting a drift flag against them. Empty except on
+            # the one transition run.
+            "floors_carried_unverified": floors_carried_unverified or [],
         },
         "method": {
             "sub_second": "median_of_5",
@@ -556,11 +587,7 @@ def main() -> None:
         best_ever_env = dict(prior.get("best_ever_env", {}))
     except (OSError, ValueError):
         pass
-    # legacy floors predate best_ever_env: mark them explicitly so drift
-    # adjudication can distinguish 'no env data' from 'same conditions'
-    # instead of a silent empty lookup (ADVICE r11 #3)
-    for name in best_ever:
-        best_ever_env.setdefault(name, {"unknown": True})
+    tag_floor_protocols(best_ever, best_ever_env)
     # floor-reset-on-re-key (r11 verdict #2): a floor measured against a
     # since-changed implementation is stale — four of the r11 drift flags
     # were exactly this. Fingerprints cover every registered query so the
@@ -583,10 +610,19 @@ def main() -> None:
     }
     prior_meta = prior.get("impl_hash_meta", {})
     scheme_changed = bool(prior_hash) and prior_meta != impl_hash_meta
+    # floors carried through a scheme/interpreter transition are
+    # UNVERIFIED (ADVICE r13 #2): every hash differs for scheme reasons,
+    # so a query whose implementation ALSO changed in the same window
+    # silently keeps its stale floor and is never auto-reset afterward
+    # (the new hash is recorded as its baseline). Record the carried
+    # names in provenance so the transition run's floors remain
+    # adjudicable instead of silently trusted.
+    floors_carried_unverified = sorted(best_ever) if scheme_changed else []
     if scheme_changed:
         print(
             f"# fingerprint scheme changed ({prior_meta or 'v1-implicit'} -> "
-            f"{impl_hash_meta}): re-keying impl_hash, floors kept",
+            f"{impl_hash_meta}): re-keying impl_hash, floors kept "
+            f"({len(floors_carried_unverified)} carried unverified)",
             file=sys.stderr,
         )
     reset_names = sorted(
@@ -645,6 +681,16 @@ def main() -> None:
             detail_timings[name] = re_measured
         be = best_ever[name]
         if retimed > REGRESSION_RATIO * be and retimed - be > REGRESSION_MIN_DELTA_SEC:
+            # floor_protocol (r13 verdict #3): a flag against a legacy-warm
+            # floor carries the known 1.2-1.8x fresh-process band; the
+            # adjudicator reads the protocol next to the ratio instead of
+            # rediscovering it each round
+            proto = best_ever_env.get(name, {}).get("protocol", "bench-run")
+            print(
+                f"# regression {name}: ratio {retimed / be:.2f}x vs "
+                f"{proto} floor {be}s",
+                file=sys.stderr,
+            )
             regressions.append(
                 {
                     "query": name,
@@ -652,6 +698,7 @@ def main() -> None:
                     "measured": timings[name],
                     "retimed": retimed,
                     "ratio": round(retimed / be, 2),
+                    "floor_protocol": proto,
                 }
             )
     # a filtered run only re-judged the queries it ran; keep prior verdicts
@@ -669,9 +716,10 @@ def main() -> None:
         if name not in best_ever or sec < best_ever[name]:
             best_ever[name] = sec
             # record the machine state this floor was set under (r10
-            # verdict #4): future drift flags compare fingerprints instead
-            # of re-running fresh-process controls
-            best_ever_env[name] = env
+            # verdict #4) plus the measurement protocol (r13 verdict #3):
+            # future drift flags compare fingerprints instead of
+            # re-running fresh-process controls
+            best_ever_env[name] = {**env, "protocol": "bench-run"}
 
     total = round(sum(timings.values()), 3)
     with open(detail_path, "w") as f:
@@ -681,6 +729,7 @@ def main() -> None:
                 filtered=bool(only), env=env, best_ever_env=best_ever_env,
                 impl_hash=impl_hash, floors_reset=floors_reset,
                 impl_hash_meta=impl_hash_meta,
+                floors_carried_unverified=floors_carried_unverified,
             ),
             f,
             indent=1,

@@ -2656,7 +2656,14 @@ def ext_sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quantizer's self-recall (measured 4-5× optimistic vs the
     typical vector on the 20k uniform probe, r13). The search queries
     the audit gates (ext_sim_search_ivf*) keep their vec_id < 5 query
-    set — they are result queries, not recall metrics."""
+    set — they are result queries, not recall metrics.
+
+    MINIMUM CORPUS (ADVICE r13 #3): the non-centroid rule needs N >
+    n_cells non-null embeddings (n_cells floor is 8); below that the
+    query sample is empty and the audit returns ZERO ROWS on both
+    engines. Empty output from this audit therefore means "corpus too
+    small to audit", never "recall is fine" — consumers must treat
+    0 rows as no-measurement, not as a pass."""
     import math
 
     emb = load(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
@@ -4978,7 +4985,12 @@ def ext_knn_graph_prod_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat family's; the tree-approximation regime is exercised by
     scripts/recall_probe.py at 80 cells (BENCH_DETAIL `recall_uniform`)
     and pinned at test scale by
-    tests/test_round13_ops.py::test_prod_tree_regime_edge_recall_pin."""
+    tests/test_round13_ops.py::test_prod_tree_regime_edge_recall_pin.
+
+    MINIMUM CORPUS (ADVICE r13 #3): the non-centroid seed rule needs
+    N > n_cells non-null embeddings (n_cells floor is 8); below that
+    the seed sample is empty and the audit returns ZERO ROWS on both
+    engines — treat 0 rows as no-measurement, never as a pass."""
     import math
 
     emb = load(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
@@ -5118,7 +5130,12 @@ def ext_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment is the zero-shuffle broadcast argmax; seed-side
     multi-assign and the 2-row nprobe-level explode stay map-side. Null
     embeddings are excluded corpus- and seed-side (the ext_knn_graph_ivf
-    null contract)."""
+    null contract).
+
+    MINIMUM CORPUS (ADVICE r13 #3): the non-centroid seed rule needs
+    N > n_cells non-null embeddings (n_cells floor is 8); below that
+    the seed sample is empty and the audit returns ZERO ROWS on both
+    engines — treat 0 rows as no-measurement, never as a pass."""
     import math
 
     emb = load(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())

@@ -60,6 +60,69 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: parity replay (tests/test_oracle_parity.py) and by the non-UTC
 #: driver simulation run before each commit.
 _PRIORITY = [
+    # ---- Round 14 front block (r13 verdict #1 — the rotation round):
+    # NO query behavior changed this round, so the entire 50-slot driver
+    # budget retires the old-hash backlog, longest-unverified first: the
+    # FULL r5 cohort (23 names, hash age 9 rounds — their integer-ratio
+    # rounding surfaces were pre-swept and are monitored by
+    # tests/test_rounding_boundary_probe.py since r13) THEN the r6 cohort
+    # head (27 of 33 names, alphabetical). Overflow (6 r6 names:
+    # sql_ship_priority, sql_top_returned_customers, src_xml,
+    # str_foreach_batch_upsert, str_stateful_crossings, win_gap_fill_locf)
+    # rolls to round 15 together with the r7 cohort. After this round the
+    # oldest driver hash in the registry is r6.
+    # r5 cohort (hash age 9 rounds):
+    "ext_domain_cap",
+    "ext_embed_quantize",
+    "ext_mix_weights",
+    "ext_repetition_stats",
+    "ext_seq_pack",
+    "ext_token_entropy",
+    "ext_vocab_topk",
+    "job_prep_training_corpus",
+    "join_fuzzy_levenshtein",
+    "proj_unpivot",
+    "snk_orc",
+    "snk_parquet_sorted",
+    "src_csv",
+    "src_jsonl_corrupt",
+    "src_parquet_evolve",
+    "str_session_window",
+    "str_sliding_10min",
+    "str_stateful",
+    "str_stream_join",
+    "win_change_points",
+    "win_first_last",
+    "win_percent_rank",
+    "win_session_gap",
+    # r6 cohort head (hash age 8 rounds; 27 of 33, alphabetical):
+    "agg_histogram",
+    "agg_mode_median",
+    "arr_element",
+    "explode_trains",
+    "ext_bloom_prefilter",
+    "ext_bpe_merges",
+    "ext_dedup_cluster",
+    "ext_dedup_cluster_lsss",
+    "ext_dedup_minhash_twostage",
+    "ext_dedup_paragraph",
+    "ext_dedup_substring",
+    "ext_dsir_weights",
+    "ext_minhash_accuracy",
+    "ext_pmi_collocations",
+    "ext_sample_stratified",
+    "ext_temperature_sample",
+    "ext_tfidf_topk",
+    "ext_url_dedup",
+    "filter_nonempty",
+    "job_data_card",
+    "job_scd2",
+    "nav_struct",
+    "proj_flatten",
+    "proj_variant_json",
+    "snk_zorder",
+    "sql_local_supplier_volume",
+    "sql_order_priority",
     # ---- Round 13 front block (stale-hash policy + r12 verdict #2):
     # FIRST the three queries re-keyed by the round-13 round(avg(…),4)
     # boundary probe — ext_calibration_bins had a bin mean landing
@@ -134,12 +197,6 @@ _PRIORITY = [
     "ext_dedup_incremental",
     "ext_dedup_minhash",
     "ext_dedup_ngram",
-    "ext_domain_cap",
-    "ext_embed_quantize",
-    "ext_mix_weights",
-    "ext_repetition_stats",
-    "ext_seq_pack",
-    "ext_token_entropy",
     # ---- Round 12 front block (stale-hash policy): every query whose
     # implementation OR oracle changed this round gets a fresh driver row
     # in the SAME round.
@@ -496,56 +553,12 @@ _PRIORITY = [
     "ext_entity_resolution_snm",
     "ext_drift_psi",
     # ---- verified in earlier rounds, unchanged: re-verify cheapest-first
-    "proj_flatten",
-    "nav_struct",
-    "arr_element",
-    "explode_trains",
-    "filter_nonempty",
-    "ext_dedup_cluster",
-    "ext_sample_stratified",
-    "ext_dedup_cluster_lsss",
     "str_stateful_crossings",
-    "ext_dedup_minhash_twostage",
     "str_foreach_batch_upsert",
-    "agg_mode_median",
-    "ext_tfidf_topk",
-    "ext_url_dedup",
-    "ext_temperature_sample",
-    "job_data_card",
-    "agg_histogram",
-    "ext_dsir_weights",
-    "ext_bpe_merges",
-    "job_scd2",
     "win_gap_fill_locf",
-    "ext_dedup_substring",
-    "ext_dedup_paragraph",
-    "ext_pmi_collocations",
-    "ext_bloom_prefilter",
-    "ext_minhash_accuracy",
     "src_xml",
-    "proj_variant_json",
     "sql_ship_priority",
-    "sql_order_priority",
-    "sql_local_supplier_volume",
     "sql_top_returned_customers",
-    "snk_zorder",
-    "str_session_window",
-    "str_stateful",
-    "str_stream_join",
-    "snk_parquet_sorted",
-    "src_csv",
-    "str_sliding_10min",
-    "ext_vocab_topk",
-    "snk_orc",
-    "job_prep_training_corpus",
-    "win_session_gap",
-    "win_percent_rank",
-    "win_first_last",
-    "join_fuzzy_levenshtein",
-    "proj_unpivot",
-    "src_jsonl_corrupt",
-    "win_change_points",
-    "src_parquet_evolve",
 ]
 
 

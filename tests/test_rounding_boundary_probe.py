@@ -132,11 +132,16 @@ RATIO_SITES = [
 
 
 def _strip_rounds(sql: str) -> str:
-    """Remove every ``round(expr, k)`` wrapper (paren-matched), leaving
-    ``(expr)`` so the probed column carries the raw double."""
+    """Remove every two-argument ``round(expr, k)`` wrapper
+    (paren-matched), leaving ``(expr)`` so the probed column carries the
+    raw double. Single-argument ``round(expr)`` calls are QUANTIZATION
+    (e.g. the cents recipe's ``round(value*100)``), not output rounding —
+    stripping one would make the probe evaluate a different expression
+    than ships, so they are left intact (ADVICE r13 #4)."""
     out = sql
+    search_from = 0
     while True:
-        i = out.lower().find("round(")
+        i = out.lower().find("round(", search_from)
         if i < 0:
             return out
         depth = 0
@@ -155,7 +160,11 @@ def _strip_rounds(sql: str) -> str:
                 last_comma = p
         else:  # unbalanced — leave untouched rather than corrupt
             return out
-        inner = out[j + 1: last_comma if last_comma is not None else end]
+        if last_comma is None:
+            # single-argument round: quantization, keep it and scan on
+            search_from = j + 1
+            continue
+        inner = out[j + 1: last_comma]
         out = out[:i] + "(" + inner + ")" + out[end + 1:]
 
 
@@ -206,6 +215,36 @@ def test_no_rounded_aggregate_sits_on_a_half_point_boundary(sf_dir):
         "aggregate landed on a cross-engine .5 rounding boundary — apply "
         f"the pure-BIGINT rounding recipe at these sites: {offenders}"
     )
+
+
+def test_strip_rounds_only_removes_two_argument_output_rounding():
+    """ADVICE r13 #4: single-argument round() is QUANTIZATION (part of the
+    shipped expression, e.g. round(value*100) in the cents recipe), not
+    output rounding — the probe must evaluate it as shipped."""
+    assert _strip_rounds("SELECT round(avg(x), 4) AS v") == "SELECT (avg(x)) AS v"
+    keep = "SELECT round(value * 100) AS cents"
+    assert _strip_rounds(keep) == keep
+    mixed = "SELECT round(sum(round(v * 100)) / 100.0, 2) AS v"
+    assert _strip_rounds(mixed) == "SELECT (sum(round(v * 100)) / 100.0) AS v"
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001"] + SF_DIRS
+)
+def test_lineitem_quantity_is_integral(sf_dir):
+    """f_math_std's BIGINT avg recipe (scalar_queries.py) assumes
+    l_quantity — stored as DOUBLE — is always integral: a fractional
+    quantity would make Spark's cast (truncate) and DuckDB's CAST (round)
+    diverge and the *20000 integer formula misround (ADVICE r13 #1). The
+    input contract holds on today's data; this pin fails before the
+    driver hash does if testdata regeneration ever breaks it."""
+    con = _views(sf_dir)
+    (n,) = con.execute(
+        """SELECT count(*) FROM lineitem
+           WHERE NOT isfinite(l_quantity) OR l_quantity != trunc(l_quantity)"""
+    ).fetchone()
+    con.close()
+    assert n == 0, f"{n} lineitem.l_quantity rows are non-integral/non-finite"
 
 
 @pytest.mark.parametrize("sf_dir", SF_DIRS)

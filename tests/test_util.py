@@ -107,7 +107,8 @@ def test_bench_detail_payload_carries_foreign_sections_forward():
     assert out["some_future_section"] == [1, 2]
     assert out["queries"] == {"q": 1.0}  # owned keys fully replaced
     assert out["provenance"] == {
-            "last_run": "full", "merged": False, "env": None, "floors_reset": {}
+            "last_run": "full", "merged": False, "env": None, "floors_reset": {},
+            "floors_carried_unverified": [],
         }
     filt = bench.detail_payload(
         prior, 0.1, {"q": 1.0}, {"q": 0.9}, {"q": 0.9}, [], filtered=True,
@@ -216,6 +217,47 @@ def test_bench_detail_payload_owns_impl_hash_and_records_resets():
     )
     assert out2["impl_hash"] == {} and out2["provenance"]["floors_reset"] == {}
     assert out2["impl_hash_meta"] == {}
+
+
+def test_bench_floor_protocol_tagging():
+    """r13 verdict #3: legacy (pre-r11, env-unknown) floors are deep-warm
+    full-bench minima — fresh processes sit 1.2-1.8x above them by
+    protocol, not regression. tag_floor_protocols must (a) backfill the
+    explicit unknown marker for floors predating best_ever_env, (b) tag
+    env-unknown records legacy-warm, (c) tag env-known records bench-run,
+    and (d) never overwrite an existing protocol tag."""
+    import bench
+
+    best_ever = {"legacy": 0.5, "recorded": 1.0, "pretagged": 2.0, "bare": 3.0}
+    env = {
+        "legacy": {"unknown": True},
+        "recorded": {"unix_time": 5, "loadavg": [0.1, 0.1, 0.1]},
+        "pretagged": {"unknown": True, "protocol": "fresh-process"},
+        # "bare" missing entirely: predates best_ever_env
+    }
+    bench.tag_floor_protocols(best_ever, env)
+    assert env["legacy"]["protocol"] == "legacy-warm"
+    assert env["recorded"]["protocol"] == "bench-run"
+    assert env["pretagged"]["protocol"] == "fresh-process"  # not clobbered
+    assert env["bare"] == {"unknown": True, "protocol": "legacy-warm"}
+
+
+def test_bench_detail_payload_records_floors_carried_unverified():
+    """ADVICE r13 #2: on a fingerprint-scheme/interpreter transition the
+    floor-reset rule is skipped for one run, so every kept floor is
+    unverified against real code changes — the carried names must land in
+    provenance (adjudicable), defaulting to [] on ordinary runs."""
+    import bench
+
+    out = bench.detail_payload(
+        {}, 0.1, {"q": 1.0}, {"q": 0.9}, {"q": 0.9}, [], filtered=False,
+        floors_carried_unverified=["a", "b"],
+    )
+    assert out["provenance"]["floors_carried_unverified"] == ["a", "b"]
+    out2 = bench.detail_payload(
+        {}, 0.1, {"q": 1.0}, {"q": 0.9}, {"q": 0.9}, [], filtered=False
+    )
+    assert out2["provenance"]["floors_carried_unverified"] == []
 
 
 def test_bench_impl_fingerprint_sees_helper_and_constant_changes(tmp_path):
