@@ -61,16 +61,32 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: driver simulation run before each commit.
 _PRIORITY = [
     # ---- Round 14 front block (r13 verdict #1 — the rotation round):
-    # NO query behavior changed this round, so the entire 50-slot driver
-    # budget retires the old-hash backlog, longest-unverified first: the
-    # FULL r5 cohort (23 names, hash age 9 rounds — their integer-ratio
-    # rounding surfaces were pre-swept and are monitored by
-    # tests/test_rounding_boundary_probe.py since r13) THEN the r6 cohort
-    # head (27 of 33 names, alphabetical). Overflow (6 r6 names:
-    # sql_ship_priority, sql_top_returned_customers, src_xml,
-    # str_foreach_batch_upsert, str_stateful_crossings, win_gap_fill_locf)
-    # rolls to round 15 together with the r7 cohort. After this round the
-    # oldest driver hash in the registry is r6.
+    # FIRST the three queries RE-KEYED by the round-14 boundary pre-sweep
+    # of the r15 cohort (stale-hash policy: behavior/oracle changes get a
+    # fresh driver row the SAME round). The pre-sweep — extending the
+    # r13 probe pattern to the r7 cohort + r6 overflow ahead of their
+    # r15 re-queue — found LIVE surfaces: sql_top_returned_customers had
+    # TWO shipped-window revenues and sql_market_share THREE (nation,
+    # year) revenues sitting EXACTLY on .xx5 half-cents at sf0.01 under
+    # round(sum(double), 2), and win_leave_one_out.peer_avg's exact
+    # rational sat within 1e-6 of a half-cent WITHOUT being on it at
+    # sf0.1 (the r7 -9.38375 cross-engine shape). All three re-keyed to
+    # the pure-BIGINT sign-branch recipe (PLANS.md round-14).
+    "sql_top_returned_customers",
+    "sql_market_share",
+    "win_leave_one_out",
+    # THEN the rotation: the entire remaining budget retires the
+    # old-hash backlog, longest-unverified first: the FULL r5 cohort
+    # (23 names, hash age 9 rounds — their integer-ratio rounding
+    # surfaces were pre-swept and are monitored by
+    # tests/test_rounding_boundary_probe.py since r13) THEN the r6
+    # cohort head (24 of 33 names, alphabetical; sql_top_returned_
+    # customers above is a 25th). Overflow (8 r6 names: snk_zorder,
+    # sql_local_supplier_volume, sql_order_priority, sql_ship_priority,
+    # src_xml, str_foreach_batch_upsert, str_stateful_crossings,
+    # win_gap_fill_locf) rolls to round 15 together with the 25
+    # remaining r7 names (33 total — inside r15's ~50 budget with room
+    # for re-keys). After this round the oldest driver hash is r6.
     # r5 cohort (hash age 9 rounds):
     "ext_domain_cap",
     "ext_embed_quantize",
@@ -95,7 +111,7 @@ _PRIORITY = [
     "win_first_last",
     "win_percent_rank",
     "win_session_gap",
-    # r6 cohort head (hash age 8 rounds; 27 of 33, alphabetical):
+    # r6 cohort head (hash age 8 rounds; 24 of 33, alphabetical):
     "agg_histogram",
     "agg_mode_median",
     "arr_element",
@@ -120,9 +136,6 @@ _PRIORITY = [
     "nav_struct",
     "proj_flatten",
     "proj_variant_json",
-    "snk_zorder",
-    "sql_local_supplier_volume",
-    "sql_order_priority",
     # ---- Round 13 front block (stale-hash policy + r12 verdict #2):
     # FIRST the three queries re-keyed by the round-13 round(avg(…),4)
     # boundary probe — ext_calibration_bins had a bin mean landing
@@ -530,13 +543,11 @@ _PRIORITY = [
     "ext_pagerank",
     "ext_graph_triangles",
     "agg_weighted_median",
-    "win_leave_one_out",
     "job_incremental_agg",
     "job_incremental_agg_retract",
     "join_spatial_grid",
     "win_cumulative_distinct",
     "agg_attribution_last_touch",
-    "sql_market_share",
     "win_streak_days",
     "job_backfill_idempotent",
     "str_dedup_rocksdb",
@@ -558,7 +569,6 @@ _PRIORITY = [
     "win_gap_fill_locf",
     "src_xml",
     "sql_ship_priority",
-    "sql_top_returned_customers",
 ]
 
 

@@ -175,24 +175,45 @@ def sql_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sql_top_returned_customers",
     oracle="""
+    WITH agg AS (
+      SELECT c_custkey, c_name, n_name, c_acctbal,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev4
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      GROUP BY c_custkey, c_name, n_name, c_acctbal
+    )
     SELECT c_custkey, c_name, n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           (CASE WHEN rev4 >= 0 THEN (2 * rev4 + 100) // 200
+                 ELSE -((2 * (-rev4) + 100) // 200) END) / 100.0 AS revenue,
            round(c_acctbal, 2) AS acctbal
-    FROM customer
-    JOIN orders   ON c_custkey = o_custkey
-    JOIN lineitem ON l_orderkey = o_orderkey
-    JOIN nation   ON c_nationkey = n_nationkey
-    WHERE l_returnflag = 'R'
-      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
-    GROUP BY c_custkey, c_name, n_name, c_acctbal
-    ORDER BY revenue DESC, c_custkey ASC
+    FROM agg
+    ORDER BY rev4 DESC, c_custkey ASC
     LIMIT 20
     """,
 )
 def sql_top_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Returned-item reporting (TPC-H Q10 shape): top-20 customers by
     revenue lost to returns in a quarter.
+
+    Revenue rounds in pure BIGINT (re-keyed r14 boundary pre-sweep):
+    price and discount are exact 2-decimal
+    (tests/test_rounding_boundary_probe.py pins the contract), so each
+    term is an exact integer in 10^-4-dollar units — cents(price) ×
+    (100 − cents(discount)) — and the sum rev4 rounds half-away-from-zero
+    via the sign-branch (2·|rev4| + 100) div 200. The probe caught TWO
+    shipped-window revenues landing EXACTLY on half-cents at sf0.01
+    (378060.515, 307843.595) under the old round(sum(double), 2) — the
+    r7 -9.38375 cross-engine shape, live. Headroom: ~9.2e18 / 1.05e9
+    max-term ≈ 8.7e9 rows per GROUP before BIGINT overflow — any
+    realistic per-customer cardinality. The top-20 cutoff also orders by
+    the exact rev4 (not the rounded double), so near-tie cutoff rows are
+    deterministic on both engines.
 
     Scale: returnflag + date filters push to both scans; lineitem⋈orders
     shuffles on orderkey, then ⋈customer on custkey; nation broadcasts.
@@ -207,25 +228,30 @@ def sql_top_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     line = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     cust = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
+    rev4 = F.sum(
+        F.expr(
+            "cast(round(l_extendedprice * 100) as bigint)"
+            " * (100 - cast(round(l_discount * 100) as bigint))"
+        )
+    ).alias("rev4")
+    half_up = F.when(
+        F.col("rev4") >= 0, F.expr("(2 * rev4 + 100) div 200")
+    ).otherwise(-F.expr("(2 * (-rev4) + 100) div 200"))
     return (
         line.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(rev4)
+        .orderBy(F.col("rev4").desc(), F.col("c_custkey").asc())
+        .limit(20)
         .select(
             "c_custkey",
             "c_name",
             "n_name",
-            "revenue",
+            (half_up / 100.0).alias("revenue"),
             F.round(F.col("c_acctbal"), 2).alias("acctbal"),
         )
-        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
-        .limit(20)
     )
 
 
@@ -949,7 +975,8 @@ def job_gdpr_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rev AS (
       SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS order_year,
-             sum(l_extendedprice * (1 - l_discount)) AS revenue
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev4
       FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
@@ -957,8 +984,9 @@ def job_gdpr_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY n_name, year(o_orderdate)
     )
     SELECT n_name, order_year,
-           round(revenue, 2) AS revenue,
-           round(revenue / sum(revenue) OVER (PARTITION BY order_year), 6)
+           (CASE WHEN rev4 >= 0 THEN (2 * rev4 + 100) // 200
+                 ELSE -((2 * (-rev4) + 100) // 200) END) / 100.0 AS revenue,
+           round(rev4 / sum(rev4) OVER (PARTITION BY order_year), 6)
                AS market_share
     FROM rev
     """,
@@ -967,6 +995,15 @@ def sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """National market share per year (TPC-H Q8 shape): each nation's slice
     of yearly revenue — aggregate then a whole-partition window normalizes
     within the year.
+
+    Revenue rounds in pure BIGINT (re-keyed r14 boundary pre-sweep: THREE
+    (nation, year) revenues sat EXACTLY on half-cents at sf0.01 under the
+    old round(sum(double), 2) — the live r7 -9.38375 shape). Same recipe
+    as sql_top_returned_customers: exact 10^-4-dollar integer terms,
+    sign-branch half-away-from-zero. market_share becomes an exact
+    INTEGER ratio rev4/Σrev4 — order-free on both engines and monitored
+    by the integer-ratio boundary probe
+    (tests/test_rounding_boundary_probe.py RATIO_SITES).
 
     Scale: the star join shuffles facts on their keys with nation
     broadcast; the share window runs over the AGGREGATED table (≈ nations
@@ -988,14 +1025,24 @@ def sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "n_name", F.year("o_orderdate").cast("bigint").alias("order_year")
         )
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "cast(round(l_extendedprice * 100) as bigint)"
+                    " * (100 - cast(round(l_discount * 100) as bigint))"
+                )
+            ).alias("rev4")
+        )
     )
     w = Window.partitionBy("order_year")
+    half_up = F.when(
+        F.col("rev4") >= 0, F.expr("(2 * rev4 + 100) div 200")
+    ).otherwise(-F.expr("(2 * (-rev4) + 100) div 200"))
     return rev.select(
         "n_name",
         "order_year",
-        F.round("rev", 2).alias("revenue"),
-        F.round(F.col("rev") / F.sum("rev").over(w), 6).alias("market_share"),
+        (half_up / 100.0).alias("revenue"),
+        F.round(F.col("rev4") / F.sum("rev4").over(w), 6).alias("market_share"),
     )
 
 
@@ -3585,16 +3632,21 @@ def ext_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sc
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment, c_custkey
+    ),
+    win AS (
+      SELECT c_custkey, c_mktsegment, sc,
+             sum(sc) OVER (PARTITION BY c_mktsegment) - sc AS osum,
+             count(*) OVER (PARTITION BY c_mktsegment) - 1 AS onn
+      FROM spend
     )
     SELECT c_custkey, c_mktsegment,
            round(sc / 100.0, 2) AS spend,
-           round((sum(sc) OVER (PARTITION BY c_mktsegment) - sc)
-                 / (100.0 * (count(*) OVER (PARTITION BY c_mktsegment) - 1)), 2)
+           (CASE WHEN onn < 1 THEN NULL
+                 WHEN osum >= 0 THEN (2 * osum + onn) // (2 * onn)
+                 ELSE -((2 * (-osum) + onn) // (2 * onn)) END) / 100.0
                AS peer_avg,
-           round(sc * (count(*) OVER (PARTITION BY c_mktsegment) - 1)
-                 / (1.0 * (sum(sc) OVER (PARTITION BY c_mktsegment) - sc)), 4)
-               AS vs_peers
-    FROM spend
+           round(sc * onn / (1.0 * osum), 4) AS vs_peers
+    FROM win
     """,
 )
 def win_leave_one_out(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3604,6 +3656,17 @@ def win_leave_one_out(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates, so no self-exclusion subquery or anti-join exists; this
     is also the leakage-safe way to build target-encoding features (the
     row's own label never contributes to its feature).
+
+    peer_avg rounds in pure BIGINT (re-keyed r14 boundary pre-sweep: one
+    sf0.1 value's exact rational (Σsc−sc)/(n−1) sat within 1e-6 of a
+    half-cent WITHOUT being exactly on it — the near-but-not-exact
+    r7 -9.38375 shape, where Spark rounds the shortest-decimal repr and
+    DuckDB the binary double): cents = sign-branch half-away-from-zero
+    (2·|Σsc−sc| + (n−1)) div (2·(n−1)) over the exact integer-cents
+    sums, NULL when the customer has no peers (n=1; the old form
+    divided by zero there). vs_peers keeps raw round() and stays
+    monitored (integer-ratio probe RATIO_SITES), matching the
+    f_math_std re-key scope discipline.
 
     Scale: the window runs over the per-customer aggregate; sum and
     count partials are shared by all three output columns in one window
@@ -3624,14 +3687,24 @@ def win_leave_one_out(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("c_mktsegment")
-    others_sum = F.sum("sc").over(w) - F.col("sc")
-    others_n = F.count(F.lit(1)).over(w) - 1
-    return spend.select(
+    win = spend.select(
+        "c_custkey",
+        "c_mktsegment",
+        "sc",
+        (F.sum("sc").over(w) - F.col("sc")).alias("osum"),
+        (F.count(F.lit(1)).over(w) - 1).alias("onn"),
+    )
+    peer_cents = F.when(F.col("onn") < 1, F.lit(None)).when(
+        F.col("osum") >= 0, F.expr("(2 * osum + onn) div (2 * onn)")
+    ).otherwise(-F.expr("(2 * (-osum) + onn) div (2 * onn)"))
+    return win.select(
         "c_custkey",
         "c_mktsegment",
         F.round(F.col("sc") / 100.0, 2).alias("spend"),
-        F.round(others_sum / (100.0 * others_n), 2).alias("peer_avg"),
-        F.round(F.col("sc") * others_n / (1.0 * others_sum), 4).alias("vs_peers"),
+        (peer_cents / 100.0).alias("peer_avg"),
+        F.round(F.col("sc") * F.col("onn") / (1.0 * F.col("osum")), 4).alias(
+            "vs_peers"
+        ),
     )
 
 

@@ -79,6 +79,41 @@ PROBES = [
             SELECT count(*)::DOUBLE AS n FROM orders GROUP BY o_custkey)"""),
     # ext_calibration_bins + ext_winsorized_mean: re-keyed to pure-BIGINT
     # rounding in r13 (PLANS.md boundary pre-sweep) — no probes needed.
+    #
+    # ---- r15 re-queue pre-sweep (added r14, same move r13 made for the
+    # r5 cohort): the r7 cohort + r6 overflow carry five more
+    # round(sum(float), 2) groupings not covered by the probes above.
+    # LIMITed queries probe only the top rows by unrounded revenue (the
+    # shipped rows plus cutoff neighbors): probing every group would
+    # false-flag boundaries on rows that never ship. Transcendental
+    # sites in the same cohort (ext_drift_psi ln, ext_quality_model
+    # sigmoid, ext_pagerank, join_spatial_grid haversine) keep the
+    # irrational-valued measure-zero stance (see math_std_stddev note).
+    ("obs_metrics_revenue", 2, """
+        SELECT sum(l_extendedprice * (1 - l_discount)) AS v
+        FROM lineitem WHERE l_returnflag = 'R'"""),
+    ("ship_priority_revenue", 2, """
+        SELECT v FROM (
+          SELECT sum(l_extendedprice * (1 - l_discount)) AS v
+          FROM customer
+          JOIN orders   ON c_custkey = o_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+            AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+          GROUP BY l_orderkey, o_orderdate, o_orderpriority)
+        ORDER BY v DESC LIMIT 12"""),
+    ("incremental_agg_total", 2, """
+        SELECT sum(o_totalprice) AS v
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment"""),
+    # sql_top_returned_customers + sql_market_share: the r14 pre-sweep
+    # found LIVE half-cent hits in both (two shipped top-24 revenues and
+    # three (nation, year) revenues sat exactly on .xx5 at sf0.01) —
+    # re-keyed to the pure-BIGINT sign-branch recipe the same round, so
+    # no probes remain; market_share became an exact integer ratio and
+    # moved to RATIO_SITES. win_leave_one_out.peer_avg (near-but-not-
+    # exact hit at sf0.1) re-keyed likewise; vs_peers stays monitored.
 ]
 
 #: An aggregate this close to a half-point (in units of the rounded digit)
@@ -128,6 +163,18 @@ RATIO_SITES = [
     ("win_percent_rank", "pct_rank", 4),
     ("win_percent_rank", "cume", 4),
     ("agg_corr", "qty_price_cov", 2),
+    # r15 re-queue pre-sweep (added r14): win_leave_one_out's remaining
+    # raw-rounded integer-cents ratio sc*(n-1)/(sum(sc)-sc) — the same
+    # exact-rational class as agg_corr's covariance (peer_avg was
+    # re-keyed to BIGINT after the pre-sweep found a near-boundary hit
+    # at sf0.1, so it has no boundary left to monitor). The inner
+    # round(o_totalprice*100) quantization survives _strip_rounds
+    # (single-argument, ADVICE r13 #4) so the probed expression is
+    # exactly what ships minus the output rounds. sql_market_share's
+    # share is an exact integer ratio rev4/sum(rev4) since its r14
+    # BIGINT re-key.
+    ("win_leave_one_out", "vs_peers", 4),
+    ("sql_market_share", "market_share", 6),
 ]
 
 
