@@ -294,6 +294,84 @@ def test_lineitem_quantity_is_integral(sf_dir):
     assert n == 0, f"{n} lineitem.l_quantity rows are non-integral/non-finite"
 
 
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001"] + SF_DIRS
+)
+def test_money_columns_are_exact_two_decimal(sf_dir):
+    """The r14 BIGINT revenue recipe (sql_top_returned_customers /
+    sql_market_share) is exact ONLY because l_extendedprice and
+    l_discount are exact 2-decimal values — cents(price) and
+    cents(discount) must be integers — and win_leave_one_out's
+    round(o_totalprice*100) cents quantization assumes the same of
+    o_totalprice. Same input-contract class as the events.value
+    half-cent pin below (ADVICE r13 #1): holds on today's data, fails
+    here before the driver hash if testdata regeneration breaks it."""
+    con = _views(sf_dir)
+    (n_price, n_disc) = con.execute(
+        f"""SELECT
+              count(*) FILTER (WHERE NOT isfinite(l_extendedprice)
+                  OR abs(l_extendedprice * 100
+                         - round(l_extendedprice * 100)) > {BOUNDARY_MARGIN}),
+              count(*) FILTER (WHERE NOT isfinite(l_discount)
+                  OR abs(l_discount * 100
+                         - round(l_discount * 100)) > {BOUNDARY_MARGIN})
+            FROM lineitem"""
+    ).fetchone()
+    (n_total,) = con.execute(
+        f"""SELECT count(*) FROM read_parquet('{sf_dir}/orders.parquet')
+            WHERE NOT isfinite(o_totalprice)
+               OR abs(o_totalprice * 100
+                      - round(o_totalprice * 100)) > {BOUNDARY_MARGIN}"""
+    ).fetchone()
+    con.close()
+    assert (n_price, n_disc, n_total) == (0, 0, 0), (
+        f"non-2-decimal money values: extendedprice={n_price} "
+        f"discount={n_disc} totalprice={n_total}"
+    )
+
+
+def test_sign_branch_halfup_div_semantics_match_duckdb():
+    """The BIGINT half-away-from-zero recipe relies on Spark's ``div``
+    (truncating) and DuckDB's ``//`` (flooring) agreeing — true only
+    because the sign branch feeds both a NONNEGATIVE numerator. Pin the
+    recipe on adversarial values (exact halves, both signs, zero) so a
+    refactor that drops the sign branch fails here, not at a driver
+    hash: floor(-1.75) = -2 but trunc(-1.75) = -1, the exact divergence
+    the branch exists to avoid."""
+    import duckdb
+
+    cases = [150, 50, -50, -150, 0, 249, -249, 251, -251, 100, -100]
+    # reference: round-half-away-from-zero of v4 / 100 (10^-4 units -> cents)
+    expected = [
+        (abs(v) * 2 + 100) // 200 * (1 if v >= 0 else -1) for v in cases
+    ]
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(
+            f"SELECT CASE WHEN {v} >= 0 THEN (2 * {v} + 100) // 200 "
+            f"ELSE -((2 * ({-v})::BIGINT + 100) // 200) END"
+        ).fetchone()[0]
+        for v in cases
+    ]
+    con.close()
+    from cta_train_tracker_analytics_spark.session import get_spark
+
+    spark = get_spark(app_name="halfup-pin")
+    df = spark.createDataFrame([(v,) for v in cases], "rev4 bigint")
+    from pyspark.sql import functions as F
+
+    got_spark = [
+        r["c"]
+        for r in df.select(
+            F.when(
+                F.col("rev4") >= 0, F.expr("(2 * rev4 + 100) div 200")
+            ).otherwise(-F.expr("(2 * (-rev4) + 100) div 200")).alias("c")
+        ).collect()
+    ]
+    assert got_duck == expected
+    assert got_spark == expected
+
+
 @pytest.mark.parametrize("sf_dir", SF_DIRS)
 def test_seasonality_cents_quantization_is_unambiguous(sf_dir):
     """agg_seasonality_profile's `round(value*100, 0)` per-row
