@@ -141,6 +141,39 @@ def _windows(sf_dir: str) -> dict[str, float]:
     return {k: _min_positive(g) for k, g in gaps.items()}
 
 
+#: every cosine THRESHOLD compared against an unrounded float sum in a
+#: registered query (llm.py): semdedup's within-cell cos >= 0.2 and the
+#: LSH embed-dedup verify joins' cos >= 0.2 (lsh_bucketed_pairs /
+#: lsh_banded_pairs). Jaccard/containment thresholds (0.0/0.3/0.7/0.8)
+#: are EXACT integer ratios — both engines divide the same integers and
+#: get bit-identical doubles — so only cosine cutoffs carry flip risk.
+COS_THRESHOLDS = [0.2]
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_cosine_threshold_gaps_clear_summation_noise(sf_dir):
+    """A pair whose cosine sits within the engines' summation
+    disagreement of a >= threshold flips MEMBERSHIP (not just rank)
+    between Spark and the oracle. Probed over ALL distinct pairs — a
+    superset of every candidate set any LSH/cell blocking produces, so
+    clearing here clears every shipped comparison."""
+    ids, v, _ = _load(sf_dir)
+    nrm = np.linalg.norm(v, axis=1)
+    cs = (v @ v.T) / np.outer(nrm, nrm)
+    iu = np.triu_indices(len(ids), k=1)
+    vals = cs[iu]
+    offenders = {}
+    for t in COS_THRESHOLDS:
+        d = np.abs(vals - t)
+        mn = float(d.min())
+        if 0 < mn <= MARGIN:
+            offenders[t] = mn
+    assert offenders == {}, (
+        f"pair cosine within summation noise of a membership threshold "
+        f"at {sf_dir}: {offenders}"
+    )
+
+
 @pytest.mark.parametrize("sf_dir", SF_DIRS)
 def test_cosine_window_boundaries_clear_summation_noise(sf_dir):
     mins = _windows(sf_dir)
