@@ -81,6 +81,7 @@ def _windows(sf_dir: str) -> dict[str, float]:
         "residence_cap": [],      # prod cap eviction rank (if binding)
         "graph_top3_knn": [],     # same-(label,cell) top-3 (ext_knn_graph)
         "graph_top3_prod": [],    # probed-cells vs probe-1 top-3 (prod)
+        "hardneg_top3": [],       # different-label same-cell top-3
         "search_top10": [],       # per-query rank10|11 (search family)
     }
     gaps["assign_argmax"] = list(ranked[:, 0] - ranked[:, 1])
@@ -123,6 +124,13 @@ def _windows(sf_dir: str) -> dict[str, float]:
         g = topk_boundary(prod_c, cs_all[u], 3)
         if g is not None:
             gaps["graph_top3_prod"].append(g)
+        # ext_hard_negatives: different label, same argmax cell
+        hn_c = np.where(
+            (labels != labels[u]) & (cell1 == cell1[u]) & (np.arange(n) != u)
+        )[0]
+        g = topk_boundary(hn_c, cs_all[u], 3)
+        if g is not None:
+            gaps["hardneg_top3"].append(g)
 
     # search family: queries are vec_id < 5 (result queries); exact search
     # ranks ALL corpus rows, IVF ranks the query's argmax cell — the exact
