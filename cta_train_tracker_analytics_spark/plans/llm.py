@@ -4100,7 +4100,16 @@ def ext_knn_graph_ivf_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-equi-join keys on cell, and the per-vector top-3 compiles to a
     partial WindowGroupLimit. Null embeddings excluded corpus- and
     seed-side; signed zero canonicalized in the rounded output — both
-    contracts inherited from the sibling graph queries."""
+    contracts inherited from the sibling graph queries.
+
+    SKEW CAVEAT (measured r14, BENCH_DETAIL clustered_slope_probe):
+    the 2×N×|cell| linearity assumes |cell| ≈ N/k, which Zipf-mass
+    cluster skew breaks — this UNCAPPED exhibit measured 43.4x wall
+    for 10x rows on a corpus whose top cluster holds 19% of all mass
+    (max cell 2757 vs avg 250), while ext_knn_graph_prod's residence
+    cap held the same corpus to 10.2-12.5x (max cell 794). This query
+    is the one-axis nprobe exhibit; skewed corpora should use the prod
+    composition."""
     import math
 
     emb = load(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
