@@ -107,6 +107,23 @@ PROBES = [
         SELECT sum(o_totalprice) AS v
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment"""),
+    # r16 re-queue pre-sweep (added r14): win_cusum's rounded DOUBLE-SUM
+    # aggregates — daily means and their running deviation sums — are
+    # the round(avg/sum, 4) class (summation order can differ across
+    # engines, so even an exact boundary hit is dangerous here, unlike
+    # the integer-ratio/quantile sites in RATIO_SITES).
+    ("cusum_daily_mean", 4, """
+        SELECT avg(value) AS v FROM events
+        WHERE isfinite(value) GROUP BY CAST(ts AS DATE)"""),
+    ("cusum_cum_dev", 4, """
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS d, avg(value) AS v
+          FROM events WHERE isfinite(value) GROUP BY CAST(ts AS DATE)
+        ),
+        m AS (SELECT avg(v) AS mu FROM daily)
+        SELECT sum(v - mu) OVER (ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+        FROM daily, m"""),
     # sql_top_returned_customers + sql_market_share: the r14 pre-sweep
     # found LIVE half-cent hits in both (two shipped top-24 revenues and
     # three (nation, year) revenues sat exactly on .xx5 at sf0.01) —
@@ -175,6 +192,18 @@ RATIO_SITES = [
     # BIGINT re-key.
     ("win_leave_one_out", "vs_peers", 4),
     ("sql_market_share", "market_share", 6),
+    # r16 re-queue pre-sweep (added r14, one cycle early — the r9/r10
+    # cohorts re-queue then): two more integer-count ratios, plus the
+    # quantile-interpolation class. quantile_cont qualifies for the
+    # dyadic-benign rule because it is a deterministic function of the
+    # sorted value multiset — no summation-order divergence — exactly
+    # like an integer ratio; a double-SUM aggregate does not (those go
+    # in PROBES above where even an exact boundary hit flags).
+    ("ext_basket_lift", "lift", 4),
+    ("ext_ngram_novelty", "novelty", 6),
+    ("agg_quantile_bands", "p10", 4),
+    ("agg_quantile_bands", "p50", 4),
+    ("agg_quantile_bands", "p90", 4),
 ]
 
 
