@@ -195,6 +195,16 @@ def parse_only(raw: str, known: list[str]) -> list[str]:
     return [n for n in known if n in keep]
 
 
+#: Fixed protocol-offset control (r14 verdict #6): this query's same-session
+#: timing is recorded in BENCH_DETAIL provenance at EVERY bench run, so the
+#: standing driver-vs-builder offset (~12% across r13/r14: 121.1 s driver vs
+#: 108.5 s builder closing bench on identical code) is measured per-run
+#: instead of re-argued per-flag. ext_sim_recall is the established >1 s
+#: non-iterative control from the r13/r14 adjudication sessions — long
+#: enough to amortize scheduler jitter, stable plan, no driver-side loops.
+CONTROL_QUERY = "ext_sim_recall"
+
+
 #: A query is a regression CANDIDATE when its min-of-runs exceeds best_ever
 #: by BOTH a 1.5× ratio and an absolute 0.3 s — the ratio alone flags
 #: scheduler jitter on sub-second queries (±0.2 s is routine on local[32]),
@@ -425,6 +435,23 @@ def env_fingerprint() -> dict:
     return fp
 
 
+def prune_carried_floors(
+    carried: list[str],
+    best_ever: dict[str, float],
+    floors_reset: dict[str, dict],
+    refloored: set[str],
+) -> list[str]:
+    """Names from provenance.floors_carried_unverified still carried on
+    trust after this run (ADVICE r14 #3): a name drops off only once its
+    floor is actually re-verified — reset by the re-key rule, re-set by a
+    fresh measurement this run, or gone from best_ever entirely."""
+    return sorted(
+        n
+        for n in carried
+        if n in best_ever and n not in floors_reset and n not in refloored
+    )
+
+
 def detail_payload(
     prior: dict,
     sf: float,
@@ -439,6 +466,7 @@ def detail_payload(
     floors_reset: dict[str, dict] | None = None,
     impl_hash_meta: dict | None = None,
     floors_carried_unverified: list[str] | None = None,
+    control_query: dict | None = None,
 ) -> dict:
     return {
         **{k: v for k, v in prior.items() if k not in _OWNED_DETAIL_KEYS},
@@ -486,9 +514,18 @@ def detail_payload(
             # transition (ADVICE r13 #2): the reset rule was skipped for
             # this run, so any of these whose implementation ALSO changed
             # in the same window carries a stale floor — adjudicate
-            # before trusting a drift flag against them. Empty except on
-            # the one transition run.
+            # before trusting a drift flag against them. Set on the
+            # transition run and CARRIED FORWARD by later runs (ADVICE
+            # r14 #3: detail_payload owns the key, so a default of []
+            # made the record survive only in git history); a name drops
+            # off only when its floor is since reset or re-set by a
+            # bench run.
             "floors_carried_unverified": floors_carried_unverified or [],
+            # the fixed protocol-offset control's timing THIS run (r14
+            # verdict #6): compare across driver/builder runs to read
+            # the session offset directly. None only when a filtered
+            # run excluded the control.
+            "control_query": control_query,
         },
         "method": {
             "sub_second": "median_of_5",
@@ -616,8 +653,18 @@ def main() -> None:
     # silently keeps its stale floor and is never auto-reset afterward
     # (the new hash is recorded as its baseline). Record the carried
     # names in provenance so the transition run's floors remain
-    # adjudicable instead of silently trusted.
-    floors_carried_unverified = sorted(best_ever) if scheme_changed else []
+    # adjudicable instead of silently trusted — and CARRY the prior
+    # run's list forward (ADVICE r14 #3: defaulting to [] meant the very
+    # next full run erased the record), pruning below any name whose
+    # floor this run resets or re-sets.
+    prior_carried = prior.get("provenance", {}).get(
+        "floors_carried_unverified", []
+    ) or []
+    floors_carried_unverified = (
+        sorted(set(best_ever) | set(prior_carried))
+        if scheme_changed
+        else list(prior_carried)
+    )
     if scheme_changed:
         print(
             f"# fingerprint scheme changed ({prior_meta or 'v1-implicit'} -> "
@@ -709,6 +756,7 @@ def main() -> None:
         ]
         regressions = kept + regressions
 
+    refloored: set[str] = set()
     for name, sec in timings_min.items():
         # best-of-history on the min-of-runs timing: distinguishes noise
         # from structural drift (e.g. flagship_region_pricing's 1.15→1.64 s
@@ -720,6 +768,25 @@ def main() -> None:
             # future drift flags compare fingerprints instead of
             # re-running fresh-process controls
             best_ever_env[name] = {**env, "protocol": "bench-run"}
+            refloored.add(name)
+
+    floors_carried_unverified = prune_carried_floors(
+        floors_carried_unverified, best_ever, floors_reset, refloored
+    )
+
+    # the fixed control's same-session timing (r14 verdict #6); a
+    # filtered run that excluded the control records None rather than a
+    # stale copy — per-run measurement is the point
+    control_query = (
+        {
+            "name": CONTROL_QUERY,
+            "min_sec": timings_min[CONTROL_QUERY],
+            "measured_sec": timings[CONTROL_QUERY],
+            "floor": best_ever.get(CONTROL_QUERY),
+        }
+        if CONTROL_QUERY in timings_min
+        else None
+    )
 
     total = round(sum(timings.values()), 3)
     with open(detail_path, "w") as f:
@@ -730,6 +797,7 @@ def main() -> None:
                 impl_hash=impl_hash, floors_reset=floors_reset,
                 impl_hash_meta=impl_hash_meta,
                 floors_carried_unverified=floors_carried_unverified,
+                control_query=control_query,
             ),
             f,
             indent=1,

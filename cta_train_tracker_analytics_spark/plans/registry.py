@@ -60,6 +60,75 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: parity replay (tests/test_oracle_parity.py) and by the non-UTC
 #: driver simulation run before each commit.
 _PRIORITY = [
+    # ---- Round 15 front block (r14 verdict #3 — the rotation round):
+    # the entire ~50-slot budget retires the oldest-hash backlog,
+    # longest-unverified first: the full r6 remainder (8 names, hash age
+    # 9 rounds), the full r7 cohort (25 names), the full r9 cohort (4
+    # names), then the r10 cohort head (13 of 20, alphabetical) to fill
+    # 50 exactly. The round-14 boundary pre-sweep (92d6c23) already
+    # classified every rounding surface in these cohorts
+    # (basket-lift/ngram-novelty/quantile-bands ratio sites, the cusum
+    # daily means) as clear on current data, so the block lands without
+    # re-keys; the cosine near-tie monitor (tests/test_cosine_tie_probe)
+    # stands over the knn-adjacent names. Overflow (7 r10 names:
+    # join_dpp_partitioned, set_except_all, set_intersect_all,
+    # win_anomaly_zscore, win_cusum, win_peak_detection,
+    # win_rolling_median) rolls to round 16 with the r11 cohort head.
+    # After this round the oldest driver hash is r10.
+    # r6 remainder (hash age 9 rounds):
+    "snk_zorder",
+    "sql_local_supplier_volume",
+    "sql_order_priority",
+    "sql_ship_priority",
+    "src_xml",
+    "str_foreach_batch_upsert",
+    "str_stateful_crossings",
+    "win_gap_fill_locf",
+    # r7 cohort (hash age 8 rounds):
+    "agg_attribution_last_touch",
+    "agg_theta_setops",
+    "agg_weighted_median",
+    "ext_drift_psi",
+    "ext_entity_resolution_snm",
+    "ext_fingerprint_winnow",
+    "ext_graph_triangles",
+    "ext_pagerank",
+    "ext_quality_model",
+    "ext_split_by_domain",
+    "job_backfill_idempotent",
+    "job_cdc_compact",
+    "job_incremental_agg",
+    "job_incremental_agg_retract",
+    "job_observed_metrics",
+    "job_snapshot_diff",
+    "join_spatial_grid",
+    "sql_parameterized",
+    "sql_recursive_reachability",
+    "src_rest_api_stream",
+    "src_statestore",
+    "str_dedup_rocksdb",
+    "str_resume_stateful",
+    "win_cumulative_distinct",
+    "win_streak_days",
+    # r9 cohort (hash age 6 rounds):
+    "job_compact_day",
+    "snk_parquet_partitioned",
+    "snk_training_shards",
+    "src_binary",
+    # r10 cohort head (hash age 5 rounds; 13 of 20, alphabetical):
+    "agg_autocorr",
+    "agg_heavy_hitters",
+    "agg_quantile_bands",
+    "agg_regression_ols",
+    "agg_runs_test",
+    "agg_seasonality_profile",
+    "ext_basket_lift",
+    "ext_frame_sample",
+    "ext_multimodal_cols",
+    "ext_ngram_novelty",
+    "ext_survival_km",
+    "job_dq_checks",
+    "job_retention",
     # ---- Round 14 front block (r13 verdict #1 — the rotation round):
     # FIRST the three queries RE-KEYED by the round-14 boundary pre-sweep
     # of the r15 cohort (stale-hash policy: behavior/oracle changes get a
@@ -513,62 +582,15 @@ _PRIORITY = [
     "ext_text_readability",
     "agg_benford_deviation",
     "win_wow_change",
-    "agg_seasonality_profile",
-    "agg_runs_test",
-    "ext_ngram_novelty",
-    "agg_autocorr",
     "win_peak_detection",
-    "ext_survival_km",
-    "ext_basket_lift",
-    "agg_quantile_bands",
     "win_cusum",
-    "agg_regression_ols",
     "set_intersect_all",
     "set_except_all",
     "win_anomaly_zscore",
     "win_rolling_median",
-    "ext_multimodal_cols",
-    "ext_frame_sample",
     # ---- round-7 rows, all hash-green in CORRECTNESS_r07, unchanged
-    "agg_heavy_hitters",
-    "job_dq_checks",
-    "job_retention",
     "join_dpp_partitioned",
-    "snk_parquet_partitioned",
-    "job_compact_day",
-    "snk_training_shards",
-    "src_binary",
-    "ext_fingerprint_winnow",
-    "ext_quality_model",
-    "ext_pagerank",
-    "ext_graph_triangles",
-    "agg_weighted_median",
-    "job_incremental_agg",
-    "job_incremental_agg_retract",
-    "join_spatial_grid",
-    "win_cumulative_distinct",
-    "agg_attribution_last_touch",
-    "win_streak_days",
-    "job_backfill_idempotent",
-    "str_dedup_rocksdb",
-    "str_resume_stateful",
-    "job_cdc_compact",
-    "ext_split_by_domain",
-    "sql_recursive_reachability",
-    "src_statestore",
-    "src_rest_api_stream",
-    "job_observed_metrics",
-    "sql_parameterized",
-    "job_snapshot_diff",
-    "agg_theta_setops",
-    "ext_entity_resolution_snm",
-    "ext_drift_psi",
     # ---- verified in earlier rounds, unchanged: re-verify cheapest-first
-    "str_stateful_crossings",
-    "str_foreach_batch_upsert",
-    "win_gap_fill_locf",
-    "src_xml",
-    "sql_ship_priority",
 ]
 
 

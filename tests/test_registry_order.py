@@ -27,21 +27,20 @@ def test_oracles_follow_same_order():
     assert list(registry.all_oracles()) == qnames
 
 
-def test_cheap_modules_precede_expensive_in_tail():
-    """Past the pinned head, scalar/relational/streaming queries must still
-    precede the I/O round-trips and LLM pipelines, so a budget truncation
-    drops the expensive tail first. (Representatives are resolved by
-    module — the r12 age rotation moved the original fixed names into the
-    pinned head.)"""
-    names = list(registry.all_queries())[len(registry._PRIORITY):]
-    module = {n: registry.spec(n).fn.__module__.rsplit(".", 1)[-1] for n in names}
-    firsts = {
-        m: next((i for i, n in enumerate(names) if module[n] == m), None)
-        for m in ("scalar_queries", "io_queries", "llm")
-    }
-    if None in firsts.values():
-        # successive age rotations promoted (nearly) every query into the
-        # pinned head — the order is explicit data where it matters, and
-        # a tail without all three representatives has nothing to check
-        return
-    assert firsts["scalar_queries"] < firsts["io_queries"] < firsts["llm"]
+def test_every_query_is_explicitly_ordered():
+    """The r15 age rotation promoted the last unpinned names: _PRIORITY now
+    covers the ENTIRE registry, so verification order is explicit data end
+    to end. The binding invariant (replacing the r4-era cheap-before-
+    expensive tail check, which had become a permanent no-op once the tail
+    shrank below one representative per module — ADVICE r14 #1): the tail
+    must stay EMPTY. A new query that lands without a _PRIORITY entry
+    would silently verify in import order behind 247 pinned names — i.e.
+    never, under the ~50-row budget — violating the no-new-backlog policy
+    (every new query gets its driver row the round it lands)."""
+    names = list(registry.all_queries())
+    unpinned = [n for n in names if n not in set(registry._PRIORITY)]
+    assert unpinned == [], (
+        f"queries missing from _PRIORITY (add them to the current round's "
+        f"front block): {unpinned}"
+    )
+    assert len(registry._PRIORITY) == len(set(registry._PRIORITY))

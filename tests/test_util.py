@@ -108,7 +108,7 @@ def test_bench_detail_payload_carries_foreign_sections_forward():
     assert out["queries"] == {"q": 1.0}  # owned keys fully replaced
     assert out["provenance"] == {
             "last_run": "full", "merged": False, "env": None, "floors_reset": {},
-            "floors_carried_unverified": [],
+            "floors_carried_unverified": [], "control_query": None,
         }
     filt = bench.detail_payload(
         prior, 0.1, {"q": 1.0}, {"q": 0.9}, {"q": 0.9}, [], filtered=True,
@@ -258,6 +258,44 @@ def test_bench_detail_payload_records_floors_carried_unverified():
         {}, 0.1, {"q": 1.0}, {"q": 0.9}, {"q": 0.9}, [], filtered=False
     )
     assert out2["provenance"]["floors_carried_unverified"] == []
+
+
+def test_bench_prune_carried_floors_drops_only_reverified_names():
+    """ADVICE r14 #3: the carried-unverified record must survive ordinary
+    full runs (detail_payload owns the key, so the old default of []
+    erased it one run after the transition) and shrink only as floors are
+    actually re-verified: reset by the re-key rule, re-set by a fresh
+    measurement, or dropped from best_ever."""
+    import bench
+
+    kept = bench.prune_carried_floors(
+        ["gone", "kept", "refloored", "reset"],
+        best_ever={"kept": 1.0, "refloored": 0.8, "reset": 1.2},
+        floors_reset={"reset": {"old_floor": 1.2}},
+        refloored={"refloored"},
+    )
+    assert kept == ["kept"]
+    # nothing re-verified -> the record carries forward verbatim
+    assert bench.prune_carried_floors(
+        ["a", "b"], {"a": 1.0, "b": 2.0}, {}, set()
+    ) == ["a", "b"]
+
+
+def test_bench_detail_payload_records_control_query():
+    """r14 verdict #6: the fixed protocol-offset control's same-session
+    timing lands in provenance at every bench run, so the standing
+    driver-vs-builder offset is measured per-run instead of re-argued
+    per-flag. A filtered run that excluded the control records None."""
+    import bench
+
+    rec = {"name": bench.CONTROL_QUERY, "min_sec": 0.7, "measured_sec": 0.75,
+           "floor": 0.65}
+    out = bench.detail_payload(
+        {}, 0.1, {"q": 1.0}, {"q": 0.9}, {"q": 0.9}, [], filtered=False,
+        control_query=rec,
+    )
+    assert out["provenance"]["control_query"] == rec
+    assert bench.CONTROL_QUERY in bench.HEADLINE  # every full run times it
 
 
 def test_bench_impl_fingerprint_sees_helper_and_constant_changes(tmp_path):
