@@ -61,7 +61,17 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: driver simulation run before each commit.
 _PRIORITY = [
     # ---- Round 15 front block (r14 verdict #3 — the rotation round):
-    # the entire ~50-slot budget retires the oldest-hash backlog,
+    # FIRST the one query RE-KEYED this round (stale-hash policy):
+    # ext_text_readability.flesch — the r16-cohort boundary pre-sweep
+    # (extended to the full r11 cohort one cycle early) found several
+    # documents scoring EXACTLY on .xxxx5 half-boundaries at k=4
+    # (60.67375, 50.09875, 44.81125 at sf0.01: ≤3-decimal Flesch
+    # constants over integer counts form exact 5-decimal rationals —
+    # the calibration-bins class). Re-keyed to pure-BIGINT sign-branch
+    # rounding on both engines (warehouse.py).
+    "ext_text_readability",
+    # THEN the rotation: the remaining ~49 slots retire the oldest-hash
+    # backlog,
     # longest-unverified first: the full r6 remainder (8 names, hash age
     # 9 rounds), the full r7 cohort (25 names), the full r9 cohort (4
     # names), then the r10 cohort head (13 of 20, alphabetical) to fill
@@ -70,11 +80,12 @@ _PRIORITY = [
     # (basket-lift/ngram-novelty/quantile-bands ratio sites, the cusum
     # daily means) as clear on current data, so the block lands without
     # re-keys; the cosine near-tie monitor (tests/test_cosine_tie_probe)
-    # stands over the knn-adjacent names. Overflow (7 r10 names:
-    # join_dpp_partitioned, set_except_all, set_intersect_all,
+    # stands over the knn-adjacent names. Overflow (8 r10 names —
+    # job_retention yields its slot to the ext_text_readability re-key
+    # above — join_dpp_partitioned, set_except_all, set_intersect_all,
     # win_anomaly_zscore, win_cusum, win_peak_detection,
-    # win_rolling_median) rolls to round 16 with the r11 cohort head.
-    # After this round the oldest driver hash is r10.
+    # win_rolling_median, job_retention) rolls to round 16 with the
+    # full r11 cohort. After this round the oldest driver hash is r10.
     # r6 remainder (hash age 9 rounds):
     "snk_zorder",
     "sql_local_supplier_volume",
@@ -128,6 +139,8 @@ _PRIORITY = [
     "ext_ngram_novelty",
     "ext_survival_km",
     "job_dq_checks",
+    # r16 overflow head (displaced from the r15 block by the
+    # ext_text_readability re-key):
     "job_retention",
     # ---- Round 14 front block (r13 verdict #1 — the rotation round):
     # FIRST the three queries RE-KEYED by the round-14 boundary pre-sweep
@@ -579,7 +592,6 @@ _PRIORITY = [
     "win_time_weighted_avg",
     "agg_pareto_8020",
     "ext_cohort_ltv",
-    "ext_text_readability",
     "agg_benford_deviation",
     "win_wow_change",
     "win_peak_detection",

@@ -3293,10 +3293,19 @@ def ext_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS BIGINT) AS n_syll
       FROM documents
     )
+    , f AS (
+      SELECT doc_id, n_words, n_sents, n_syll,
+             206835 * n_sents * n_words - 1015 * n_words * n_words
+                 - 84600 * n_syll * n_sents AS num,
+             1000 * n_sents * n_words AS den
+      FROM m
+    )
     SELECT doc_id, n_words, n_sents, n_syll,
-           round(206.835 - 1.015 * (n_words / (1.0 * n_sents))
-                 - 84.6 * (n_syll / (1.0 * n_words)), 4) AS flesch
-    FROM m
+           (CASE WHEN num >= 0
+                 THEN (num * 20000 + den) // (2 * den)
+                 ELSE -(((-num) * 20000 + den) // (2 * den)) END)
+               / CAST(10000.0 AS DOUBLE) AS flesch
+    FROM f
     """,
 )
 def ext_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3305,6 +3314,22 @@ def ext_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate sentences — the readability signal quality-filter stacks
     (alongside ext_quality_model's logistic score) use to stratify
     training corpora by difficulty. All regexp counting, no Python.
+
+    flesch is rounded ENTIRELY in BIGINT arithmetic (r15 re-key, found
+    by the r16-cohort boundary pre-sweep): the score is the exact
+    rational (206835·s·w − 1015·w² − 84600·sy·s) / (1000·s·w) of three
+    ≤3-decimal constants and integer counts, and on the driver corpus
+    several documents land EXACTLY on .xxxx5 at k=4 (60.67375,
+    50.09875, 44.81125 at sf0.01) with doubles just off the boundary —
+    the r7 -9.38375 cross-engine shape (Spark rounds the shortest
+    decimal repr, DuckDB the binary value). Numerator and denominator
+    are computed in BIGINT and rounded half-away-from-zero via the
+    sign-branch (|num|·2·10^4 + den) div (2·den) on both engines; the
+    final /10000.0 maps the same integer to the same double. Overflow
+    headroom: |num|·20000 ≈ 9e11 on the driver corpus (max 100 words),
+    ~10^7 below BIGINT range — safe up to ~1000x longer documents.
+    n_words ≥ 1 is a corpus contract (min 10 observed; n_sents/n_syll
+    carry explicit greatest(·,1) floors), so den > 0.
 
     Scale: map-only — three regexp passes per document fused into one
     projection; no shuffle at all."""
@@ -3322,17 +3347,28 @@ def ext_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_sents.alias("n_sents"),
         n_syll.alias("n_syll"),
     )
-    return m.select(
+    f = m.select(
         "doc_id",
         "n_words",
         "n_sents",
         "n_syll",
-        F.round(
-            206.835
-            - 1.015 * (F.col("n_words") / (1.0 * F.col("n_sents")))
-            - 84.6 * (F.col("n_syll") / (1.0 * F.col("n_words"))),
-            4,
-        ).alias("flesch"),
+        (
+            206835 * F.col("n_sents") * F.col("n_words")
+            - 1015 * F.col("n_words") * F.col("n_words")
+            - 84600 * F.col("n_syll") * F.col("n_sents")
+        ).alias("num"),
+        (1000 * F.col("n_sents") * F.col("n_words")).alias("den"),
+    )
+    half_away = F.when(
+        F.col("num") >= 0,
+        F.expr("(num * 20000 + den) div (2 * den)"),
+    ).otherwise(-F.expr("((-num) * 20000 + den) div (2 * den)"))
+    return f.select(
+        "doc_id",
+        "n_words",
+        "n_sents",
+        "n_syll",
+        (half_away / 10000.0).alias("flesch"),
     )
 
 

@@ -134,8 +134,12 @@ def _windows(sf_dir: str) -> dict[str, float]:
 
     # search family: queries are vec_id < 5 (result queries); exact search
     # ranks ALL corpus rows, IVF ranks the query's argmax cell — the exact
-    # (full-candidate) window dominates, and the IVF window is probed too
-    for q in range(5):
+    # (full-candidate) window dominates, and the IVF window is probed too.
+    # Query rows selected by the SHIPPED predicate ids < 5, not position
+    # (ADVICE r14 #2: positional rows 0-4 match only while non-null
+    # vec_ids are contiguous from 0 — true today, but unpinned; a
+    # regenerated id space would have silently probed the wrong rows)
+    for q in np.where(ids < 5)[0]:
         g = topk_boundary(
             np.delete(np.arange(n), q), cs_all[q], 10
         )

@@ -72,7 +72,12 @@ def _clustered_unit_vectors() -> np.ndarray:
     return v
 
 
-def test_prod_tree_regime_edge_recall_pin(spark):
+def _tree_regime_recall(spark, nprobe: int):
+    """Full-graph edge recall@3 of the prod composition at ``nprobe`` in
+    the forced tree regime on the seeded 4k clustered corpus, plus the
+    assignment DataFrame (for regime-sanity assertions). Shared by the
+    nprobe=2 pin (r12 verdict #3) and the nprobe=4 escalation pin (r14
+    verdict #5)."""
     v = _clustered_unit_vectors()
     schema = StructType(
         [
@@ -95,7 +100,7 @@ def test_prod_tree_regime_edge_recall_pin(spark):
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
     )
     assigned = ivf_assign_sharded_multi(
-        emb, centroids, N_COARSE, NPROBE,
+        emb, centroids, N_COARSE, nprobe,
         residence_cap=cap, n_branches=N_BRANCHES,
     ).localCheckpoint(eager=True)
 
@@ -133,7 +138,11 @@ def test_prod_tree_regime_edge_recall_pin(spark):
         for j in order:
             exact.add((i, int(j)))
 
-    recall = len(exact & got) / len(exact)
+    return len(exact & got) / len(exact), assigned
+
+
+def test_prod_tree_regime_edge_recall_pin(spark):
+    recall, assigned = _tree_regime_recall(spark, NPROBE)
     assert recall >= RECALL_FLOOR, (
         f"tree-regime FULL-GRAPH edge recall@3 {recall:.4f} < {RECALL_FLOOR} "
         f"at {N_CELLS} cells / {N_COARSE} coarse / {N_BRANCHES} branches on "
@@ -151,3 +160,26 @@ def test_prod_tree_regime_edge_recall_pin(spark):
     )
     bad = per_vec.filter((F.col("nc") != NPROBE) | (F.col("np") != NPROBE)).count()
     assert bad == 0
+
+
+#: nprobe=4 on the SAME seeded regime (r14 verdict #5: the documented
+#: escalation path — measured 0.703 full-graph recall@3 at 20k mixture
+#: scale, reproduced from two independent harnesses in r14). Measured here
+#: at test scale: 0.8670 (vs 0.7777 at nprobe=2), so the floor sits above
+#: the nprobe=2 reading — a regression that makes the escalation dial a
+#: no-op (nprobe=4 quantizing like nprobe=2) FAILS, while the shipped form
+#: passes with margin. Deterministic seeded corpus: a pin, not a bound.
+NPROBE_ESCALATED = 4
+RECALL_FLOOR_NP4 = 0.82
+
+
+def test_prod_tree_regime_nprobe4_escalation_pin(spark):
+    recall, _ = _tree_regime_recall(spark, NPROBE_ESCALATED)
+    assert recall >= RECALL_FLOOR_NP4, (
+        f"tree-regime FULL-GRAPH edge recall@3 {recall:.4f} < "
+        f"{RECALL_FLOOR_NP4} at nprobe={NPROBE_ESCALATED} — the documented "
+        "escalation path (PLANS.md r14 nprobe curve: +22% cost for +12pp "
+        "recall at production scale) lost its measured quality; the floor "
+        "sits above the nprobe=2 reading (0.7777), so an escalation-dial "
+        "no-op regression cannot pass"
+    )

@@ -124,6 +124,40 @@ PROBES = [
         SELECT sum(v - mu) OVER (ORDER BY d
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
         FROM daily, m"""),
+    # r16 re-queue pre-sweep, r11 cohort (added r15): the two rounded
+    # sites in that cohort that are SUMMATION-ORDER-SENSITIVE double sums
+    # (so even an exact boundary hit is dangerous — the engines need not
+    # agree on the double): gini's rank-weighted spend sum and the
+    # time-weighted average's value*microseconds sum. Everything else in
+    # the cohort is either an exact-rational site (RATIO_SITES below),
+    # grid-exact, or irrational-valued (classification at the end of
+    # RATIO_SITES).
+    ("gini_unrounded", 6, """
+        WITH spend AS (
+          SELECT o_custkey, sum(o_totalprice) AS s
+          FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+          SELECT s, row_number() OVER (ORDER BY s, o_custkey) AS i,
+                 count(*) OVER () AS n, sum(s) OVER () AS tot
+          FROM spend
+        )
+        SELECT 2.0 * sum(i * s) / (n * tot) - (n + 1.0) / n AS v
+        FROM ranked GROUP BY n, tot"""),
+    ("twap_unrounded", 4, """
+        WITH g AS (
+          SELECT user_id, value, ts,
+                 lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     AS next_ts
+          FROM events
+        ),
+        d AS (
+          SELECT user_id, value,
+                 epoch_us(next_ts) - epoch_us(ts) AS dur_us
+          FROM g WHERE next_ts IS NOT NULL
+        )
+        SELECT sum(value * dur_us) / sum(dur_us) AS v
+        FROM d GROUP BY user_id"""),
     # sql_top_returned_customers + sql_market_share: the r14 pre-sweep
     # found LIVE half-cent hits in both (two shipped top-24 revenues and
     # three (nation, year) revenues sat exactly on .xx5 at sf0.01) —
@@ -204,6 +238,50 @@ RATIO_SITES = [
     ("agg_quantile_bands", "p10", 4),
     ("agg_quantile_bands", "p50", 4),
     ("agg_quantile_bands", "p90", 4),
+    # ---- r16 re-queue pre-sweep, r11 cohort (added r15; the r16 rotation
+    # is the r10 remainder + the FULL r11 cohort, 49 names). Exact-rational
+    # sites — single divisions / half-integer sums / BIGINT-quantized sums
+    # / quantile_cont — where both engines compute the identical double, so
+    # the dyadic-benign rule applies and only near-but-not-exact boundary
+    # hits are dangerous:
+    ("agg_funnel", "conv_from_top", 4),        # n_step / n1 integer ratio
+    ("agg_pareto_8020", "customer_share", 4),  # min(rn) / max(n)
+    ("agg_benford_deviation", "observed_p", 6),  # digit count / total
+    ("agg_markov_transitions", "p", 6),        # transition count ratio
+    ("ext_auc", "auc", 6),      # rank-sum of half-integers: every term an
+                                # exact multiple of 0.5 < 2^52, so the sum
+                                # is order-independent-exact in double
+    ("ext_ks_test", "ks_stat", 6),  # max |cum/tr - cum/tc| of int ratios
+    ("ext_hybrid_retrieval_rrf", "rrf", 6),  # 1/(60+r_l) + 1/(60+r_v)
+    ("ext_ab_welch", "mean_a", 4),  # avg of 2-decimal values: cents ratio
+    ("ext_ab_welch", "mean_b", 4),
+    ("ext_mad_outliers", "med", 4),  # quantile_cont class (deterministic
+    ("ext_mad_outliers", "mad", 4),  # function of the sorted multiset)
+    ("ext_bootstrap_ci", "mean_value", 4),  # BIGINT-cents sums / counts
+    ("ext_bootstrap_ci", "ci_low", 4),      # order statistics of exact
+    ("ext_bootstrap_ci", "ci_high", 4),     # per-replicate cents ratios
+    ("ext_kmeans_update", "coord", 6),  # sum(BIGINT qv) / (n * 10^6)
+    # ext_text_readability.flesch: this sweep found it LIVE — several
+    # driver-corpus documents score EXACTLY on .xxxx5 at k=4 (60.67375,
+    # 50.09875, 44.81125 at sf0.01; ≤3-decimal constants over integer
+    # counts make an exact 5-decimal rational, the calibration-bins
+    # class) — re-keyed r15 to the pure-BIGINT sign-branch recipe on
+    # both engines; no boundary left to monitor.
+    ("win_wow_change", "wow_change", 6),  # cents-grid revenue ratio - 1
+    # NOT probed from the r11 cohort (irrational-valued, measure-zero
+    # stance per math_std_stddev): benford_p/abs_dev (log10), ext_ab_welch
+    # t_stat (sqrt), win_ewma (alpha powers), every rounded cosine/dot
+    # output (ext_sim_search*/ext_knn_graph*/ext_tfidf_cosine_pairs/
+    # ext_hard_negatives — and their WINDOW boundaries are monitored by
+    # tests/test_cosine_tie_probe.py; hybrid_rrf's vector arm is the same
+    # probed top-10 window over vec_id<3 ⊂ vec_id<5 queries). Grid-exact
+    # (cents-grid sums/passthroughs of ≤2-decimal inputs, rounded at k=2
+    # where the nearest half-cent boundary is 0.005 away): agg_cube /
+    # agg_rollup / agg_grouping_sets / sql_lateral_topk / win_ntile lo,hi /
+    # win_ohlc / win_drawdown / ext_cohort_ltv / ext_rfm_segments /
+    # win_wow_change revenue columns. Invariant-boolean oracles (no
+    # rounding at all): agg_approx_distinct / agg_hll_union /
+    # agg_kll_quantiles / ext_compression_quality / ext_dedup_minhash_mllib.
 ]
 
 
@@ -290,6 +368,46 @@ def test_no_rounded_aggregate_sits_on_a_half_point_boundary(sf_dir):
     assert offenders == [], (
         "aggregate landed on a cross-engine .5 rounding boundary — apply "
         f"the pure-BIGINT rounding recipe at these sites: {offenders}"
+    )
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_pareto_cutoff_clears_threshold_boundary(sf_dir):
+    """agg_pareto_8020's ``WHERE cum >= 0.8 * tot`` is THRESHOLD
+    MEMBERSHIP over order-sensitive double sums (r16 re-queue pre-sweep,
+    added r15): if a customer's cumulative spend sits exactly at 80% of
+    total, the two engines — summing in different orders and multiplying
+    by the non-binary-representable 0.8 — can disagree on which row is
+    the cutoff, shifting min(rn) and with it customer_share. Exact check
+    in BIGINT cents (o_totalprice is 2-decimal, pinned by
+    test_money_columns_are_exact_two_decimal): 5*cum - 4*tot is an exact
+    integer; an exact ZERO is the danger class here (unlike the dyadic-
+    benign rounding sites, threshold comparison gives no deterministic
+    tiebreak), and any nonzero integer distance is >= 1 cent-unit —
+    ~10^5 x the double-evaluation noise, so membership cannot flip."""
+    con = _views(sf_dir)
+    (min_gap,) = con.execute("""
+        WITH spend AS (
+          SELECT o_custkey,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS sc
+          FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+          SELECT sc,
+                 sum(sc) OVER (ORDER BY sc DESC, o_custkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cum,
+                 sum(sc) OVER () AS tot
+          FROM spend
+        )
+        SELECT min(abs(5 * cum - 4 * tot)) FROM ranked""").fetchone()
+    con.close()
+    assert min_gap is not None and min_gap >= 1, (
+        f"a cumulative spend sits EXACTLY on the 80% threshold at "
+        f"{sf_dir} — re-key agg_pareto_8020's cutoff to the BIGINT-cents "
+        "comparison (5*cum_cents >= 4*tot_cents) on both engines before "
+        "its driver re-queue"
     )
 
 
