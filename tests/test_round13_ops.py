@@ -165,7 +165,7 @@ def test_prod_tree_regime_edge_recall_pin(spark):
 #: nprobe=4 on the SAME seeded regime (r14 verdict #5: the documented
 #: escalation path — measured 0.703 full-graph recall@3 at 20k mixture
 #: scale, reproduced from two independent harnesses in r14). Measured here
-#: at test scale: 0.8670 (vs 0.7777 at nprobe=2), so the floor sits above
+#: at test scale: 0.8568 (vs 0.7777 at nprobe=2), so the floor sits above
 #: the nprobe=2 reading — a regression that makes the escalation dial a
 #: no-op (nprobe=4 quantizing like nprobe=2) FAILS, while the shipped form
 #: passes with margin. Deterministic seeded corpus: a pin, not a bound.
