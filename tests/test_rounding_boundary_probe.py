@@ -268,6 +268,37 @@ RATIO_SITES = [
     # class) — re-keyed r15 to the pure-BIGINT sign-branch recipe on
     # both engines; no boundary left to monitor.
     ("win_wow_change", "wow_change", 6),  # cents-grid revenue ratio - 1
+    # ---- r17 re-queue pre-sweep, r12 cohort (added r15, one cycle
+    # early — the pattern has paid for itself three rounds running). Of
+    # the 48 r12-cohort names, 14 carry rounded oracle sites and ALL but
+    # one are already covered: agg_delay_rate / sql_pricing_summary /
+    # flagship_region_pricing sit in PROBES since r8-r13; the six
+    # rounded cosine outputs (ext_dedup_embed* / ext_sim_search_ivf_
+    # sharded / ext_knn_graph_ivf_*) are the irrational class with their
+    # cos >= 0.2 membership thresholds and ANN windows monitored by
+    # test_cosine_tie_probe; ext_lm_perplexity.avg_nll is ln-based
+    # (irrational); agg_concat_union / agg_group_by_day / join_key_equi
+    # round cents-grid sums of 2-decimal inputs at k=2 (grid-exact).
+    # The one new site:
+    ("ext_quality_filter", "score", 4),  # n_alpha / n_chars int ratio
+    # (its >= 0.5 / <= 0.3 quality thresholds are single divisions of
+    # the same integers on both engines — identical doubles, no
+    # membership risk, unlike pareto's order-sensitive double sums)
+    # ---- r18 re-queue pre-sweep, r13 cohort (added r15; with this the
+    # whole forward re-queue through r18 is classified). 19 of its 50
+    # names carry rounded sites; covered already: the five RATIO_SITES
+    # veterans (corr cov / decontaminate / containment / minhash /
+    # ngram jaccards), the three BIGINT re-keys (calibration_bins /
+    # winsorized_mean / f_math_std avg) plus f_math_std's probed
+    # stddev/median, grid-exact cents sums at k=2 (salted_skew — BIGINT
+    # cents on the Spark side since r11 — bucketed_colocated,
+    # str_tumbling_day / str_microbatch_sink totals, all over 2-decimal
+    # inputs), and the irrational class (corr, bm25 ln, haversine trig,
+    # prod/knn cosine outputs). New exact-rational sites:
+    ("agg_custom_pandas_udaf", "iq_median", 4),  # quantile_cont class
+    ("ext_sim_recall", "recall", 4),             # hits / k int ratios
+    ("ext_knn_graph_recall", "recall", 4),
+    ("ext_knn_graph_prod_recall", "recall", 4),
     # NOT probed from the r11 cohort (irrational-valued, measure-zero
     # stance per math_std_stddev): benford_p/abs_dev (log10), ext_ab_welch
     # t_stat (sqrt), win_ewma (alpha powers), every rounded cosine/dot
