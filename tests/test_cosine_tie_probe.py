@@ -195,3 +195,54 @@ def test_cosine_window_boundaries_clear_summation_noise(sf_dir):
         "two candidates could rank apart between Spark and the oracle at "
         f"these windows: {offenders} (min gaps overall: {mins})"
     )
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_tfidf_cosine_threshold_gap_clears_summation_noise(sf_dir):
+    """ext_tfidf_cosine_pairs keeps pairs by ``dot/(nrm_a*nrm_b) >= 0.8``
+    — threshold MEMBERSHIP over order-sensitive double sums of ln-based
+    tf-idf weights (r15: found by the systematic threshold-comparison
+    scan that followed the pareto-cutoff probe; it was the one remaining
+    unmonitored membership boundary over a summation-order-sensitive
+    expression). A candidate pair whose unrounded cosine sits within the
+    engines' summation disagreement of 0.8 flips in/out of the result
+    between Spark and DuckDB. The probe replays the ORACLE's own
+    candidate structure (rare-trigram-blocked pairs) with the threshold
+    and output rounding removed — derived from the live oracle text so
+    it cannot drift from what ships — and asserts every candidate
+    cosine clears 0.8 by more than the noise floor (~1e-13 relative for
+    a few-hundred-term dot product; MARGIN 1e-9 leaves 4 orders)."""
+    import duckdb
+
+    from cta_train_tracker_analytics_spark.plans import registry
+
+    oracle = registry.spec("ext_tfidf_cosine_pairs").oracle
+    select_marker = "round(d.dot / (na.nrm * nb.nrm), 4) AS cos_sim"
+    where_marker = "WHERE d.dot / (na.nrm * nb.nrm) >= 0.8"
+    assert select_marker in oracle and where_marker in oracle, (
+        "ext_tfidf_cosine_pairs oracle changed shape — update this probe's "
+        "markers so the threshold stays monitored"
+    )
+    probe = oracle.replace(
+        select_marker, "d.dot / (na.nrm * nb.nrm) AS cs"
+    ).replace(where_marker, "")
+
+    con = duckdb.connect()
+    for t in ("documents",):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    (min_gap,) = con.execute(
+        f"SELECT min(abs(cs - 0.8)) FROM ({probe})"
+    ).fetchone()
+    con.close()
+    # no candidate pairs -> no boundary to sit on
+    if min_gap is None:
+        return
+    assert min_gap > MARGIN, (
+        f"a rare-trigram candidate pair's tf-idf cosine sits within "
+        f"summation noise of the 0.8 membership threshold at {sf_dir} "
+        f"(gap {min_gap}) — re-key the cutoff before the next driver "
+        "re-queue of ext_tfidf_cosine_pairs"
+    )
