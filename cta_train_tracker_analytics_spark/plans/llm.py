@@ -580,7 +580,19 @@ def ext_dedup_embed_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the pairs at half the time, at the hardest threshold (0.2; real
     near-dups at cos 0.9 retain far more per bit). Table 0's planes are
     exactly ext_dedup_embed's, so the single-table pairs are a subset
-    by construction (asserted in tests)."""
+    by construction (asserted in tests).
+
+    Second-decade slope (measured r15, BENCH_DETAIL sf10_probe +
+    second_decade_probe): 18.2× wall for 10× rows at 20k→200k vectors,
+    fully accounted by candidate volume ×26.9 = rows ×10 × tables ×1.6
+    (5→8 as planes grow 9→12) × occupancy-phase ×1.25 (the ⌈log2⌉
+    quantization swings per-bucket occupancy between 32 and 64) × skew
+    ×1.34 (max bucket 507 vs avg 49 on sign-bucketed clustered data) —
+    the documented N·tables·occupancy/2 model holding at scale, within
+    a log factor of linear with bounded phase/skew factors, not a plan
+    regression. The recall bought by the extra tables is the product
+    being paid for; the cheaper strictly-linear form at lower recall is
+    ext_dedup_embed (single table)."""
     emb = load(spark, sf_dir, "embeddings")
     return lsh_banded_pairs(emb, dims=64, threshold=0.2)
 
@@ -4109,7 +4121,18 @@ def ext_knn_graph_ivf_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     (max cell 2757 vs avg 250), while ext_knn_graph_prod's residence
     cap held the same corpus to 10.2-12.5x (max cell 794). This query
     is the one-axis nprobe exhibit; skewed corpora should use the prod
-    composition."""
+    composition.
+
+    SECOND-DECADE CAVEAT (measured r15, BENCH_DETAIL sf10_probe +
+    second_decade_probe): the FLAT assignment itself is O(N·k) =
+    O(N²/250) once k = ⌈N/250⌉ tracks the corpus — candidate volume in
+    the graph join stays linear, but assignment SCORING does not. At
+    20k→200k vectors the fold count grows 100× and the assignment wall
+    45× (5.9 → 263.8 s, 88% of the total; whole query 24.5× for 10×
+    rows), while the two-level siblings — ivf_hier / ivf_sharded /
+    prod, built to remove exactly this cost — measured 6.4–7.5× on the
+    same decade. Past ~100k vectors the nprobe dial should ride the
+    tree assignment (prod), not this flat exhibit."""
     import math
 
     emb = load(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
