@@ -3997,7 +3997,16 @@ def ext_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from centroid seeding — a nulled seed row otherwise becomes a NULL
     centroid, and the two engines order the resulting NULL similarities
     differently (Spark's argmax vs DuckDB's NULLS LAST), silently
-    scattering null vectors into different cells."""
+    scattering null vectors into different cells.
+
+    SECOND-DECADE CAVEAT (measured r15, BENCH_DETAIL sf10_probe): "the
+    graph build stays linear" above is the JOIN — the flat assignment
+    is O(N·k) = O(N²/250) once k tracks N, and at 20k→200k vectors this
+    query measured 21.5× wall for 10× rows (its nprobe=2 sibling 24.5×,
+    with the assignment stage decomposed to 88% of the total in
+    second_decade_probe), while the two-level variants — ivf_hier /
+    ivf_sharded / prod, which replace exactly this stage — measured
+    6.4–7.5× on the same decade. Past ~100k vectors, use those."""
     import math
 
     emb = load(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
