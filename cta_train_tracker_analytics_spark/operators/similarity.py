@@ -789,6 +789,17 @@ def ivf_assign_sharded_multi(
     )
 
 
+#: corpus row count above which ivf_topk PINS the assignment: the
+#: localCheckpoint costs ~1 s of materialization regardless of size
+#: (measured: the pin DOUBLES the 2k-row driver-scale query, 0.86 →
+#: 1.6 s), while the unpinned re-evaluation it prevents grows as
+#: N·k = N²/250 interpreted folds — ~10 s at 50k rows and 140+ s at
+#: 200k (218 s vs 75 s measured, PLANS.md round-15). The crossover sits
+#: near 20-50k rows; below it the plan is small enough that lineage
+#: re-evaluation is cheaper than the write-read round trip.
+IVF_TOPK_PIN_ROWS = 50_000
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -797,6 +808,7 @@ def ivf_topk(
     nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """IVF-style ANN: search only the query's centroid cell.
 
@@ -811,8 +823,28 @@ def ivf_topk(
     disjoint and no candidate dedup is needed). The probe expansion is
     query-side only — nprobe× more broadcast rows, the corpus-side plan is
     unchanged.
+
+    Above ``IVF_TOPK_PIN_ROWS`` the corpus assignment is PINNED
+    (localCheckpoint) before the search join — the discipline
+    ext_knn_graph_ivf adopted in r11 and this operator missed until the
+    r15 second-decade probe exposed it: unpinned, the per-row argmax
+    transform (k interpreted folds per corpus row — the lambda fold does
+    not enter whole-stage codegen) is inlined into the join and
+    re-evaluated per reference, measured 218 s vs 75 s pinned at 200k
+    vectors × 800 cells (PLANS.md round-15). The pin is ADAPTIVE because
+    its ~1 s materialization cost dominates at small corpora (doubles
+    the 2k-row driver-scale query); ``corpus_rows`` lets callers who
+    already counted the corpus (every registry caller does, for the
+    adaptive cell knob) avoid a second count job. Past ~100k vectors the
+    sharded two-level variant (ext_sim_search_ivf_sharded) remains the
+    scale path — it cuts the fold count itself rather than the
+    re-evaluation factor.
     """
     assigned = ivf_assign(spread(corpus), centroids, id_col, vec_col)
+    if corpus_rows is None:
+        corpus_rows = corpus.count()
+    if corpus_rows >= IVF_TOPK_PIN_ROWS:
+        assigned = assigned.localCheckpoint(eager=True)
     if nprobe == 1:
         q = ivf_assign(queries, centroids, id_col, vec_col)
     else:

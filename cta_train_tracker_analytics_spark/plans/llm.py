@@ -1247,7 +1247,12 @@ def ext_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     N grows. greatest(8, ceil(N/250)) — the count-derived-formula
     pattern the graph family proved, replayed bit-for-bit by the oracle
     — keeps |cell| ≈ 250 bounded, so per-probe work is O(1) in the
-    corpus and total search cost is O(|Q|·250) after the linear
+    corpus and total SEARCH cost is O(|Q|·250) — but the flat
+    ASSIGNMENT pass is O(N·k) = O(N²/250) once k tracks N (measured
+    r15, BENCH_DETAIL sf10_probe: 27.8× wall for 10× rows at 20k→200k
+    after ivf_topk's r15 adaptive assignment pin halved it from 51×;
+    the sharded twin ext_sim_search_ivf_sharded holds 6.75× on the
+    same decade and is the path past ~100k vectors) — after the linear
     assignment pass. Centroids are the smallest-N existing ids —
     deterministic AND id-agnostic (a literal `vec_id < 8` crashed on the
     round-7 large-id sweep); production k-means fits them offline. Null
@@ -1257,12 +1262,13 @@ def ext_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     emb = load(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
-    n_cells = max(8, math.ceil(emb.count() / 250))
+    n = emb.count()
+    n_cells = max(8, math.ceil(n / 250))
     centroids = emb.orderBy("vec_id").limit(n_cells).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
     )
     queries = emb.filter(F.col("vec_id") < 5)
-    return ivf_topk(emb, queries, centroids, k=10)
+    return ivf_topk(emb, queries, centroids, k=10, corpus_rows=n)
 
 
 @query(
@@ -1321,12 +1327,13 @@ def ext_sim_search_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     emb = load(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
-    n_cells = max(8, math.ceil(emb.count() / 250))
+    n = emb.count()
+    n_cells = max(8, math.ceil(n / 250))
     centroids = emb.orderBy("vec_id").limit(n_cells).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
     )
     queries = emb.filter(F.col("vec_id") < 5)
-    return ivf_topk(emb, queries, centroids, k=10, nprobe=2)
+    return ivf_topk(emb, queries, centroids, k=10, nprobe=2, corpus_rows=n)
 
 
 @query(

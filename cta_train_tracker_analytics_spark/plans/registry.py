@@ -70,22 +70,31 @@ _PRIORITY = [
     # the calibration-bins class). Re-keyed to pure-BIGINT sign-branch
     # rounding on both engines (warehouse.py).
     "ext_text_readability",
+    #   ext_sim_search_ivf / ext_sim_search_ivf_nprobe — ivf_topk gains
+    #   the ADAPTIVE assignment pin (operators/similarity.py r15: the
+    #   corpus argmax was re-evaluated across the search join — 218 s vs
+    #   75 s pinned at 200k vectors; sf10 wall halved 204→101 s /
+    #   224→115 s). Output unchanged; plan changed → re-hash per policy.
+    "ext_sim_search_ivf",
+    "ext_sim_search_ivf_nprobe",
     # THEN the rotation: the remaining ~49 slots retire the oldest-hash
     # backlog,
     # longest-unverified first: the full r6 remainder (8 names, hash age
     # 9 rounds), the full r7 cohort (25 names), the full r9 cohort (4
-    # names), then the r10 cohort head (13 of 20, alphabetical) to fill
-    # 50 exactly. The round-14 boundary pre-sweep (92d6c23) already
+    # names), then the r10 cohort head (10 of 20, alphabetical — three
+    # slots yielded to this round's re-keys above) to fill 50 exactly.
+    # The round-14 boundary pre-sweep (92d6c23) already
     # classified every rounding surface in these cohorts
     # (basket-lift/ngram-novelty/quantile-bands ratio sites, the cusum
     # daily means) as clear on current data, so the block lands without
     # re-keys; the cosine near-tie monitor (tests/test_cosine_tie_probe)
-    # stands over the knn-adjacent names. Overflow (8 r10 names —
-    # job_retention yields its slot to the ext_text_readability re-key
-    # above — join_dpp_partitioned, set_except_all, set_intersect_all,
-    # win_anomaly_zscore, win_cusum, win_peak_detection,
-    # win_rolling_median, job_retention) rolls to round 16 with the
-    # full r11 cohort. After this round the oldest driver hash is r10.
+    # stands over the knn-adjacent names. Overflow (10 r10 names —
+    # ext_survival_km / job_dq_checks / job_retention yield their slots
+    # to this round's three re-keys — plus join_dpp_partitioned,
+    # set_except_all, set_intersect_all, win_anomaly_zscore, win_cusum,
+    # win_peak_detection, win_rolling_median) rolls to round 16 with
+    # the full r11 cohort. After this round the oldest driver hash is
+    # r10.
     # r6 remainder (hash age 9 rounds):
     "snk_zorder",
     "sql_local_supplier_volume",
@@ -137,10 +146,10 @@ _PRIORITY = [
     "ext_frame_sample",
     "ext_multimodal_cols",
     "ext_ngram_novelty",
+    # r16 overflow head (displaced from the r15 block by this round's
+    # three re-keys):
     "ext_survival_km",
     "job_dq_checks",
-    # r16 overflow head (displaced from the r15 block by the
-    # ext_text_readability re-key):
     "job_retention",
     # ---- Round 14 front block (r13 verdict #1 — the rotation round):
     # FIRST the three queries RE-KEYED by the round-14 boundary pre-sweep
@@ -485,8 +494,6 @@ _PRIORITY = [
     "ext_knn_graph",
     "ext_knn_graph_ivf",
     "ext_knn_graph_ivf_multi",
-    "ext_sim_search_ivf",
-    "ext_sim_search_ivf_nprobe",
     #   ext_sim_search_ivf_sharded — NEW: search over the sharded
     #       two-level index (the adaptive cell count makes flat
     #       assignment's codebook broadcast O(N) bytes; this closes the
