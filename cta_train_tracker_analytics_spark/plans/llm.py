@@ -1323,7 +1323,14 @@ def ext_sim_search_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole search family: a fixed 8 cells decays to an unpruned scan as N
     grows); probing 2 of ~N/250 cells scans ~500 rows per query instead
     of a quarter of the corpus. Null embeddings excluded corpus- and
-    seed-side (graph-family null contract)."""
+    seed-side (graph-family null contract).
+
+    Second-decade slope (measured r15, BENCH_DETAIL sf10_probe): 31.8×
+    wall for 10× rows at 20k→200k — ivf_topk's r15 adaptive assignment
+    pin halved it from 88× (224.5 → 114.6 s); the remainder is the flat
+    assignment's O(N²/250) fold growth shared with the whole flat
+    exhibit class. The sharded twin holds 6.75× on the same decade and
+    is the path past ~100k vectors."""
     import math
 
     emb = load(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
