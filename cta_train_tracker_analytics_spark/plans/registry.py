@@ -60,6 +60,72 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: parity replay (tests/test_oracle_parity.py) and by the non-UTC
 #: driver simulation run before each commit.
 _PRIORITY = [
+    # ---- Round 16 front block (r15 verdict #3 — the rotation round):
+    # positions 1–50 are this round's driver budget, exactly the standing
+    # oldest-hash backlog (49 names: the r10 remainder ×10 + the r11
+    # remainder ×39 — the r11 cohort lost ext_sim_search_ivf/_nprobe and
+    # ext_text_readability to r15 re-keys, and several members were
+    # re-verified in r12) plus ONE spare slot given to the alphabetical
+    # head of the r12 cohort (a one-name head start on the r17 rotation).
+    # Both cohorts' rounding surfaces were pre-swept (r14 sweep for r10,
+    # r15 sweep for r11 — the one live surface, flesch, was re-keyed and
+    # fronted in r15), so the block lands with no expected re-keys. Any
+    # query whose impl/oracle changes THIS round is already a member
+    # (str_stream_join_outer, ext_hard_negatives, ext_knn_graph are all
+    # r11-cohort). After this round the oldest driver hash is r12.
+    # r10 remainder (hash age 6 rounds):
+    "ext_survival_km",
+    "job_dq_checks",
+    "job_retention",
+    "join_dpp_partitioned",
+    "set_except_all",
+    "set_intersect_all",
+    "win_anomaly_zscore",
+    "win_cusum",
+    "win_peak_detection",
+    "win_rolling_median",
+    # r11 remainder (hash age 5 rounds):
+    "agg_benford_deviation",
+    "agg_cube",
+    "agg_funnel",
+    "agg_gini_coefficient",
+    "agg_grouping_sets",
+    "agg_markov_transitions",
+    "agg_pareto_8020",
+    "agg_rollup",
+    "ext_ab_welch",
+    "ext_auc",
+    "ext_bootstrap_ci",
+    "ext_cohort_ltv",
+    "ext_embed_pq",
+    "ext_hard_negatives",
+    "ext_hybrid_retrieval_rrf",
+    "ext_kmeans_update",
+    "ext_knn_graph",
+    "ext_knn_graph_ivf",
+    "ext_knn_graph_ivf_multi",
+    "ext_ks_test",
+    "ext_mad_outliers",
+    "ext_rfm_segments",
+    "ext_semdedup",
+    "ext_sim_search",
+    "ext_sim_search_pq",
+    "ext_sim_search_pq_rerank",
+    "ext_tfidf_cosine_pairs",
+    "f_uuid",
+    "job_gdpr_cascade",
+    "job_skew_report",
+    "sql_lateral_topk",
+    "str_stream_join_outer",
+    "win_drawdown",
+    "win_ewma",
+    "win_ntile",
+    "win_ohlc",
+    "win_session_paths",
+    "win_time_weighted_avg",
+    "win_wow_change",
+    # r12 cohort head (spare slot; the r17 rotation starts here):
+    "agg_approx_distinct",
     # ---- Round 15 front block (r14 verdict #3 — the rotation round):
     # FIRST the one query RE-KEYED this round (stale-hash policy):
     # ext_text_readability.flesch — the r16-cohort boundary pre-sweep
@@ -77,24 +143,18 @@ _PRIORITY = [
     #   224→115 s). Output unchanged; plan changed → re-hash per policy.
     "ext_sim_search_ivf",
     "ext_sim_search_ivf_nprobe",
-    # THEN the rotation: the remaining ~49 slots retire the oldest-hash
-    # backlog,
-    # longest-unverified first: the full r6 remainder (8 names, hash age
-    # 9 rounds), the full r7 cohort (25 names), the full r9 cohort (4
-    # names), then the r10 cohort head (10 of 20, alphabetical — three
-    # slots yielded to this round's re-keys above) to fill 50 exactly.
-    # The round-14 boundary pre-sweep (92d6c23) already
+    # THEN the rotation (the r15 block was positions 1–50 = this comment
+    # region's 3 re-keys + 47 backlog names): the full r6 remainder
+    # (8 names, hash age 9 rounds), the full r7 cohort (25 names), the
+    # full r9 cohort (4 names), then the r10 cohort head (10 of its 20
+    # names, alphabetical — the other 10 rolled to the r16 block above,
+    # which consumed them). The round-14 boundary pre-sweep (92d6c23)
     # classified every rounding surface in these cohorts
     # (basket-lift/ngram-novelty/quantile-bands ratio sites, the cusum
-    # daily means) as clear on current data, so the block lands without
+    # daily means) as clear on current data, so the block landed without
     # re-keys; the cosine near-tie monitor (tests/test_cosine_tie_probe)
-    # stands over the knn-adjacent names. Overflow (10 r10 names —
-    # ext_survival_km / job_dq_checks / job_retention yield their slots
-    # to this round's three re-keys — plus join_dpp_partitioned,
-    # set_except_all, set_intersect_all, win_anomaly_zscore, win_cusum,
-    # win_peak_detection, win_rolling_median) rolls to round 16 with
-    # the full r11 cohort. After this round the oldest driver hash is
-    # r10.
+    # stands over the knn-adjacent names. After r15 the oldest driver
+    # hash was r10.
     # r6 remainder (hash age 9 rounds):
     "snk_zorder",
     "sql_local_supplier_volume",
@@ -146,11 +206,6 @@ _PRIORITY = [
     "ext_frame_sample",
     "ext_multimodal_cols",
     "ext_ngram_novelty",
-    # r16 overflow head (displaced from the r15 block by this round's
-    # three re-keys):
-    "ext_survival_km",
-    "job_dq_checks",
-    "job_retention",
     # ---- Round 14 front block (r13 verdict #1 — the rotation round):
     # FIRST the three queries RE-KEYED by the round-14 boundary pre-sweep
     # of the r15 cohort (stale-hash policy: behavior/oracle changes get a
@@ -356,7 +411,6 @@ _PRIORITY = [
     "ext_knn_graph_ivf_sharded",
     "ext_sim_search_ivf_sharded",
     "ext_knn_graph_ivf_hier",
-    "agg_approx_distinct",
     "agg_hll_union",
     "agg_kll_quantiles",
     "ext_compression_quality",
@@ -475,33 +529,11 @@ _PRIORITY = [
     #       p99, element_at(5) on an empty replicate array, divide by a
     #       zero funnel top). Guards landed on BOTH engines; clean-data
     #       outputs unchanged.
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "f_uuid",
-    "job_skew_report",
-    "ext_bootstrap_ci",
-    "agg_funnel",
-    "win_ewma",
-    "win_ohlc",
-    "ext_auc",
-    "ext_sim_search",
-    "ext_embed_pq",
-    "ext_sim_search_pq",
-    "ext_sim_search_pq_rerank",
-    "ext_hard_negatives",
-    "ext_hybrid_retrieval_rrf",
-    "ext_knn_graph",
-    "ext_knn_graph_ivf",
-    "ext_knn_graph_ivf_multi",
     #   ext_sim_search_ivf_sharded — NEW: search over the sharded
     #       two-level index (the adaptive cell count makes flat
     #       assignment's codebook broadcast O(N) bytes; this closes the
     #       same structure in the search family that the graph family
     #       closed). One pinned assignment serves corpus AND query side.
-    "ext_semdedup",
-    "ext_kmeans_update",
-    "str_stream_join_outer",
     #   ext_dedup_embed — lsh_bucketed_pairs' in-bucket verify join gets
     #       the same numbered-repartition pin (AQE coalescing merged the
     #       fold stage to one task; measured 2.0→1.4 s at sf0.1). Output
@@ -543,8 +575,6 @@ _PRIORITY = [
     #       from a genuinely stats-less file (still raises) (ADVICE r9).
     #   job_gdpr_cascade — docstring-only (bounded-deletion-batch input
     #       contract, r9 verdict #8); fronted on principle.
-    "ext_tfidf_cosine_pairs",
-    "job_gdpr_cascade",
     # ---- Round 9 front block (stale-hash policy: every query whose
     # implementation changed this round gets a fresh driver row in the
     # SAME round):
@@ -564,7 +594,6 @@ _PRIORITY = [
     #       cell assignment (bounded |block| as the corpus grows), the
     #       production form the sf1 probe showed ext_knn_graph's
     #       fixed-label blocking needs at scale.
-    "win_ntile",
     # ---- Round 8: finish the backlog (r7 verdict #1). Front block:
     #   0-31   the 32 round-6/7 statistics-tier queries that have never
     #          had a driver row (they sat at positions 50-81 behind the
@@ -587,28 +616,7 @@ _PRIORITY = [
     #   36+    round-8 additions in landing order — sized so the whole
     #          block fits the ~50-row budget and every new entry gets its
     #          driver row in the round it lands (no new backlog, ever).
-    "sql_lateral_topk",
-    "ext_ks_test",
-    "ext_mad_outliers",
-    "ext_ab_welch",
-    "win_session_paths",
-    "agg_markov_transitions",
-    "win_drawdown",
-    "agg_gini_coefficient",
-    "ext_rfm_segments",
-    "win_time_weighted_avg",
-    "agg_pareto_8020",
-    "ext_cohort_ltv",
-    "agg_benford_deviation",
-    "win_wow_change",
-    "win_peak_detection",
-    "win_cusum",
-    "set_intersect_all",
-    "set_except_all",
-    "win_anomaly_zscore",
-    "win_rolling_median",
     # ---- round-7 rows, all hash-green in CORRECTNESS_r07, unchanged
-    "join_dpp_partitioned",
     # ---- verified in earlier rounds, unchanged: re-verify cheapest-first
 ]
 
