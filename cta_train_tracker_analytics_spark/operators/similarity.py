@@ -809,6 +809,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     corpus_rows: int | None = None,
+    pin: bool | None = None,
 ) -> DataFrame:
     """IVF-style ANN: search only the query's centroid cell.
 
@@ -839,11 +840,22 @@ def ivf_topk(
     sharded two-level variant (ext_sim_search_ivf_sharded) remains the
     scale path — it cuts the fold count itself rather than the
     re-evaluation factor.
+
+    Pin control (ADVICE r15): when BOTH ``corpus_rows`` and ``pin`` are
+    None the threshold is resolved by an IMPLICIT ``corpus.count()`` —
+    an extra Spark action on the raw input (so it runs before any
+    null-embedding filter the caller applies downstream; that is fine
+    for a threshold heuristic, but pass the post-filter count if you
+    have one). Callers with a known-small corpus pass ``pin=False`` to
+    skip both the count and the checkpoint; ``pin=True`` forces the
+    checkpoint without counting.
     """
     assigned = ivf_assign(spread(corpus), centroids, id_col, vec_col)
-    if corpus_rows is None:
-        corpus_rows = corpus.count()
-    if corpus_rows >= IVF_TOPK_PIN_ROWS:
+    if pin is None:
+        if corpus_rows is None:
+            corpus_rows = corpus.count()
+        pin = corpus_rows >= IVF_TOPK_PIN_ROWS
+    if pin:
         assigned = assigned.localCheckpoint(eager=True)
     if nprobe == 1:
         q = ivf_assign(queries, centroids, id_col, vec_col)

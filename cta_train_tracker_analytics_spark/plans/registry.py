@@ -61,18 +61,30 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: driver simulation run before each commit.
 _PRIORITY = [
     # ---- Round 16 front block (r15 verdict #3 — the rotation round):
-    # positions 1–50 are this round's driver budget, exactly the standing
-    # oldest-hash backlog (49 names: the r10 remainder ×10 + the r11
-    # remainder ×39 — the r11 cohort lost ext_sim_search_ivf/_nprobe and
-    # ext_text_readability to r15 re-keys, and several members were
-    # re-verified in r12) plus ONE spare slot given to the alphabetical
-    # head of the r12 cohort (a one-name head start on the r17 rotation).
+    # positions 1–50 are this round's driver budget. FIRST the two
+    # queries RE-KEYED this round (stale-hash policy): ivf_topk gained
+    # an explicit ``pin`` parameter (ADVICE r15 #1 — callers with
+    # known-small corpora can now skip the implicit corpus.count());
+    # registry callers pass corpus_rows so the resolved plan is
+    # byte-identical, but the shared operator's control flow changed →
+    # re-hash on principle, exactly like r12's join_salted_skew
+    # docstring fronting.
+    "ext_sim_search_ivf",
+    "ext_sim_search_ivf_nprobe",
+    # THEN the rotation: 48 of the standing 49-name oldest-hash backlog
+    # (the r10 remainder ×10 + 38 of the r11 remainder ×39 — the r11
+    # cohort lost ext_sim_search_ivf/_nprobe and ext_text_readability
+    # to r15 re-keys, and several members were re-verified in r12).
+    # The two re-keys above displace the block's former spare slot
+    # (agg_approx_distinct) and the alphabetical tail of the r11 cohort
+    # (win_wow_change); both sit at positions 51-52 as the r17 head.
     # Both cohorts' rounding surfaces were pre-swept (r14 sweep for r10,
     # r15 sweep for r11 — the one live surface, flesch, was re-keyed and
     # fronted in r15), so the block lands with no expected re-keys. Any
     # query whose impl/oracle changes THIS round is already a member
     # (str_stream_join_outer, ext_hard_negatives, ext_knn_graph are all
-    # r11-cohort). After this round the oldest driver hash is r12.
+    # r11-cohort). After this round the oldest driver hash is r11
+    # (win_wow_change alone), then r12.
     # r10 remainder (hash age 6 rounds):
     "ext_survival_km",
     "job_dq_checks",
@@ -123,8 +135,11 @@ _PRIORITY = [
     "win_ohlc",
     "win_session_paths",
     "win_time_weighted_avg",
+    # r17 head (positions 51-52, immediately after the 50-slot block):
+    # win_wow_change (r11) was displaced by this round's two re-keys and
+    # agg_approx_distinct (r12 alphabetical head) lost the spare slot to
+    # them; both open the r17 rotation.
     "win_wow_change",
-    # r12 cohort head (spare slot; the r17 rotation starts here):
     "agg_approx_distinct",
     # ---- Round 15 front block (r14 verdict #3 — the rotation round):
     # FIRST the one query RE-KEYED this round (stale-hash policy):
@@ -136,13 +151,10 @@ _PRIORITY = [
     # the calibration-bins class). Re-keyed to pure-BIGINT sign-branch
     # rounding on both engines (warehouse.py).
     "ext_text_readability",
-    #   ext_sim_search_ivf / ext_sim_search_ivf_nprobe — ivf_topk gains
-    #   the ADAPTIVE assignment pin (operators/similarity.py r15: the
-    #   corpus argmax was re-evaluated across the search join — 218 s vs
-    #   75 s pinned at 200k vectors; sf10 wall halved 204→101 s /
-    #   224→115 s). Output unchanged; plan changed → re-hash per policy.
-    "ext_sim_search_ivf",
-    "ext_sim_search_ivf_nprobe",
+    #   ext_sim_search_ivf / ext_sim_search_ivf_nprobe sat here in r15
+    #   (ivf_topk gained the ADAPTIVE assignment pin — 218 s vs 75 s
+    #   pinned at 200k vectors; sf10 wall halved). Re-fronted again by
+    #   the r16 block above (the pin-control signature change).
     # THEN the rotation (the r15 block was positions 1–50 = this comment
     # region's 3 re-keys + 47 backlog names): the full r6 remainder
     # (8 names, hash age 9 rounds), the full r7 cohort (25 names), the

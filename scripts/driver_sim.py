@@ -11,15 +11,23 @@ oracle_sql() in DuckDB and compares column names, row count, and
 order-insensitive canonicalized values (the driver's hash comparison,
 via tests/test_oracle_parity.canonical_rows). Expect MISMATCHES: 0.
 
-    python scripts/driver_sim.py        # ~4.5 min on local[32]
+    python scripts/driver_sim.py                     # ~4.5 min on local[32]
+    SPARK_GRAFT_VERIFY_SF_DIR=/path/to/sfX python scripts/driver_sim.py
+
+Paths are derived from this file's location (ADVICE r15 #2 — no
+hardcoded checkout path), so the script runs from any clone; the
+testdata dir comes from $SPARK_GRAFT_VERIFY_SF_DIR when set.
 """
 import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
-sys.path.insert(0, "/root/repo/tests")
-os.environ["PYTHONPATH"] = "/root/repo"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+# PYTHONPATH must carry the repo root too: a driver-side sys.path edit is
+# NOT inherited by Python workers (cloudpickled UDF refs would fail).
+os.environ["PYTHONPATH"] = REPO
 
 import duckdb
 from pyspark.sql import SparkSession
@@ -27,7 +35,7 @@ from pyspark.sql import SparkSession
 import __spark_entry__ as entrymod
 from test_oracle_parity import canonical_rows
 
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("SPARK_GRAFT_VERIFY_SF_DIR", "/root/testdata/sf0.01")
 TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 
