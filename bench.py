@@ -212,6 +212,46 @@ CONTROL_QUERY = "ext_sim_recall"
 REGRESSION_RATIO = 1.5
 REGRESSION_MIN_DELTA_SEC = 0.3
 
+#: Offset-normalized flag margin (r15 verdict #2). The per-run control
+#: (CONTROL_QUERY) measures the SESSION's warmth offset against its own
+#: bench-run floor; a candidate is REPORTED as a regression only when its
+#: ratio still exceeds this margin after dividing out the session offset
+#: (clamped at 1.0 — a fast control never amplifies a flag, it can only
+#: stop excusing one). This mechanizes the adjudication that r14/r15 did
+#: by hand in PLANS.md prose: a warm driver session whose control reads
+#: 1.4x its floor no longer produces presumptive-drift flags for queries
+#: drifting by the same session-wide factor. Candidates excused by the
+#: offset are still recorded (provenance.drift_excused) so the evidence
+#: stays adjudicable rather than silently dropped.
+NORMALIZED_REGRESSION_RATIO = 1.2
+
+
+def session_offset_of(
+    timings_min: dict[str, float], best_ever: dict[str, float]
+) -> float | None:
+    """The session's warmth offset: control min-of-runs over its floor,
+    None when the control wasn't timed this run or has no floor yet."""
+    c = timings_min.get(CONTROL_QUERY)
+    floor = best_ever.get(CONTROL_QUERY)
+    if c is None or not floor:
+        return None
+    return round(c / floor, 3)
+
+
+def normalized_regression_ratio(
+    retimed: float, floor: float, session_offset: float | None, name: str
+) -> float:
+    """The flag-rule ratio after dividing out the session offset. The
+    offset is clamped at 1.0 (a fast control never amplifies a flag) and
+    ignored for the control itself (it cannot excuse its own drift) and
+    when no offset was measured this run (fall back to the raw ratio)."""
+    div = (
+        max(1.0, session_offset)
+        if session_offset is not None and name != CONTROL_QUERY
+        else 1.0
+    )
+    return round(retimed / floor / div, 2)
+
 
 def regression_candidates(
     timings_min: dict[str, float], best_ever: dict[str, float]
@@ -467,6 +507,7 @@ def detail_payload(
     impl_hash_meta: dict | None = None,
     floors_carried_unverified: list[str] | None = None,
     control_query: dict | None = None,
+    drift_excused: list[dict] | None = None,
 ) -> dict:
     return {
         **{k: v for k, v in prior.items() if k not in _OWNED_DETAIL_KEYS},
@@ -526,6 +567,11 @@ def detail_payload(
             # the session offset directly. None only when a filtered
             # run excluded the control.
             "control_query": control_query,
+            # candidates past the raw thresholds whose offset-normalized
+            # ratio stayed inside NORMALIZED_REGRESSION_RATIO this run
+            # (r15 verdict #2): excused as session drift BY THE RULE, not
+            # by prose — kept here so the evidence stays adjudicable.
+            "drift_excused": drift_excused or [],
         },
         "method": {
             "sub_second": "median_of_5",
@@ -534,7 +580,10 @@ def detail_payload(
             "regressions": (
                 f"min-of-runs > {REGRESSION_RATIO}x best_ever AND "
                 f"+{REGRESSION_MIN_DELTA_SEC}s, confirmed by a fresh "
-                "min-of-3 re-time"
+                "min-of-3 re-time, AND still > "
+                f"{NORMALIZED_REGRESSION_RATIO}x after dividing out the "
+                "session offset (control_query min/floor, clamped >= 1); "
+                "offset-excused candidates land in provenance.drift_excused"
             ),
             "floor_reset": (
                 "best_ever dropped when impl_hash (AST fingerprint of the "
@@ -705,6 +754,10 @@ def main() -> None:
     # plan-audit it; an empty list means this round's totals are within
     # noise of the best this machine has ever recorded.
     regressions: list[dict] = []
+    drift_excused: list[dict] = []
+    # session offset BEFORE any refloor this run: the control's floor here
+    # is the same prior-floor baseline the candidates are compared against
+    session_offset = session_offset_of(timings_min, best_ever)
     for name in regression_candidates(timings_min, best_ever):
         # same adaptive estimator as the main loop (ADVICE r9): a
         # sub-second candidate re-times as median-of-5, so a lower re-time
@@ -733,21 +786,38 @@ def main() -> None:
             # adjudicator reads the protocol next to the ratio instead of
             # rediscovering it each round
             proto = best_ever_env.get(name, {}).get("protocol", "bench-run")
-            print(
-                f"# regression {name}: ratio {retimed / be:.2f}x vs "
-                f"{proto} floor {be}s",
-                file=sys.stderr,
+            ratio = round(retimed / be, 2)
+            # offset-normalized ratio (r15 verdict #2): divide out the
+            # session's control-measured warmth before deciding to flag.
+            normalized_ratio = normalized_regression_ratio(
+                retimed, be, session_offset, name
             )
-            regressions.append(
-                {
-                    "query": name,
-                    "best_ever": be,
-                    "measured": timings[name],
-                    "retimed": retimed,
-                    "ratio": round(retimed / be, 2),
-                    "floor_protocol": proto,
-                }
-            )
+            rec = {
+                "query": name,
+                "best_ever": be,
+                "measured": timings[name],
+                "retimed": retimed,
+                "ratio": ratio,
+                "normalized_ratio": normalized_ratio,
+                "session_offset": session_offset,
+                "floor_protocol": proto,
+            }
+            if normalized_ratio > NORMALIZED_REGRESSION_RATIO:
+                print(
+                    f"# regression {name}: ratio {ratio:.2f}x "
+                    f"(normalized {normalized_ratio:.2f}x at session offset "
+                    f"{session_offset}) vs {proto} floor {be}s",
+                    file=sys.stderr,
+                )
+                regressions.append(rec)
+            else:
+                print(
+                    f"# drift excused {name}: ratio {ratio:.2f}x normalizes "
+                    f"to {normalized_ratio:.2f}x at session offset "
+                    f"{session_offset} (margin {NORMALIZED_REGRESSION_RATIO}x)",
+                    file=sys.stderr,
+                )
+                drift_excused.append(rec)
     # a filtered run only re-judged the queries it ran; keep prior verdicts
     # for the rest rather than silently discarding them
     if only:
@@ -755,6 +825,12 @@ def main() -> None:
             r for r in prior.get("regressions", []) if r.get("query") not in timings_min
         ]
         regressions = kept + regressions
+        kept_excused = [
+            r
+            for r in prior.get("provenance", {}).get("drift_excused", [])
+            if r.get("query") not in timings_min
+        ]
+        drift_excused = kept_excused + drift_excused
 
     refloored: set[str] = set()
     for name, sec in timings_min.items():
@@ -783,6 +859,10 @@ def main() -> None:
             "min_sec": timings_min[CONTROL_QUERY],
             "measured_sec": timings[CONTROL_QUERY],
             "floor": best_ever.get(CONTROL_QUERY),
+            # the offset actually USED by this run's flag rule (computed
+            # against the pre-refloor floor; the "floor" field above can
+            # be lower if the control re-floored this run)
+            "session_offset": session_offset,
         }
         if CONTROL_QUERY in timings_min
         else None
@@ -798,6 +878,7 @@ def main() -> None:
                 impl_hash_meta=impl_hash_meta,
                 floors_carried_unverified=floors_carried_unverified,
                 control_query=control_query,
+                drift_excused=drift_excused,
             ),
             f,
             indent=1,

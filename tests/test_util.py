@@ -109,6 +109,7 @@ def test_bench_detail_payload_carries_foreign_sections_forward():
     assert out["provenance"] == {
             "last_run": "full", "merged": False, "env": None, "floors_reset": {},
             "floors_carried_unverified": [], "control_query": None,
+            "drift_excused": [],
         }
     filt = bench.detail_payload(
         prior, 0.1, {"q": 1.0}, {"q": 0.9}, {"q": 0.9}, [], filtered=True,
@@ -367,3 +368,56 @@ def test_bench_real_registry_fingerprint_covers_lsh_constant():
     finally:
         similarity.LSH_TARGET_BUCKET_ROWS = old
     assert h2 != h1
+
+
+def test_bench_session_offset_and_normalized_ratio():
+    """r15 verdict #2: the flag rule divides out the session's
+    control-measured warmth offset before reporting a regression, so a
+    warm driver session no longer produces presumptive-drift flags that
+    need prose adjudication."""
+    import bench
+
+    # offset = control min / control floor, None without both sides
+    assert bench.session_offset_of(
+        {bench.CONTROL_QUERY: 0.9}, {bench.CONTROL_QUERY: 0.6}
+    ) == 1.5
+    assert bench.session_offset_of({}, {bench.CONTROL_QUERY: 0.6}) is None
+    assert bench.session_offset_of({bench.CONTROL_QUERY: 0.9}, {}) is None
+
+    # a 1.56x raw flag in a 1.37x-warm session normalizes under the margin
+    # (the exact r15 ext_dedup_embed shape the rule mechanizes)
+    n = bench.normalized_regression_ratio(1.56, 1.0, 1.37, "ext_dedup_embed")
+    assert n == 1.14 and n <= bench.NORMALIZED_REGRESSION_RATIO
+    # a genuine 2x plan regression still flags through the same session
+    assert (
+        bench.normalized_regression_ratio(2.0, 1.0, 1.37, "q")
+        > bench.NORMALIZED_REGRESSION_RATIO
+    )
+    # a fast control (offset < 1) is clamped: it never amplifies a flag
+    assert bench.normalized_regression_ratio(1.3, 1.0, 0.8, "q") == 1.3
+    # the control cannot excuse its own drift
+    assert (
+        bench.normalized_regression_ratio(1.6, 1.0, 1.6, bench.CONTROL_QUERY)
+        == 1.6
+    )
+    # no offset measured -> raw ratio (filtered run without the control)
+    assert bench.normalized_regression_ratio(1.6, 1.0, None, "q") == 1.6
+
+
+def test_bench_detail_payload_records_drift_excused():
+    """Offset-excused candidates must stay adjudicable in provenance
+    rather than vanish (r15 verdict #2's 'decisive on arrival' promise
+    cuts both ways: flags decisive, excusals recorded)."""
+    import bench
+
+    rec = [{"query": "q", "ratio": 1.56, "normalized_ratio": 1.14,
+            "session_offset": 1.37}]
+    out = bench.detail_payload(
+        {}, 0.1, {"q": 1.0}, {"q": 0.9}, {"q": 0.9}, [], filtered=False,
+        drift_excused=rec,
+    )
+    assert out["provenance"]["drift_excused"] == rec
+    out2 = bench.detail_payload(
+        {}, 0.1, {"q": 1.0}, {"q": 0.9}, {"q": 0.9}, [], filtered=False,
+    )
+    assert out2["provenance"]["drift_excused"] == []
