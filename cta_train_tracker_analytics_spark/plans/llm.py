@@ -3879,7 +3879,18 @@ def ext_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank window; ranking orders by UNROUNDED similarity with neighbor
     id as total tiebreak — deterministic in both engines. Null
     embeddings are excluded corpus- AND seed-side (the
-    ext_knn_graph_ivf null contract)."""
+    ext_knn_graph_ivf null contract).
+
+    SECOND-DECADE CAVEAT (measured r15, BENCH_DETAIL sf10_probe +
+    second_decade_probe): "within-block pairs are linear" above is the
+    JOIN — the flat broadcast-argmax assignment is O(N·k) = O(N²/250)
+    interpreted folds once k tracks N, and at 20k→200k vectors this
+    query measured 26.8× wall for 10× rows. The assignment is already
+    pinned (localCheckpoint before the self-join), so no re-evaluation
+    factor remains — the quadratic is intrinsic to single-level
+    assignment. Past ~100k vectors, block on the TWO-LEVEL assignment
+    instead (swap ivf_assign for the hier/sharded coarse→leaf path, as
+    ext_knn_graph_prod does — 6.4–7.5× on the same decade)."""
     import math
 
     emb = load(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
@@ -4705,7 +4716,18 @@ def ext_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     Like any blocked ANN, negatives are exact WITHIN the anchor's cell;
     recall across cells tunes by the same multi-assign knob the graph
     family measures. Null embeddings excluded corpus- and seed-side;
-    signed zero canonicalized — family contracts inherited."""
+    signed zero canonicalized — family contracts inherited.
+
+    SECOND-DECADE CAVEAT (measured r15, BENCH_DETAIL sf10_probe +
+    second_decade_probe): the linear claim above is candidate volume —
+    the flat assignment stage is O(N·k) = O(N²/250) interpreted folds
+    once k tracks N, and at 20k→200k vectors this query measured 17.9×
+    wall for 10× rows (the mildest of the flat-assign class: the
+    label-mismatch filter trims in-cell pairs, but the assignment
+    quadratic still dominates). The assignment is already pinned; the
+    quadratic is intrinsic, not re-evaluation. Past ~100k vectors, mine
+    negatives on the two-level assignment (the prod/hier/sharded
+    coarse→leaf path, 6.4–7.5× on the same decade)."""
     import math
 
     emb = load(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())

@@ -421,3 +421,22 @@ def test_bench_detail_payload_records_drift_excused():
         {}, 0.1, {"q": 1.0}, {"q": 0.9}, {"q": 0.9}, [], filtered=False,
     )
     assert out2["provenance"]["drift_excused"] == []
+
+
+def test_bench_detail_second_decade_ledger_is_complete():
+    """r15 verdict #4: every sf10-probe superlinear carries a decomposed
+    cause record in BENCH_DETAIL.second_decade_probe (the records must
+    survive bench merges, not live only in PLANS.md prose)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_DETAIL.json")
+    detail = json.load(open(path))
+    superlinear = set(detail["sf10_probe"]["superlinear"])
+    decomposed = detail["second_decade_probe"]["decomposed"]
+    missing = superlinear - set(decomposed)
+    assert missing == set(), missing
+    for name, rec in decomposed.items():
+        assert rec["cause"], name
+        assert rec["wall_ratio"], name
