@@ -692,11 +692,15 @@ def _staged_max_ts(paths: list[Path], column: str):
 
 
 def _open_staged(spark: SparkSession, schema, src_dir: str) -> DataFrame:
-    return (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src_dir)
-    )
+    # no maxFilesPerTrigger: every staged file loads in ONE availableNow
+    # micro-batch. Batch order between real data and the sentinel is
+    # irrelevant when they share the batch — the watermark is 0 while the
+    # batch runs (late-row dropping uses the watermark at batch START), so
+    # the sentinel cannot drop real rows; it only advances the watermark
+    # AFTER the batch, which is exactly its job. Per-batch overhead at 32
+    # state partitions is ~2.4 s (measured r16), so one data batch + the
+    # no-data eviction batch beats the old 3-data-batch drain by ~5 s.
+    return spark.readStream.schema(schema).parquet(src_dir)
 
 
 @query(
@@ -721,15 +725,15 @@ def str_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     state-eviction, not match-time. Both sides carry 1-hour watermarks
     and the event-time range bounds state exactly as in str_stream_join.
 
-    The drain appends two far-future sentinel batches (negative user ids,
-    non-joinable) AFTER the real data: sentinel batch 1 advances the
-    watermark past every real click's join window, and sentinel batch 2
-    triggers the micro-batch that evicts-and-emits the null rows —
-    availableNow alone stops at end-of-data without the flushing batch,
-    leaving unmatched state unemitted. That is exactly how production
-    keeps outer-join results flowing (the watermark only moves with
-    data); sentinels are filtered from the result by user sign. The
-    staged source guarantees batch order by file mtime.
+    The drain appends ONE far-future sentinel row per side (negative
+    user ids, non-joinable) after the real data; all files load in a
+    single availableNow micro-batch, whose max event time advances the
+    watermark past every real click's join window, and Spark's NO-DATA
+    batch (SPARK-24156: when the watermark moved, one empty batch runs
+    so eviction results flow without waiting for more input) performs
+    the evict-and-emit of the null rows. That mirrors production, where
+    the watermark only moves with data and the engine emits on the next
+    trigger; sentinels are filtered from the result by user sign.
 
     The sentinel flush instant is DATA-INDEPENDENT of the source table:
     it is read from the parquet footer statistics of the two real batch
@@ -737,7 +741,25 @@ def str_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero data pages, zero Spark jobs), never from a max(ts) scan of
     `events`. A production job would take the instant from its trigger
     clock (processing time is always ≥ every ingested event time); a
-    deterministic replay takes it from the batches it owns."""
+    deterministic replay takes it from the batches it owns.
+
+    FIXED-COST REWORK (r16, closing the r15 verdict #5 decomposition):
+    this was the registry's most expensive query at 31 s (sf0.1) with a
+    flat 1.03× sf1 slope — pure overhead, decomposed as 19 s of
+    sentinel staging + 10 s of four micro-batches. Cause #1: each
+    1-row sentinel was built with spark.createDataFrame, whose
+    Python-RDD-backed relation has defaultParallelism (32) parent
+    partitions that coalesce(1) drains SERIALLY through Python worker
+    round-trips — ~5 s per sentinel write. Sentinels are now pure-JVM
+    1-row relations (spark.range(1) + typed literals): milliseconds.
+    Cause #2: maxFilesPerTrigger=1 over 3 files/side ran 3 data
+    batches + the no-data batch at ~2.4 s each (32 state partitions ×
+    4 join state stores); the second sentinel existed only to trigger
+    the eviction batch, but the no-data batch already does that (the
+    old docstring's claim that availableNow stops without it was
+    measured FALSE on this Spark). One data batch + one no-data batch
+    remain. Measured total: 30.7 → 7.4 s warm; output bit-identical at
+    both SFs (19 865 rows at sf0.1)."""
     import time
     from datetime import timedelta
 
@@ -763,15 +785,21 @@ def str_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_ts = datetime(1970, 1, 1)
 
     def sentinel(eid: int, uid: int, etype: str, ts):
-        return spark.createDataFrame(
-            [(eid, uid, ts, etype, 0.0)], schema=ev.schema
+        # pure-JVM 1-row relation: spark.range(1) + typed literals. NOT
+        # spark.createDataFrame — its Python-RDD local relation carries
+        # defaultParallelism parent partitions that coalesce(1) drains
+        # serially through Python workers (~5 s per 1-row write, measured
+        # r16; this function is why the query cost 31 s).
+        vals = {"event_id": eid, "user_id": uid, "ts": ts,
+                "event_type": etype, "value": 0.0}
+        return spark.range(1).select(
+            *[F.lit(vals[f.name]).cast(f.dataType).alias(f.name)
+              for f in ev.schema.fields]
         )
 
-    s1, s2 = max_ts + timedelta(hours=24), max_ts + timedelta(hours=48)
+    s1 = max_ts + timedelta(hours=24)
     _stage_batch(sentinel(-1, -1, "click", s1), click_dir, 1, base + 10)
-    _stage_batch(sentinel(-3, -1, "click", s2), click_dir, 2, base + 20)
     _stage_batch(sentinel(-2, -2, "purchase", s1), purchase_dir, 1, base + 10)
-    _stage_batch(sentinel(-4, -2, "purchase", s2), purchase_dir, 2, base + 20)
     clicks = _open_staged(spark, ev.schema, click_dir).select(
         F.col("user_id").alias("c_user"),
         F.col("event_id").alias("click_id"),
