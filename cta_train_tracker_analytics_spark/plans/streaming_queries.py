@@ -34,7 +34,12 @@ except ImportError:  # pragma: no cover - environment-dependent
     _HAS_TWS = False
 
 from ..data import load
-from ..streaming.pipelines import parquet_stream, run_to_files, run_to_memory
+from ..streaming.pipelines import (
+    await_drained,
+    parquet_stream,
+    run_to_files,
+    run_to_memory,
+)
 from .registry import query
 
 _SCRATCH = Path("/tmp/cta_spark_engine_scratch/streaming")
@@ -186,7 +191,7 @@ def str_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_drained(q)
     return spark.read.parquet(str(store_cur)).select(
         "user_id",
         F.col("event_id").cast("bigint").alias("last_event_id"),

@@ -38,7 +38,7 @@ def ingest_stream(
     checkpoint_dir: str,
     observed_date=None,
     observed_ts=None,
-    timeout_sec: int = 120,
+    timeout_sec: int | None = None,
 ) -> None:
     """Drain pending poll files through parse→flatten→JSONL-append.
 
@@ -68,7 +68,9 @@ def ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    from .pipelines import await_drained
+
+    await_drained(q, timeout_sec)
 
 
 def read_raw(spark: SparkSession, raw_out_dir: str) -> DataFrame:

@@ -22,10 +22,44 @@ are what tests and the driver verify.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+
+
+def _drain_timeout(timeout_sec: int | None) -> int:
+    """Default drain budget for bounded availableNow runs. 600 s covers
+    every verified scale with an order of magnitude to spare (the
+    largest measured drain is ~13 s at sf1); scale probes raise it via
+    SPARK_GRAFT_STREAM_DRAIN_SEC rather than editing call sites."""
+    if timeout_sec is not None:
+        return timeout_sec
+    return int(os.environ.get("SPARK_GRAFT_STREAM_DRAIN_SEC", "600"))
+
+
+def await_drained(q, timeout_sec: int | None = None) -> None:
+    """Block until a bounded (availableNow) streaming query TERMINATES,
+    failing loudly if it outlives the budget.
+
+    ``awaitTermination(timeout)`` returns False while the query is still
+    running; the pre-r16 helpers ignored that return and read the sink
+    anyway, which at scale silently returns PARTIAL results — found by
+    the r16 sf10 probe, where str_stream_join_outer's one-batch drain of
+    8M rows legitimately exceeds the old 120 s budget and the memory
+    sink held a truncated table while the leaked query kept running and
+    contending with the next measurement. A correctness-gated engine
+    must never convert 'slow' into 'silently wrong': stop the query and
+    raise instead."""
+    budget = _drain_timeout(timeout_sec)
+    if not q.awaitTermination(budget):
+        q.stop()
+        raise RuntimeError(
+            f"bounded stream drain still running after {budget}s "
+            f"(query {q.name or q.id}); raise SPARK_GRAFT_STREAM_DRAIN_SEC "
+            "for larger scales instead of reading a partial sink"
+        )
 
 
 def parquet_stream(
@@ -40,10 +74,12 @@ def parquet_stream(
 
 
 def run_to_memory(
-    sdf: DataFrame, output_mode: str, checkpoint_dir: str, timeout_sec: int = 120
+    sdf: DataFrame, output_mode: str, checkpoint_dir: str,
+    timeout_sec: int | None = None,
 ) -> DataFrame:
     """Drain a bounded stream into an in-memory sink (availableNow) and
-    return the sink table as a DataFrame."""
+    return the sink table as a DataFrame. Raises if the drain outlives
+    its budget (see await_drained) — never returns a partial sink."""
     name = f"mem_{uuid.uuid4().hex[:12]}"
     q = (
         sdf.writeStream.format("memory")
@@ -53,7 +89,7 @@ def run_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    await_drained(q, timeout_sec)
     spark = sdf.sparkSession
     return spark.table(name)
 
@@ -63,7 +99,7 @@ def run_to_files(
     out_dir: str,
     checkpoint_dir: str,
     fmt: str = "json",
-    timeout_sec: int = 120,
+    timeout_sec: int | None = None,
 ) -> None:
     """Drain a bounded stream into a checkpointed file sink — the
     exactly-once replacement for the reference's Firehose retry loop.
@@ -77,4 +113,4 @@ def run_to_files(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    await_drained(q, timeout_sec)

@@ -201,3 +201,45 @@ def test_staged_max_ts_footer_semantics(tmp_path):
     p_allnull_nested = tmp_path / "allnull_nested.parquet"
     pq.write_table(allnull_nested, p_allnull_nested)
     assert _staged_max_ts([p_allnull_nested], "ts.list.element") is None
+
+
+def test_await_drained_raises_on_overrun_and_stops_the_query(spark):
+    """r16: a bounded drain that outlives its budget must FAIL, not read a
+    partial sink. The pre-r16 helpers ignored awaitTermination's False
+    return; at sf10 the outer-join drain passes the old 120 s budget and
+    the memory sink silently held a truncated table while the leaked
+    query kept running. A rate stream never terminates — the guard must
+    stop it and raise."""
+    import pytest
+
+    from cta_train_tracker_analytics_spark.streaming.pipelines import (
+        _drain_timeout,
+        await_drained,
+    )
+
+    q = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .writeStream.format("memory").queryName("t_drain_overrun")
+        .outputMode("append").trigger(processingTime="1 second").start()
+    )
+    try:
+        with pytest.raises(RuntimeError, match="still running"):
+            await_drained(q, timeout_sec=2)
+        assert not q.isActive  # the guard stopped the leaked query
+    finally:
+        if q.isActive:
+            q.stop()
+
+    # budget resolution: explicit arg wins; env var overrides the default
+    import os
+
+    assert _drain_timeout(7) == 7
+    old = os.environ.get("SPARK_GRAFT_STREAM_DRAIN_SEC")
+    try:
+        os.environ["SPARK_GRAFT_STREAM_DRAIN_SEC"] = "1234"
+        assert _drain_timeout(None) == 1234
+        del os.environ["SPARK_GRAFT_STREAM_DRAIN_SEC"]
+        assert _drain_timeout(None) == 600
+    finally:
+        if old is not None:
+            os.environ["SPARK_GRAFT_STREAM_DRAIN_SEC"] = old
