@@ -183,6 +183,37 @@ FLAT_ASSIGN_CAUSES = {
 }
 
 
+def spatial_grid_structure(spark, sf_dir: str) -> dict:
+    """Candidate-volume decomposition for join_spatial_grid WITHOUT
+    running the join (its sf10 run is ~42 min): candidates per cell =
+    left 3×3 replicas × right residents, so total candidates =
+    Σ_cell 9·|cell|² over home cells — two cheap aggregates. The demo
+    extent is FIXED (lat∈[-6,6), lon∈[-12,12): 288 one-degree cells),
+    so key-shifted scale copies densify the same cells and candidate
+    volume grows as 9N²/288 — quadratic by dataset construction, the
+    exact 'urban density' hazard the operator docstring prices with
+    finer cells."""
+    from cta_train_tracker_analytics_spark.data import load
+
+    pts = load(spark, sf_dir, "customer").select(
+        F.floor((((F.col("c_custkey") * 37) % 240) / 20.0 - 6.0)).alias("clat"),
+        F.floor((((F.col("c_custkey") * 73) % 480) / 20.0 - 12.0)).alias("clon"),
+    )
+    occ = pts.groupBy("clat", "clon").count()
+    row = occ.agg(
+        F.count("*").alias("cells"),
+        F.sum("count").alias("n"),
+        F.max("count").alias("max_cell"),
+        F.sum(F.col("count") * F.col("count") * 9).alias("candidates"),
+    ).collect()[0]
+    return {
+        "n": int(row["n"]),
+        "cells": int(row["cells"]),
+        "max_cell": int(row["max_cell"]),
+        "candidate_pairs_with_replication": int(row["candidates"]),
+    }
+
+
 def flat_assign_ledger(detail: dict) -> dict:
     """Analytic fold-model decomposition for every attributed superlinear,
     joined with the measured sf10_probe walls already in BENCH_DETAIL.
@@ -220,19 +251,42 @@ def merge_into_bench_detail(section: dict, detail_path: str) -> None:
 
 
 def measured_probes(remeasure: bool, prior: dict) -> dict:
-    """The two measured structure probes; carried from the prior section
-    unless --remeasure (they need the sf1/sf10 datasets and ~10 min)."""
-    if not remeasure and {"banded", "ivf_multi"} <= set(prior):
-        return {"banded": prior["banded"], "ivf_multi": prior["ivf_multi"]}
+    """The measured structure probes; carried from the prior section
+    unless --remeasure (they need the sf1/sf10 datasets; banded +
+    ivf_multi are the expensive ones, spatial_grid is two aggregates)."""
+    if not remeasure and {"banded", "ivf_multi", "spatial_grid"} <= set(prior):
+        return {k: prior[k] for k in ("banded", "ivf_multi", "spatial_grid")}
     from cta_train_tracker_analytics_spark.session import get_spark
 
     spark = get_spark(app_name="cta-second-decade-probe")
-    out: dict = {"banded": {}, "ivf_multi": {}}
+    out: dict = {"banded": {}, "ivf_multi": {}, "spatial_grid": {}}
+    reuse_heavy = not remeasure and {"banded", "ivf_multi"} <= set(prior)
+    if reuse_heavy:
+        out["banded"], out["ivf_multi"] = prior["banded"], prior["ivf_multi"]
     for label, d in (("sf1", sf1_probe.SF1_DIR), ("sf10", sf10_probe.SF10_DIR)):
-        out["banded"][label] = banded_structure(spark, d)
-        print(f"# banded {label}: {out['banded'][label]}", file=sys.stderr)
-        out["ivf_multi"][label] = ivf_multi_assignment(spark, d)
-        print(f"# ivf_multi {label}: {out['ivf_multi'][label]}", file=sys.stderr)
+        if not reuse_heavy:
+            out["banded"][label] = banded_structure(spark, d)
+            print(f"# banded {label}: {out['banded'][label]}", file=sys.stderr)
+            out["ivf_multi"][label] = ivf_multi_assignment(spark, d)
+            print(f"# ivf_multi {label}: {out['ivf_multi'][label]}",
+                  file=sys.stderr)
+        out["spatial_grid"][label] = spatial_grid_structure(spark, d)
+        print(f"# spatial_grid {label}: {out['spatial_grid'][label]}",
+              file=sys.stderr)
+    g1, g10 = out["spatial_grid"]["sf1"], out["spatial_grid"]["sf10"]
+    out["spatial_grid"]["candidate_ratio"] = round(
+        g10["candidate_pairs_with_replication"]
+        / g1["candidate_pairs_with_replication"], 2,
+    )
+    out["spatial_grid"]["cause"] = (
+        "fixed 288-cell extent: scale copies densify the same cells, so "
+        "candidates grow 9N^2/288 — quadratic by dataset construction; "
+        "sf10 run killed at 55 min (~42 min/run implied). Production "
+        "knob: finer cells where dense (docstring), keeping |cell| "
+        "bounded and candidates ~linear."
+    )
+    if reuse_heavy:
+        return out
     b1, b10 = out["banded"]["sf1"], out["banded"]["sf10"]
     out["banded"]["collision_ratio"] = round(
         b10["collision_pairs_with_multiplicity"]
