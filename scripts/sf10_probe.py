@@ -179,7 +179,8 @@ def main() -> int:
         s1 = sf1_probe._time(spark, fn, sf1_probe.SF1_DIR, args.runs)
         s10 = sf1_probe._time(spark, fn, SF10_DIR, args.runs)
         ratio = round(s10 / s1, 2) if s1 > 0 else None
-        probe[name] = {"sf1_sec": s1, "sf10_sec": s10, "ratio": ratio}
+        probe[name] = {"sf1_sec": s1, "sf10_sec": s10, "ratio": ratio,
+                       "runs": args.runs}
         flag = ""
         if ratio is not None and ratio > SUPERLINEAR_RATIO:
             superlinear.append(name)
@@ -198,7 +199,9 @@ def main() -> int:
                             "re-phased sign-modulated embeddings)",
             "rows": rows,
         },
-        "method": f"min of {args.runs} runs per scale, one warmed session",
+        "method": "min of per-row `runs` per scale, one warmed session "
+                  "(rows without a runs field predate the r16 annotation "
+                  "and used 2)",
         "superlinear_threshold": SUPERLINEAR_RATIO,
         "queries": {**prior.get("queries", {}), **probe},
         "superlinear": sorted(
