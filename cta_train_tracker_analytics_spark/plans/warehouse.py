@@ -608,11 +608,24 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the oracle's all-pairs join is O(N²) and impossible at 100 TB;
     the grid join shuffles on cell id — 9× replication of one side, then
-    candidates only. Skewed cells (urban density) are the known hazard:
-    mitigate with finer cells per dense region or AQE skew-join, same
-    code. The ka<kb filter emits each unordered pair exactly once (a
-    point's 9 replicas land in 9 distinct cells, so each candidate pair
-    meets in exactly one cell)."""
+    candidates only. The ka<kb filter emits each unordered pair exactly
+    once (a point's 9 replicas land in 9 distinct cells, so each
+    candidate pair meets in exactly one cell).
+
+    SECOND-DECADE CAVEAT (measured, r16 probe): this flat per-POINT grid
+    is a priced exhibit past the first decade. The probe datasets densify
+    a fixed 288-cell extent, so candidate volume Σ_cell 9·|cell|² is
+    9N²/288 by construction — measured exactly 100.0× for 10× rows
+    (759.4M → 75.9B candidate haversines, BENCH_DETAIL
+    second_decade_probe.spatial_grid; the sf10 run was killed at 55 min).
+    The production path is ``join_spatial_grid_adaptive`` below: the cell
+    adapts to local density all the way down to the exact coordinate
+    (a coordinate dictionary), so the distance kernel runs once per
+    DISTINCT position pair and candidate volume is bounded by coordinate
+    density, not point density — measured flat (1.0×) across the same
+    decade. Per-point gridding stays the right plan only while cells stay
+    sparse (points ≲ cells), where it skips the dictionary's extra
+    aggregate + expansion joins."""
     pts = load(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("k"),
         (((F.col("c_custkey") * 37) % 240) / 20.0 - 6.0).alias("lat"),
@@ -672,6 +685,145 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("ka").alias("custkey_a"),
             F.col("kb").alias("custkey_b"),
+            F.round("dist_km", 3).alias("dist_km"),
+        )
+    )
+
+
+@query(
+    "join_spatial_grid_adaptive",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey AS k,
+             ((c_custkey * 37) % 240) / 20.0 - 6.0  AS lat,
+             ((c_custkey * 73) % 480) / 20.0 - 12.0 AS lon
+      FROM customer
+    )
+    SELECT a.k AS custkey_a, b.k AS custkey_b,
+           round(2 * {_EARTH_KM} * asin(sqrt(
+               power(sin(radians(b.lat - a.lat) / 2), 2)
+               + cos(radians(a.lat)) * cos(radians(b.lat))
+                 * power(sin(radians(b.lon - a.lon) / 2), 2))), 3) AS dist_km
+    FROM pts a JOIN pts b ON a.k < b.k
+    WHERE 2 * {_EARTH_KM} * asin(sqrt(
+               power(sin(radians(b.lat - a.lat) / 2), 2)
+               + cos(radians(a.lat)) * cos(radians(b.lat))
+                 * power(sin(radians(b.lon - a.lon) / 2), 2))) <= {_RADIUS_KM}
+    """,
+)
+def join_spatial_grid_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-adaptive spatial self-join — the PRODUCTION variant of
+    ``join_spatial_grid`` (same contract, same oracle: all point pairs
+    within 100 km by haversine).
+
+    The flat grid's scale hazard is dense cells: candidates grow as
+    Σ_cell |cell|², quadratic wherever many points share a cell. Sizing
+    cells by local density bounds |cell| — and this plan takes that to
+    its limit: in a dense region the cell shrinks until it holds a single
+    DISTINCT coordinate, at which point co-located points need no
+    pairwise distance work at all. Concretely:
+
+    1. **Coordinate dictionary** — group points by exact (lat, lon).
+       The dictionary holds one row per distinct position; all
+       densification mass collapses here.
+    2. **Grid join over positions** — the flat 1°×1° / 3×3-neighborhood
+       join (the ≤1-cell completeness argument for 100 km is unchanged,
+       it is extent-wide and independent of occupancy), but over
+       DICTIONARY rows, so |cell| counts distinct coordinates and the
+       haversine kernel runs once per position pair, not point pair.
+       Lexicographic (lat, lon) ordering keeps one direction per
+       unordered pair; the (0,0) replica retains the self-pair, whose
+       distance is exactly 0 (identical doubles ⇒ sin(0) terms).
+    3. **Algebraic expansion** — two equi-joins hang the points back on
+       the qualifying position pairs (AQE broadcasts the pair table when
+       small). Cross-position pairs emit every (ka, kb) combination once,
+       ordered by least/greatest; same-position pairs take ka<kb. The
+       haversine is symmetric bit-for-bit (sin(-x)² ≡ sin(x)², commuted
+       products), so position-level evaluation matches the oracle's
+       per-point evaluation exactly.
+
+    Scale: candidate volume is Σ_cell 9·|distinct positions in cell|² —
+    bounded by coordinate density, measured FLAT across the sf1→sf10
+    decade (the probe's densification re-uses a 480-position lattice:
+    26.8k candidate haversines at both scales vs the flat grid's
+    759M → 75.9B; BENCH_DETAIL second_decade_probe.spatial_grid). The
+    expansion emits only output rows, which for a fixed radius under
+    densification grow quadratically BY CONTRACT (every co-located pair
+    is a result row) — that part is output, not wasted candidates. On
+    sparse data (distinct positions ≈ points) the dictionary degenerates
+    to the flat grid plus two cheap joins, so the adaptive plan is the
+    safe default at any density."""
+    pts = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        (((F.col("c_custkey") * 37) % 240) / 20.0 - 6.0).alias("lat"),
+        (((F.col("c_custkey") * 73) % 480) / 20.0 - 12.0).alias("lon"),
+    )
+    pos = pts.select("lat", "lon").distinct()
+    cell = lambda df: df.withColumn("clat", F.floor("lat")).withColumn(  # noqa: E731
+        "clon", F.floor("lon")
+    )
+    right = cell(pos).select(
+        F.col("lat").alias("lat_b"), F.col("lon").alias("lon_b"), "clat", "clon"
+    )
+    offsets = F.expr(
+        "explode(flatten(transform(sequence(-1,1), dy -> "
+        "transform(sequence(-1,1), dx -> struct(dy, dx)))))"
+    )
+    left = (
+        cell(pos)
+        .select(
+            F.col("lat").alias("lat_a"),
+            F.col("lon").alias("lon_a"),
+            "clat",
+            "clon",
+            offsets.alias("o"),
+        )
+        .select(
+            "lat_a",
+            "lon_a",
+            (F.col("clat") + F.col("o.dy")).alias("clat"),
+            (F.col("clon") + F.col("o.dx")).alias("clon"),
+        )
+    )
+    dlat = F.radians(F.col("lat_b") - F.col("lat_a")) / 2
+    dlon = F.radians(F.col("lon_b") - F.col("lon_a")) / 2
+    dist = (
+        2
+        * _EARTH_KM
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(dlat), 2)
+                + F.cos(F.radians("lat_a"))
+                * F.cos(F.radians("lat_b"))
+                * F.pow(F.sin(dlon), 2)
+            )
+        )
+    )
+    same_pos = (F.col("lat_a") == F.col("lat_b")) & (F.col("lon_a") == F.col("lon_b"))
+    lex_le = (
+        (F.col("lat_a") < F.col("lat_b"))
+        | ((F.col("lat_a") == F.col("lat_b")) & (F.col("lon_a") <= F.col("lon_b")))
+    )
+    pairs = (
+        left.join(right, ["clat", "clon"])
+        .filter(lex_le)
+        .withColumn("dist_km", dist)
+        .filter(F.col("dist_km") <= _RADIUS_KM)
+        .select("lat_a", "lon_a", "lat_b", "lon_b", "dist_km")
+    )
+    a = pts.select(
+        F.col("k").alias("ka"), F.col("lat").alias("lat_a"), F.col("lon").alias("lon_a")
+    )
+    b = pts.select(
+        F.col("k").alias("kb"), F.col("lat").alias("lat_b"), F.col("lon").alias("lon_b")
+    )
+    return (
+        pairs.join(a, ["lat_a", "lon_a"])
+        .join(b, ["lat_b", "lon_b"])
+        .filter(~same_pos | (F.col("ka") < F.col("kb")))
+        .select(
+            F.least("ka", "kb").alias("custkey_a"),
+            F.greatest("ka", "kb").alias("custkey_b"),
             F.round("dist_km", 3).alias("dist_km"),
         )
     )

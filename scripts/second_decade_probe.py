@@ -196,8 +196,10 @@ def spatial_grid_structure(spark, sf_dir: str) -> dict:
     from cta_train_tracker_analytics_spark.data import load
 
     pts = load(spark, sf_dir, "customer").select(
-        F.floor((((F.col("c_custkey") * 37) % 240) / 20.0 - 6.0)).alias("clat"),
-        F.floor((((F.col("c_custkey") * 73) % 480) / 20.0 - 12.0)).alias("clon"),
+        (((F.col("c_custkey") * 37) % 240) / 20.0 - 6.0).alias("lat"),
+        (((F.col("c_custkey") * 73) % 480) / 20.0 - 12.0).alias("lon"),
+    ).select(
+        "lat", "lon", F.floor("lat").alias("clat"), F.floor("lon").alias("clon")
     )
     occ = pts.groupBy("clat", "clon").count()
     row = occ.agg(
@@ -206,11 +208,61 @@ def spatial_grid_structure(spark, sf_dir: str) -> dict:
         F.max("count").alias("max_cell"),
         F.sum(F.col("count") * F.col("count") * 9).alias("candidates"),
     ).collect()[0]
+    # the r17 ADAPTIVE variant's decomposition: the coordinate dictionary
+    # bounds the distance-kernel candidate volume by DISTINCT-position
+    # occupancy (Σ_cell 9·|positions|²), while the expansion emits exactly
+    # the output rows (Σ_same C(n,2) + Σ_cross n_a·n_b) — computed here
+    # algebraically from position occupancies, no join run.
+    pos = pts.groupBy("lat", "lon", "clat", "clon").agg(
+        F.count(F.lit(1)).alias("occ")
+    )
+    arow = (
+        pos.groupBy("clat", "clon")
+        .agg(F.count(F.lit(1)).alias("p"))
+        .agg(
+            F.count("*").alias("cells"),
+            F.sum("p").alias("positions"),
+            F.max("p").alias("max_pos_cell"),
+            F.sum(F.col("p") * F.col("p") * 9).alias("cand"),
+        )
+        .collect()[0]
+    )
+    same = pos.agg(
+        F.sum(F.col("occ") * (F.col("occ") - 1) / 2).alias("pairs")
+    ).collect()[0]["pairs"]
+    lex_lt = (F.col("a.lat") < F.col("b.lat")) | (
+        (F.col("a.lat") == F.col("b.lat")) & (F.col("a.lon") < F.col("b.lon"))
+    )
+    dlat = F.radians(F.col("b.lat") - F.col("a.lat")) / 2
+    dlon = F.radians(F.col("b.lon") - F.col("a.lon")) / 2
+    dist = 2 * 6371.0 * F.asin(
+        F.sqrt(
+            F.pow(F.sin(dlat), 2)
+            + F.cos(F.radians("a.lat")) * F.cos(F.radians("b.lat"))
+            * F.pow(F.sin(dlon), 2)
+        )
+    )
+    cross = (
+        pos.alias("a")
+        .join(pos.alias("b"), ["clat", "clon"], "inner")
+        .filter(lex_lt & (dist <= 100.0))
+        .agg(F.sum(F.col("a.occ") * F.col("b.occ")).alias("pairs"))
+        .collect()[0]["pairs"]
+    )  # same-cell cross pairs only — a lower bound is enough for the
+    # ledger's order-of-magnitude output argument; the registered query
+    # does the full 3×3 neighborhood.
     return {
         "n": int(row["n"]),
         "cells": int(row["cells"]),
         "max_cell": int(row["max_cell"]),
         "candidate_pairs_with_replication": int(row["candidates"]),
+        "adaptive": {
+            "positions": int(arow["positions"]),
+            "max_pos_cell": int(arow["max_pos_cell"]),
+            "candidate_pairs_with_replication": int(arow["cand"]),
+            "output_rows_same_position": int(same),
+            "output_rows_cross_same_cell_lb": int(cross),
+        },
     }
 
 
@@ -221,7 +273,16 @@ def flat_assign_ledger(detail: dict) -> dict:
     probe = detail.get("sf10_probe", {})
     rows = probe.get("dataset", {}).get("rows", {})
     n10 = rows.get("embeddings", 200000)
-    n1 = n10 // 10
+    # read the sf1 row count from the sf1 probe's own dataset record —
+    # deriving it as n10 // 10 would silently mis-model fold_ratio if the
+    # probe datasets were ever regenerated at a different decade ratio
+    # (ADVICE r16)
+    n1 = (
+        detail.get("sf1_probe", {})
+        .get("dataset", {})
+        .get("rows", {})
+        .get("embeddings", n10 // 10)
+    )
     k1, k10 = max(8, math.ceil(n1 / 250)), max(8, math.ceil(n10 / 250))
     ledger = {}
     for name, cause in FLAT_ASSIGN_CAUSES.items():
@@ -278,12 +339,21 @@ def measured_probes(remeasure: bool, prior: dict) -> dict:
         g10["candidate_pairs_with_replication"]
         / g1["candidate_pairs_with_replication"], 2,
     )
+    out["spatial_grid"]["candidate_ratio_adaptive"] = round(
+        g10["adaptive"]["candidate_pairs_with_replication"]
+        / g1["adaptive"]["candidate_pairs_with_replication"], 2,
+    )
     out["spatial_grid"]["cause"] = (
         "fixed 288-cell extent: scale copies densify the same cells, so "
-        "candidates grow 9N^2/288 — quadratic by dataset construction; "
-        "sf10 run killed at 55 min (~42 min/run implied). Production "
-        "knob: finer cells where dense (docstring), keeping |cell| "
-        "bounded and candidates ~linear."
+        "the flat grid's candidates grow 9N^2/288 — quadratic by dataset "
+        "construction; its sf10 run was killed at 55 min (~42 min/run "
+        "implied). IMPLEMENTED (r17): join_spatial_grid_adaptive — the "
+        "coordinate-dictionary variant bounds distance-kernel candidates "
+        "by DISTINCT-position occupancy (candidate_ratio_adaptive above; "
+        "flat on the 480-position lattice) and the expansion emits only "
+        "output rows, which grow quadratically BY CONTRACT under "
+        "densification (every co-located pair is a result row) — see the "
+        "adaptive.output_rows_* fields and the sf10_probe wall rows."
     )
     if reuse_heavy:
         return out

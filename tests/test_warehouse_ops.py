@@ -137,6 +137,32 @@ def test_spatial_grid_join_is_equi_not_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_spatial_adaptive_matches_flat_exactly(spark):
+    """The production (coordinate-dictionary) variant must emit the exact
+    row set of the flat per-point grid — same pairs, same distances, each
+    unordered pair exactly once."""
+    flat = registry.all_queries()["join_spatial_grid"](spark, SF_DIR)
+    adap = registry.all_queries()["join_spatial_grid_adaptive"](spark, SF_DIR)
+    a = sorted(map(tuple, flat.collect()))
+    b = sorted(map(tuple, adap.collect()))
+    assert a == b and len(a) > 0
+
+
+def test_spatial_adaptive_invariants_and_plan_shape(spark):
+    df = registry.all_queries()["join_spatial_grid_adaptive"](spark, SF_DIR)
+    pdf = df.toPandas()
+    assert (pdf["custkey_a"] < pdf["custkey_b"]).all()
+    assert not pdf.duplicated(["custkey_a", "custkey_b"]).any()
+    assert (pdf["dist_km"] <= 100.0).all()
+    p = plan(spark, "join_spatial_grid_adaptive")
+    # no all-pairs fallback, and the coordinate dictionary (a keys-only
+    # aggregate over lat/lon) must sit upstream of the distance join — the
+    # plan property that bounds candidate volume by COORDINATE density
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "HashAggregate" in p
+
+
 # -- pagerank --------------------------------------------------------------
 
 
