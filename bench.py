@@ -6,9 +6,17 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Headline set = the relational/analytic core (scan-join-agg, windows, as-of,
 top-k) plus the LLM ops that exercise shuffle-heavy text/vector paths — the
-queries whose plans must survive 100 TB. I/O round-trip and streaming
+queries whose plans must survive 100 TB. I/O round-trip (src_*/snk_*)
 queries are correctness-gated but excluded here: they benchmark the local
 filesystem, not the engine.
+
+The STREAMING tier (every registered str_* query) is timed after the
+headline set under the same estimator/floor/offset protocol and reported
+as a SEPARATE total (r16 verdict #6: the r16 round's biggest absolute win,
+str_stream_join_outer 31→5.6 s, was invisible in headline_queries_total) —
+so streaming regressions now trip the same mechanized flag rule. The two
+totals are never summed: streaming walls are fixed-overhead-dominated
+(micro-batch + state-store setup) and would drown headline signal.
 
 Each query is executed via a count-style action that forces full evaluation
 without driver-side materialization of result sets.
@@ -238,6 +246,30 @@ def session_offset_of(
     return round(c / floor, 3)
 
 
+def effective_session_offset(
+    main_offset: float | None, retimed_offset: float | None
+) -> float | None:
+    """The offset the flag rule may EXCUSE drift with (ADVICE r16):
+
+    - Prefer the control re-time taken ALONGSIDE the candidate re-times
+      over the main-loop reading — if the session warmed between the main
+      loop and the re-times, the stale offset overstates warmth and
+      over-excuses exactly the queries being re-judged.
+    - A control reading past REGRESSION_RATIO is no longer a warmth
+      measurement — it is itself a regression (and flags itself) — so it
+      must not excuse anything: cap the excusable offset at 1.0 there
+      rather than letting a genuinely-regressed control blanket-excuse
+      every other query's drift up to its own factor. Over-flagging in a
+      pathologically slow session is safe: flags escalate to the
+      fresh-process adjudication recipe; silent excusal would not."""
+    off = retimed_offset if retimed_offset is not None else main_offset
+    if off is None:
+        return None
+    if off > REGRESSION_RATIO:
+        return 1.0
+    return off
+
+
 def normalized_regression_ratio(
     retimed: float, floor: float, session_offset: float | None, name: str
 ) -> float:
@@ -296,14 +328,22 @@ def tag_floor_protocols(
 
 
 def driver_line(
-    timings: dict[str, float], total: float, sf: float, filtered: bool = False
+    timings: dict[str, float],
+    total: float,
+    sf: float,
+    filtered: bool = False,
+    streaming: dict[str, float] | None = None,
 ) -> str:
     """The ONE stdout JSON line the driver records. Kept deliberately
     small — summary plus the 15 slowest queries (the ones worth a plan
     audit) — because round 6's full 137-query line exceeded the driver's
     output-tail capture and was truncated mid-object, destroying the
     round's official perf evidence. Full per-query timings live in
-    BENCH_DETAIL.json. tests/test_util.py pins the size bound."""
+    BENCH_DETAIL.json. tests/test_util.py pins the size bound.
+
+    ``streaming`` carries the str_* tier's timings (r16 verdict #6): its
+    total and 5 slowest ride the same line under separate keys — never
+    summed into ``value``, which stays round-comparable headline-only."""
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:15]
     )
@@ -319,6 +359,12 @@ def driver_line(
         "queries": slowest,
         "detail": "BENCH_DETAIL.json",
     }
+    if streaming:
+        payload["streaming_tier_total"] = round(sum(streaming.values()), 3)
+        payload["n_streaming"] = len(streaming)
+        payload["streaming_slowest"] = dict(
+            sorted(streaming.items(), key=lambda kv: kv[1], reverse=True)[:5]
+        )
     if filtered:
         payload["filtered"] = True
     return json.dumps(payload, separators=(",", ":"))
@@ -328,7 +374,7 @@ def driver_line(
 #: prior file (e.g. the sf1 scale probe's record) is carried forward —
 #: a bench run only replaces its own sections, never the whole file.
 _OWNED_DETAIL_KEYS = {
-    "sf", "total_sec", "queries", "queries_min",
+    "sf", "total_sec", "streaming_total_sec", "queries", "queries_min",
     "best_ever", "best_ever_env", "regressions", "provenance", "method",
     "impl_hash", "impl_hash_meta",
 }
@@ -508,11 +554,21 @@ def detail_payload(
     floors_carried_unverified: list[str] | None = None,
     control_query: dict | None = None,
     drift_excused: list[dict] | None = None,
+    streaming_names: set[str] | frozenset[str] = frozenset(),
 ) -> dict:
     return {
         **{k: v for k, v in prior.items() if k not in _OWNED_DETAIL_KEYS},
         "sf": sf,
-        "total_sec": round(sum(detail_timings.values()), 3),
+        # total_sec stays HEADLINE-only so round-over-round totals remain
+        # comparable after the r17 streaming-tier addition; the str_* tier
+        # gets its own total below (r16 verdict #6)
+        "total_sec": round(
+            sum(v for k, v in detail_timings.items() if k not in streaming_names),
+            3,
+        ),
+        "streaming_total_sec": round(
+            sum(v for k, v in detail_timings.items() if k in streaming_names), 3
+        ),
         "queries": detail_timings,
         # min-of-runs per query: kept alongside the median-based headline
         # so cross-round totals stay comparable after the round-6 method
@@ -582,8 +638,15 @@ def detail_payload(
                 f"+{REGRESSION_MIN_DELTA_SEC}s, confirmed by a fresh "
                 "min-of-3 re-time, AND still > "
                 f"{NORMALIZED_REGRESSION_RATIO}x after dividing out the "
-                "session offset (control_query min/floor, clamped >= 1); "
+                "session offset (control re-timed alongside the candidate "
+                "re-times since r17, clamped >= 1, excusal refused when "
+                f"the control itself reads > {REGRESSION_RATIO}x); "
                 "offset-excused candidates land in provenance.drift_excused"
+            ),
+            "streaming_tier": (
+                "every registered str_* query, timed after the headline "
+                "set under the same estimators/floors/flag rule; totals "
+                "reported separately (total_sec is headline-only)"
             ),
             "floor_reset": (
                 "best_ever dropped when impl_hash (AST fingerprint of the "
@@ -612,11 +675,22 @@ def main() -> None:
         load(spark, sf_dir, t).count()
 
     queries = registry.all_queries()
+    # streaming tier (r16 verdict #6): every registered str_* query, derived
+    # from the registry so a new streaming query can never be silently
+    # absent from the tier. Timed after the headline set; same estimators,
+    # floors, and flag rule; separate total.
+    streaming_tier = sorted(n for n in queries if n.startswith("str_"))
     # iteration aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 times just those queries
     # (skips the full 137-query sweep while tuning one plan). The BENCH_DETAIL
     # merge below still updates best_ever for only the queries actually run.
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
-    headline = parse_only(only, HEADLINE) if only else HEADLINE
+    if only:
+        picked = parse_only(only, HEADLINE + streaming_tier)
+        headline = [n for n in picked if n in set(HEADLINE)]
+        streaming_run = [n for n in picked if n in set(streaming_tier)]
+    else:
+        headline = HEADLINE
+        streaming_run = streaming_tier
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
 
@@ -645,7 +719,7 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         return runs, n
 
-    for name in headline:
+    for name in headline + streaming_run:
         runs, n = time_query(name)
         if min(runs) < 1.0:
             measured = sorted(runs)[len(runs) // 2]  # median of 5
@@ -654,6 +728,7 @@ def main() -> None:
         timings[name] = round(measured, 3)
         timings_min[name] = round(min(runs), 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+    streaming_timings = {n: timings[n] for n in streaming_run}
 
     # Full per-query evidence goes to BENCH_DETAIL.json in-repo; the stdout
     # line stays small. Round 6's official bench evidence was lost because
@@ -757,8 +832,28 @@ def main() -> None:
     drift_excused: list[dict] = []
     # session offset BEFORE any refloor this run: the control's floor here
     # is the same prior-floor baseline the candidates are compared against
-    session_offset = session_offset_of(timings_min, best_ever)
-    for name in regression_candidates(timings_min, best_ever):
+    main_offset = session_offset_of(timings_min, best_ever)
+    candidates = regression_candidates(timings_min, best_ever)
+    # re-time the control ALONGSIDE the candidate re-times (ADVICE r16):
+    # the main-loop control reading can predate the re-times by the whole
+    # sweep; if the session warmed in between, the stale offset overstates
+    # warmth for exactly the queries being re-judged. Only when the control
+    # was part of this run (a filtered run that excluded it keeps the
+    # None-offset raw-ratio behavior — per-run measurement is the point).
+    retimed_offset = None
+    if candidates and CONTROL_QUERY in timings_min and best_ever.get(CONTROL_QUERY):
+        c_runs, _ = time_query(CONTROL_QUERY)
+        c_min = round(min(c_runs), 3)
+        retimed_offset = round(c_min / best_ever[CONTROL_QUERY], 3)
+        print(
+            f"# control re-time: {c_min:.3f}s (offset {retimed_offset} vs "
+            f"main-loop {main_offset})",
+            file=sys.stderr,
+        )
+        timings_min[CONTROL_QUERY] = min(timings_min[CONTROL_QUERY], c_min)
+        detail_min[CONTROL_QUERY] = timings_min[CONTROL_QUERY]
+    session_offset = effective_session_offset(main_offset, retimed_offset)
+    for name in candidates:
         # same adaptive estimator as the main loop (ADVICE r9): a
         # sub-second candidate re-times as median-of-5, so a lower re-time
         # replacing the headline never mixes two different estimators
@@ -861,14 +956,22 @@ def main() -> None:
             "floor": best_ever.get(CONTROL_QUERY),
             # the offset actually USED by this run's flag rule (computed
             # against the pre-refloor floor; the "floor" field above can
-            # be lower if the control re-floored this run)
+            # be lower if the control re-floored this run). Since r17 this
+            # is the EFFECTIVE offset: the control re-time taken with the
+            # candidate re-times when one happened, capped to 1.0 if the
+            # control itself read past REGRESSION_RATIO (ADVICE r16) —
+            # both raw readings recorded alongside for adjudication.
             "session_offset": session_offset,
+            "main_loop_offset": main_offset,
+            "retimed_offset": retimed_offset,
         }
         if CONTROL_QUERY in timings_min
         else None
     )
 
-    total = round(sum(timings.values()), 3)
+    total = round(
+        sum(v for k, v in timings.items() if k not in set(streaming_tier)), 3
+    )
     with open(detail_path, "w") as f:
         json.dump(
             detail_payload(
@@ -879,6 +982,7 @@ def main() -> None:
                 floors_carried_unverified=floors_carried_unverified,
                 control_query=control_query,
                 drift_excused=drift_excused,
+                streaming_names=set(streaming_tier),
             ),
             f,
             indent=1,
@@ -886,7 +990,8 @@ def main() -> None:
         )
         f.write("\n")
 
-    print(driver_line(timings, total, sf, filtered=bool(only)))
+    print(driver_line(timings, total, sf, filtered=bool(only),
+                      streaming=streaming_timings))
 
 
 if __name__ == "__main__":

@@ -1851,9 +1851,83 @@ def ext_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     — ascii(substr(text,1,1)) would return 233 for 'é' where the decoder
     sees byte 195, a divergence the prepended-multibyte fixture in
     tests/test_multibyte_parity.py pins. The '00' pad makes the empty blob
-    decode to 0, matching the stub's `b[0] if len(b) else 0`."""
+    decode to 0, matching the decoder's `b[0] if len(b) else 0`.
+
+    Since r17 decode_features also runs the REAL container codec
+    (PNG/JPEG header parsing); UTF-8 text payloads can never false-sniff
+    as either (their magics begin with bytes invalid as UTF-8 starts), so
+    this query's contract is unchanged — it selects the legacy
+    byte-arithmetic feature columns. ext_multimodal_decode exercises the
+    image-header path on genuine container bytes."""
     docs = load(spark, sf_dir, "documents")
     media = attach_binary(docs)
+    return decode_features(media).select(
+        "doc_id", "n_bytes", "first_byte", "width", "height"
+    )
+
+
+@query(
+    "ext_multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 29 ELSE 39 END AS BIGINT)
+               AS n_bytes,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 137 ELSE 255 END AS BIGINT)
+               AS first_byte,
+           CAST((doc_id % 509) + 1 AS BIGINT) AS width,
+           CAST((doc_id % 387) + 1 AS BIGINT) AS height
+    FROM documents
+    """,
+)
+def ext_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-container decode through the multimodal seam (r16
+    verdict #7): every document gets a genuine PNG or JPEG header payload
+    — built JVM-side from deterministic doc_id-derived dimensions with
+    hex/unhex byte assembly, no Python in the encode path — and
+    decode_features recovers format and dimensions by actually parsing
+    the container bytes in the Arrow batch path (PNG IHDR big-endian
+    uint32s; JPEG SOI → APP0 → segment walk to the SOF0 frame header).
+    The oracle replays the EXPECTED dims arithmetically, so a parser that
+    mis-walks segments or flips endianness hash-mismatches immediately.
+
+    Payload layouts (spec-true headers, truncated after the fields a
+    sniffing codec reads):
+      png  (29 B): magic(8) | IHDR len 0x0000000D(4) | 'IHDR'(4) |
+                   width u32be(4) | height u32be(4) | bit-depth/color/
+                   compression/filter/interlace (5)
+      jpeg (39 B): SOI FFD8(2) | APP0 FFE0 len 0x0010 'JFIF\\0'
+                   v1.1 units=0 densities 1×1 no-thumb (18) |
+                   SOF0 FFC0 len 0x0011 precision=8 height u16be
+                   width u16be 3 components (19)
+
+    Scale: the encode is whole-stage-codegen expressions; the decode is
+    one Arrow-batched mapInPandas over (doc_id, data) — no shuffle at
+    all, embarrassingly parallel over partitions, the same plumbing shape
+    ext_multimodal_cols carries to 100 TB."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    w = (F.col("doc_id") % 509 + 1).cast("int")
+    h = (F.col("doc_id") % 387 + 1).cast("int")
+    hex4 = lambda c: F.lpad(F.hex(c), 8, "0")  # noqa: E731  u32 big-endian
+    hex2 = lambda c: F.lpad(F.hex(c), 4, "0")  # noqa: E731  u16 big-endian
+    png = F.concat(
+        F.lit("89504E470D0A1A0A"),          # magic
+        F.lit("0000000D49484452"),          # IHDR length + type
+        hex4(w), hex4(h),
+        F.lit("0806000000"),                # depth/color/comp/filter/interlace
+    )
+    jpeg = F.concat(
+        F.lit("FFD8"),                      # SOI
+        F.lit("FFE000104A46494600010100000100010000"),  # APP0/JFIF, 18 B
+        F.lit("FFC0001108"), hex2(h), hex2(w),          # SOF0: len 17, prec 8
+        F.lit("03011100021101031101"),      # 3 components
+    )
+    media = docs.select(
+        "doc_id",
+        F.unhex(F.when(F.col("doc_id") % 2 == 0, png).otherwise(jpeg)).alias(
+            "data"
+        ),
+    )
     return decode_features(media)
 
 

@@ -60,6 +60,95 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: parity replay (tests/test_oracle_parity.py) and by the non-UTC
 #: driver simulation run before each commit.
 _PRIORITY = [
+    # ---- Round 17 front block (r16 verdict #2 — the rotation round):
+    # positions 1–50 are this round's driver budget. FIRST the three
+    # queries NEW this round (no driver row exists yet; every new query
+    # gets its row the round it lands):
+    #   join_spatial_grid_adaptive — the coordinate-dictionary spatial
+    #       join (r16 verdict #1: the round's one weak grade; candidate
+    #       haversines measured FLAT across sf1→sf10 vs the flat grid's
+    #       exact 100×, wall 17.2 s at sf10 where the flat grid was
+    #       killed at 55 min).
+    #   str_dedup_rocksdb_changelog — RocksDB changelog-checkpointing
+    #       mode, pinning the r17 engagement-check fix (r16 verdict #5)
+    #       in the driver rotation.
+    #   ext_multimodal_decode — the REAL PNG/JPEG header codec through
+    #       the multimodal seam (r16 verdict #7).
+    # THEN the four queries RE-KEYED this round (stale-hash policy):
+    #   join_spatial_grid — docstring re-key (priced as the sparse-regime
+    #       exhibit, production pointer to _adaptive; plan unchanged).
+    #   str_dedup_rocksdb — impl refactor (shared _dedup_rocksdb body +
+    #       assert_rocksdb_engaged helper; same dataflow/output).
+    #   ext_multimodal_cols — decode_features now runs the real container
+    #       codec; this query selects the legacy byte-arithmetic columns,
+    #       output unchanged (UTF-8 payloads can never sniff as images).
+    #   str_stream_join_outer — helper docstring re-key (_stage_batch's
+    #       mtime-ordering claim corrected per ADVICE r16; fronted on
+    #       principle like r12's join_salted_skew).
+    "join_spatial_grid_adaptive",
+    "str_dedup_rocksdb_changelog",
+    "ext_multimodal_decode",
+    "join_spatial_grid",
+    "str_dedup_rocksdb",
+    "ext_multimodal_cols",
+    "str_stream_join_outer",
+    # THEN the rotation: win_wow_change (r11, the oldest standing hash)
+    # + the full r12 cohort (48 names, alphabetical; agg_approx_distinct
+    # is its head). 9 + 48 = 57 minus the 50-slot budget: the cohort's
+    # alphabetical tail (6 names, snk_queue … src_rest_api) rolls to the
+    # r18 head alongside the r13 cohort, keeping the oldest standing hash
+    # at r12 — both cohorts
+    # pre-swept (PLANS.md r16 "r17 re-queue pre-sweep re-run", 22/22
+    # monitors green, re-confirmed r17 before landing).
+    "win_wow_change",
+    "agg_approx_distinct",
+    "agg_concat_union",
+    "agg_count",
+    "agg_delay_rate",
+    "agg_group_by_day",
+    "agg_hll_union",
+    "agg_kll_quantiles",
+    "ext_chunk_text",
+    "ext_compression_quality",
+    "ext_dedup_embed",
+    "ext_dedup_embed_banded",
+    "ext_dedup_embed_incremental",
+    "ext_dedup_exact",
+    "ext_dedup_minhash_mllib",
+    "ext_dedup_simhash",
+    "ext_fingerprint",
+    "ext_knn_graph_ivf_hier",
+    "ext_knn_graph_ivf_sharded",
+    "ext_lang_id",
+    "ext_lm_perplexity",
+    "ext_pii_redact",
+    "ext_quality_filter",
+    "ext_sample_hash",
+    "ext_sim_search_ivf_sharded",
+    "ext_text_stats",
+    "ext_token_count",
+    "f_concat_ws",
+    "f_date_format",
+    "f_iso_ts",
+    "filter_blank_lines",
+    "filter_required",
+    "flagship_region_pricing",
+    "join_asof",
+    "join_dim_broadcast",
+    "join_key_equi",
+    "join_range_interval",
+    "join_salted_skew",
+    "join_semi_anti",
+    "proj_drop",
+    "snk_jsonl_append",
+    "snk_keyed_store",
+    "snk_parquet",
+    "snk_queue",
+    "sql_pricing_summary",
+    "src_jsonl",
+    "src_listing",
+    "src_queue",
+    "src_rest_api",
     # ---- Round 16 front block (r15 verdict #3 — the rotation round):
     # positions 1–50 are this round's driver budget. FIRST the two
     # queries RE-KEYED this round (stale-hash policy): ivf_topk gained
@@ -128,7 +217,6 @@ _PRIORITY = [
     "job_gdpr_cascade",
     "job_skew_report",
     "sql_lateral_topk",
-    "str_stream_join_outer",
     "win_drawdown",
     "win_ewma",
     "win_ntile",
@@ -139,8 +227,6 @@ _PRIORITY = [
     # win_wow_change (r11) was displaced by this round's two re-keys and
     # agg_approx_distinct (r12 alphabetical head) lost the spare slot to
     # them; both open the r17 rotation.
-    "win_wow_change",
-    "agg_approx_distinct",
     # ---- Round 15 front block (r14 verdict #3 — the rotation round):
     # FIRST the one query RE-KEYED this round (stale-hash policy):
     # ext_text_readability.flesch — the r16-cohort boundary pre-sweep
@@ -193,12 +279,10 @@ _PRIORITY = [
     "job_incremental_agg_retract",
     "job_observed_metrics",
     "job_snapshot_diff",
-    "join_spatial_grid",
     "sql_parameterized",
     "sql_recursive_reachability",
     "src_rest_api_stream",
     "src_statestore",
-    "str_dedup_rocksdb",
     "str_resume_stateful",
     "win_cumulative_distinct",
     "win_streak_days",
@@ -216,7 +300,6 @@ _PRIORITY = [
     "agg_seasonality_profile",
     "ext_basket_lift",
     "ext_frame_sample",
-    "ext_multimodal_cols",
     "ext_ngram_novelty",
     # ---- Round 14 front block (r13 verdict #1 — the rotation round):
     # FIRST the three queries RE-KEYED by the round-14 boundary pre-sweep
@@ -416,57 +499,10 @@ _PRIORITY = [
     #       the quality yardstick the family pattern demands; shares
     #       prod's oracle CTE chain (_PROD_TREE_CTES) so the audit can
     #       never drift from what ships.
-    "ext_lm_perplexity",
-    "ext_dedup_embed",
-    "ext_dedup_embed_banded",
-    "ext_dedup_embed_incremental",
-    "ext_knn_graph_ivf_sharded",
-    "ext_sim_search_ivf_sharded",
-    "ext_knn_graph_ivf_hier",
-    "agg_hll_union",
-    "agg_kll_quantiles",
-    "ext_compression_quality",
-    "ext_dedup_minhash_mllib",
-    "join_salted_skew",
     # ---- Round 12 age rotation (r11 verdict #4): ~196 queries carry
     # pre-r11 hashes; the r3 cohort (8 rounds old) then the r4 cohort
     # (7 rounds old) fill the rest of the ~50-slot driver budget,
     # longest-unverified first. Overflow rolls to round 13.
-    "src_rest_api",
-    "src_jsonl",
-    "src_listing",
-    "src_queue",
-    "snk_queue",
-    "snk_jsonl_append",
-    "snk_parquet",
-    "snk_keyed_store",
-    "filter_required",
-    "filter_blank_lines",
-    "proj_drop",
-    "ext_dedup_exact",
-    "ext_fingerprint",
-    "ext_dedup_simhash",
-    "ext_text_stats",
-    "ext_token_count",
-    "ext_quality_filter",
-    "ext_lang_id",
-    "ext_chunk_text",
-    "ext_sample_hash",
-    "ext_pii_redact",
-    "flagship_region_pricing",
-    "sql_pricing_summary",
-    "join_dim_broadcast",
-    "join_key_equi",
-    "join_semi_anti",
-    "join_asof",
-    "join_range_interval",
-    "agg_count",
-    "agg_concat_union",
-    "agg_group_by_day",
-    "agg_delay_rate",
-    "f_concat_ws",
-    "f_date_format",
-    "f_iso_ts",
     # ---- Round 11 front block (stale-hash policy): every query whose
     # implementation changed this round gets a fresh driver row in the
     # SAME round. (Names also present in older blocks below are deduped

@@ -35,6 +35,7 @@ except ImportError:  # pragma: no cover - environment-dependent
 
 from ..data import load
 from ..streaming.pipelines import (
+    assert_rocksdb_engaged,
     await_drained,
     parquet_stream,
     run_to_files,
@@ -613,11 +614,15 @@ def str_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _stage_batch(df: DataFrame, src_dir: str, idx: int, mtime: float) -> Path:
     """Write one DataFrame as ONE parquet file at a caller-chosen mtime and
-    return its path. Strictly increasing mtimes across calls give a
-    deterministic micro-batch order under maxFilesPerTrigger=1
-    (FileStreamSource lists oldest-mtime first). The ordering is
-    load-bearing for watermark tests: a sentinel batch consumed early
-    would advance the watermark past the real data and drop it as late."""
+    return its path. Since the r16 drain rework no caller throttles with
+    maxFilesPerTrigger — every staged file loads in a single availableNow
+    micro-batch, so the mtimes do NOT order batches and carry no
+    late-row protection (do not reintroduce ordering assumptions on
+    them). The real protection is batch-start watermark semantics: late
+    dropping uses the watermark as of batch START, so data and sentinel
+    sharing one batch cannot drop each other. The pinned mtimes remain
+    only to keep FileStreamSource's listing deterministic for checkpoint
+    replay and debugging."""
     import os
 
     staged = Path(src_dir) / f"__stage{idx}"
@@ -848,18 +853,56 @@ def str_dedup_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoped to this query and restored afterwards.
 
     The query asserts the swap actually engaged by checking the
-    checkpoint's state dir for RocksDB zip snapshots (the HDFS provider
+    checkpoint's state dir for RocksDB commit files (the HDFS provider
     writes .delta/.snapshot files instead) — a silent fallback would
     invalidate the scale claim."""
-    src_dir, cp = _dirs("str_dedup_rocksdb", sf_dir, "src", "cp")
+    return _dedup_rocksdb(spark, sf_dir, "str_dedup_rocksdb", changelog=False)
+
+
+@query(
+    "str_dedup_rocksdb_changelog",
+    oracle="SELECT DISTINCT user_id, ts FROM events",
+)
+def str_dedup_rocksdb_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """str_dedup_rocksdb re-run with CHANGELOG checkpointing
+    (``rocksdb.changelogCheckpointing.enabled=true``) — the low-latency
+    commit mode for large state: each commit uploads only the
+    ``<version>.changelog`` delta of that batch's writes, deferring full
+    zip snapshots to background maintenance, so commit cost tracks batch
+    write volume instead of total state size. Same dataflow, same
+    results; the conf is scoped to this query and restored afterwards.
+
+    The engagement self-check (streaming/pipelines.assert_rocksdb_engaged)
+    recognizes changelog commits since r17 — the pre-r17 zip-only check
+    falsely raised "zips=0, deltas=0" in exactly this mode (PLANS.md r16
+    'Changelog-checkpointing follow-up'); this query pins the mode in the
+    driver's correctness rotation so the check can never regress
+    unnoticed."""
+    return _dedup_rocksdb(
+        spark, sf_dir, "str_dedup_rocksdb_changelog", changelog=True
+    )
+
+
+def _dedup_rocksdb(
+    spark: SparkSession, sf_dir: str, name: str, changelog: bool
+) -> DataFrame:
+    src_dir, cp = _dirs(name, sf_dir, "src", "cp")
     ev = _events(spark, sf_dir).select("user_id", "ts")
     dup = ev.unionByName(ev)
     src = parquet_stream(spark, dup, src_dir)
-    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
+    scoped = {
+        "spark.sql.streaming.stateStore.providerClass":
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+    }
+    if changelog:
+        scoped[
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled"
+        ] = "true"
+    prev = {k: spark.conf.get(k, None) for k in scoped}
+    for k, v in scoped.items():
+        spark.conf.set(k, v)
     try:
         deduped = (
             src.withColumn("ts_wm", F.col("ts").cast("timestamp"))
@@ -868,19 +911,19 @@ def str_dedup_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = run_to_memory(deduped, "append", cp)
     finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        else:
-            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
-    state = Path(cp) / "state"
-    zips = list(state.rglob("*.zip"))
-    deltas = list(state.rglob("*.delta"))
-    if not zips or deltas:
-        raise RuntimeError(
-            f"RocksDB state store did not engage (zips={len(zips)}, "
-            f"deltas={len(deltas)}) — state files indicate the default "
-            "HDFS-backed provider ran instead"
-        )
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    counts = assert_rocksdb_engaged(Path(cp) / "state")
+    # pin WHICH RocksDB commit mode ran: zip snapshots under default
+    # checkpointing, changelog deltas under changelog mode — a scoped-conf
+    # leak in either direction fails loudly
+    if changelog and counts["changelogs"] == 0:
+        raise RuntimeError(f"expected changelog commits, got {counts}")
+    if not changelog and counts["zips"] == 0:
+        raise RuntimeError(f"expected zip-snapshot commits, got {counts}")
     return out.select("user_id", F.col("ts_wm").cast("timestamp_ntz").alias("ts"))
 
 

@@ -810,6 +810,16 @@ def join_spatial_grid_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dist_km", dist)
         .filter(F.col("dist_km") <= _RADIUS_KM)
         .select("lat_a", "lon_a", "lat_b", "lon_b", "dist_km")
+        # PIN the pair table's parallelism (measured r17, sf10 probe):
+        # the expansion's output volume lives on whichever side STREAMS,
+        # and when the point tables broadcast, that is this table — which
+        # AQE otherwise coalesces to ONE partition (it is tiny), serializing
+        # the entire multi-billion-row expansion onto one task (400 s
+        # single-task at sf10 vs ~17 s after the pin). An explicit
+        # round-robin repartition is exempt from AQE coalescing, so every
+        # core streams an equal slice of the pair table regardless of how
+        # few source files the dictionary collapsed to.
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     a = pts.select(
         F.col("k").alias("ka"), F.col("lat").alias("lat_a"), F.col("lon").alias("lon_a")

@@ -114,3 +114,37 @@ def run_to_files(
         .start()
     )
     await_drained(q, timeout_sec)
+
+
+def assert_rocksdb_engaged(state_dir) -> dict[str, int]:
+    """Verify a checkpoint's state dir was written by the RocksDB
+    provider, not a silent fallback to the HDFS-backed default — the
+    check behind str_dedup_rocksdb's scale claim.
+
+    RocksDB commits exhibit TWO file patterns depending on
+    ``rocksdb.changelogCheckpointing.enabled``: with it off (default)
+    every commit uploads a ``<version>.zip`` snapshot; with it on,
+    commits write ``<version>.changelog`` deltas and zip snapshots are
+    deferred to background maintenance (may be absent entirely in a
+    short bounded run). The HDFS provider writes ``.delta``/
+    ``.snapshot`` files instead — so engagement is (zips OR changelogs)
+    AND no deltas. The pre-r17 check counted only zips and falsely
+    raised "zips=0, deltas=0" under changelog mode (PLANS.md r16,
+    'Changelog-checkpointing follow-up').
+
+    Returns the file counts for callers that want to assert WHICH
+    RocksDB mode ran."""
+    from pathlib import Path
+
+    state = Path(state_dir)
+    counts = {
+        "zips": len(list(state.rglob("*.zip"))),
+        "changelogs": len(list(state.rglob("*.changelog"))),
+        "deltas": len(list(state.rglob("*.delta"))),
+    }
+    if (counts["zips"] == 0 and counts["changelogs"] == 0) or counts["deltas"]:
+        raise RuntimeError(
+            f"RocksDB state store did not engage ({counts}) — state files "
+            "indicate the default HDFS-backed provider ran instead"
+        )
+    return counts

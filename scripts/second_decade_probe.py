@@ -315,7 +315,12 @@ def measured_probes(remeasure: bool, prior: dict) -> dict:
     """The measured structure probes; carried from the prior section
     unless --remeasure (they need the sf1/sf10 datasets; banded +
     ivf_multi are the expensive ones, spatial_grid is two aggregates)."""
-    if not remeasure and {"banded", "ivf_multi", "spatial_grid"} <= set(prior):
+    spatial_current = "adaptive" in prior.get("spatial_grid", {}).get("sf1", {})
+    if (
+        not remeasure
+        and spatial_current
+        and {"banded", "ivf_multi", "spatial_grid"} <= set(prior)
+    ):
         return {k: prior[k] for k in ("banded", "ivf_multi", "spatial_grid")}
     from cta_train_tracker_analytics_spark.session import get_spark
 

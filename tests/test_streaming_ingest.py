@@ -243,3 +243,42 @@ def test_await_drained_raises_on_overrun_and_stops_the_query(spark):
     finally:
         if old is not None:
             os.environ["SPARK_GRAFT_STREAM_DRAIN_SEC"] = old
+
+
+def test_rocksdb_engagement_check_recognizes_all_commit_modes(tmp_path):
+    """Bounded repro of the r16 false-raise (PLANS.md 'Changelog-
+    checkpointing follow-up'): under changelogCheckpointing RocksDB
+    commits <version>.changelog files — no zips in a short bounded run —
+    and the pre-r17 zip-only check raised "zips=0, deltas=0". The check
+    must accept BOTH RocksDB commit modes and still reject HDFS-provider
+    state files."""
+    import pytest
+
+    from cta_train_tracker_analytics_spark.streaming.pipelines import (
+        assert_rocksdb_engaged,
+    )
+
+    def state(name: str, files: list[str]):
+        d = tmp_path / name / "state" / "0" / "0"
+        d.mkdir(parents=True)
+        for f in files:
+            (d / f).touch()
+        return tmp_path / name / "state"
+
+    # default mode: zip snapshots per commit
+    counts = assert_rocksdb_engaged(state("zip_mode", ["1.zip", "2.zip"]))
+    assert counts == {"zips": 2, "changelogs": 0, "deltas": 0}
+    # changelog mode: per-commit deltas, zip snapshots deferred (absent)
+    counts = assert_rocksdb_engaged(
+        state("changelog_mode", ["1.changelog", "2.changelog"])
+    )
+    assert counts == {"zips": 0, "changelogs": 2, "deltas": 0}
+    # mixed: background maintenance uploaded a snapshot mid-run
+    counts = assert_rocksdb_engaged(state("mixed", ["1.changelog", "2.zip"]))
+    assert counts["zips"] == 1 and counts["changelogs"] == 1
+    # HDFS provider fallback: .delta files → must raise
+    with pytest.raises(RuntimeError, match="did not engage"):
+        assert_rocksdb_engaged(state("hdfs", ["1.delta", "2.snapshot"]))
+    # empty state dir → must raise
+    with pytest.raises(RuntimeError, match="did not engage"):
+        assert_rocksdb_engaged(state("empty", []))

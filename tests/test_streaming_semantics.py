@@ -99,3 +99,75 @@ def test_outer_stream_join_emits_null_rows_on_watermark(spark):
     assert len(unmatched) > 0, "watermark eviction emitted no null rows"
     assert all(r["lag_s"] is None for r in unmatched)
     assert all(0 <= r["lag_s"] <= 1800 for r in matched)
+
+
+def test_availablenow_runs_nodata_eviction_batch(spark, tmp_path):
+    """Version-sensitivity pin for the r16 one-sentinel drain (ADVICE r16):
+    str_stream_join_outer relies on availableNow running a SPARK-24156
+    NO-DATA batch once the watermark has advanced — that empty batch is
+    what evicts outer-join state and emits the (click, NULL) rows. A Spark
+    upgrade that terminates availableNow without the no-data batch would
+    silently drop every unmatched-click row. Pin the behavior on a 3-row
+    staged source: (a) the unmatched click surfaces as a null-purchase
+    row, and (b) the committed offset log records EXACTLY two batches —
+    one data batch, one no-data eviction batch."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    click_dir, purchase_dir = str(tmp_path / "clicks"), str(tmp_path / "purchases")
+    cp = str(tmp_path / "cp")
+    sentinel_ts = t0 + dt.timedelta(hours=24)
+    spark.createDataFrame(
+        [(1, 1, t0), (2, 2, t0), (-1, -1, sentinel_ts)],
+        "event_id long, user_id long, ts timestamp",
+    ).coalesce(1).write.parquet(click_dir)
+    spark.createDataFrame(
+        [(10, 1, t0 + dt.timedelta(seconds=60)), (-2, -2, sentinel_ts)],
+        "event_id long, user_id long, ts timestamp",
+    ).coalesce(1).write.parquet(purchase_dir)
+
+    schema = "event_id long, user_id long, ts timestamp"
+    clicks = (
+        spark.readStream.schema(schema)
+        .parquet(click_dir)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        spark.readStream.schema(schema)
+        .parquet(purchase_dir)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "leftOuter",
+    )
+    from cta_train_tracker_analytics_spark.streaming.pipelines import run_to_memory
+
+    rows = run_to_memory(joined, "append", cp).filter(F.col("c_user") >= 0).collect()
+    by_click = {r["click_id"]: r for r in rows}
+    assert by_click[1]["purchase_id"] == 10
+    assert by_click[2]["purchase_id"] is None, (
+        "unmatched click lost its null row: availableNow no longer runs the "
+        "SPARK-24156 no-data eviction batch on this Spark version — the "
+        "one-sentinel drain in str_stream_join_outer needs a rework"
+    )
+    offsets = Path(cp) / "offsets"
+    n_batches = len([p for p in offsets.iterdir() if not p.name.startswith(".")])
+    assert n_batches == 2, (
+        f"expected 1 data + 1 no-data batch, offset log has {n_batches}"
+    )

@@ -440,3 +440,60 @@ def test_bench_detail_second_decade_ledger_is_complete():
     for name, rec in decomposed.items():
         assert rec["cause"], name
         assert rec["wall_ratio"], name
+
+
+def test_bench_effective_session_offset_rules():
+    """ADVICE r16: the excusing offset prefers the control re-time taken
+    alongside the candidate re-times (same warmth window as the numbers
+    being judged), and a control reading past REGRESSION_RATIO is itself
+    a regression — it must excuse nothing rather than blanket-excuse
+    every query's drift up to its own factor."""
+    import bench
+
+    # re-timed reading wins over the (possibly stale) main-loop reading
+    assert bench.effective_session_offset(1.37, 1.12) == 1.12
+    # falls back to the main-loop reading when no re-time happened
+    assert bench.effective_session_offset(1.37, None) == 1.37
+    assert bench.effective_session_offset(None, None) is None
+    # a control past the flag threshold cannot excuse anything
+    assert (
+        bench.effective_session_offset(1.2, bench.REGRESSION_RATIO + 0.1)
+        == 1.0
+    )
+    assert bench.effective_session_offset(bench.REGRESSION_RATIO + 0.3, None) == 1.0
+
+
+def test_bench_driver_line_carries_streaming_tier():
+    """r16 verdict #6: the driver line reports the str_* tier's total and
+    slowest entries under SEPARATE keys — never summed into the headline
+    value — and stays bounded."""
+    import json as _json
+
+    import bench
+
+    timings = {f"q{i}": 1.0 for i in range(30)}
+    streaming = {f"str_q{i}": float(i + 1) for i in range(8)}
+    line = bench.driver_line(timings, 30.0, 0.1, streaming=streaming)
+    assert len(line) < 4096
+    obj = _json.loads(line)
+    assert obj["value"] == 30.0  # headline-only
+    assert obj["streaming_tier_total"] == sum(streaming.values())
+    assert obj["n_streaming"] == 8
+    assert len(obj["streaming_slowest"]) == 5
+    assert max(obj["streaming_slowest"].values()) == 8.0
+    # without a streaming tier the keys are absent (filtered runs)
+    obj2 = _json.loads(bench.driver_line({"q": 1.0}, 1.0, 0.1))
+    assert "streaming_tier_total" not in obj2
+
+
+def test_bench_detail_payload_splits_streaming_total():
+    """total_sec stays headline-only (round-comparable across the r17
+    tier addition); the str_* tier gets streaming_total_sec."""
+    import bench
+
+    out = bench.detail_payload(
+        {}, 0.1, {"q": 1.0, "str_a": 2.0}, {"q": 0.9, "str_a": 1.9},
+        {"q": 0.9}, [], filtered=False, streaming_names={"str_a"},
+    )
+    assert out["total_sec"] == 1.0
+    assert out["streaming_total_sec"] == 2.0
