@@ -92,14 +92,19 @@ _PRIORITY = [
     "str_dedup_rocksdb",
     "ext_multimodal_cols",
     "str_stream_join_outer",
+    #   ext_bpe_merges — plan re-key (r16 verdict #3): the pair expansion
+    #       moved from an interpreted transform-lambda over a char array
+    #       to a position explode + codegen substring (measured 3.09 →
+    #       0.69 s at sf1, output identical); fresh driver row required.
+    "ext_bpe_merges",
     # THEN the rotation: win_wow_change (r11, the oldest standing hash)
     # + the full r12 cohort (48 names, alphabetical; agg_approx_distinct
-    # is its head). 9 + 48 = 57 minus the 50-slot budget: the cohort's
-    # alphabetical tail (6 names, snk_queue … src_rest_api) rolls to the
-    # r18 head alongside the r13 cohort, keeping the oldest standing hash
-    # at r12 — both cohorts
-    # pre-swept (PLANS.md r16 "r17 re-queue pre-sweep re-run", 22/22
-    # monitors green, re-confirmed r17 before landing).
+    # is its head). 10 + 47 = 57 minus the 50-slot budget: the cohort's
+    # alphabetical tail (7 names, snk_parquet … src_rest_api) rolls to
+    # the r18 head alongside the r13 cohort, keeping the oldest standing
+    # hash at r12 — both cohorts pre-swept (PLANS.md r16 "r17 re-queue
+    # pre-sweep re-run", 22/22 monitors green; r13 cohort re-confirmed on
+    # r17 code, PLANS.md r17 pre-sweep note).
     "win_wow_change",
     "agg_approx_distinct",
     "agg_concat_union",
@@ -358,7 +363,6 @@ _PRIORITY = [
     "arr_element",
     "explode_trains",
     "ext_bloom_prefilter",
-    "ext_bpe_merges",
     "ext_dedup_cluster",
     "ext_dedup_cluster_lsss",
     "ext_dedup_minhash_twostage",
