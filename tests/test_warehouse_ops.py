@@ -161,6 +161,11 @@ def test_spatial_adaptive_invariants_and_plan_shape(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "HashAggregate" in p
+    # the pair table's explicit round-robin repartition must survive (it is
+    # exempt from AQE coalescing BECAUSE it is user-specified): without it
+    # AQE coalesces the tiny pair table to one partition and the entire
+    # expansion streams from a single task (measured 400 s vs 17 s at sf10)
+    assert "RoundRobinPartitioning" in p
 
 
 # -- pagerank --------------------------------------------------------------
