@@ -990,7 +990,13 @@ def main() -> None:
         )
         f.write("\n")
 
-    print(driver_line(timings, total, sf, filtered=bool(only),
+    # the line's queries/n_queries stay HEADLINE-only (streaming rides its
+    # own keys): mixing tiers in the top-15 broke round-over-round reading
+    # of the slowest list on the first r17 closing bench
+    headline_timings = {
+        k: v for k, v in timings.items() if k not in set(streaming_tier)
+    }
+    print(driver_line(headline_timings, total, sf, filtered=bool(only),
                       streaming=streaming_timings))
 
 

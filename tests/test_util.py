@@ -497,3 +497,19 @@ def test_bench_detail_payload_splits_streaming_total():
     )
     assert out["total_sec"] == 1.0
     assert out["streaming_total_sec"] == 2.0
+
+
+def test_bench_driver_line_headline_map_excludes_streaming():
+    """First r17 closing bench mixed str_* rows into the line's top-15 and
+    n_queries; main() must pass a headline-only timings map when the
+    streaming tier rides its own keys."""
+    import json as _json
+
+    import bench
+
+    timings = {"q_fast": 0.5, "q_slow": 3.0}
+    streaming = {"str_a": 9.0}
+    obj = _json.loads(bench.driver_line(timings, 3.5, 0.1, streaming=streaming))
+    assert obj["n_queries"] == 2
+    assert "str_a" not in obj["queries"]
+    assert obj["streaming_slowest"] == {"str_a": 9.0}
