@@ -97,14 +97,40 @@ _PRIORITY = [
     #       to a position explode + codegen substring (measured 3.09 →
     #       0.69 s at sf1, output identical); fresh driver row required.
     "ext_bpe_merges",
+    #   THEN the streaming tier re-key (late r17): the bounded drains now
+    #       pin the stateful-operator partition count (STREAM_STATE_
+    #       PARTITIONS = 8, env-overridable) instead of inheriting the
+    #       batch shuffle width — per-batch state overhead is
+    #       per-partition-per-store, measured 5.69 → 2.73 s on
+    #       str_stream_join at sf0.1, tier total 31.6 → ~24 s. The shared
+    #       helper change re-keys every query that drains through
+    #       pipelines.py (the three queries above already sit in this
+    #       block); output identical everywhere (state partitioning is
+    #       layout, not semantics).
+    "str_stream_join",
+    "str_at_least_once",
+    "str_dedup_late",
+    "str_microbatch_sink",
+    "str_redelivery",
+    "str_trigger_1min",
+    "str_tumbling_day",
+    "str_foreach_batch_upsert",
+    "str_stateful_crossings",
+    "str_resume_stateful",
+    "str_session_window",
+    "str_sliding_10min",
+    "str_stateful",
+    "src_rest_api_stream",
+    "src_statestore",
     # THEN the rotation: win_wow_change (r11, the oldest standing hash)
     # + the full r12 cohort (48 names, alphabetical; agg_approx_distinct
-    # is its head). 10 + 47 = 57 minus the 50-slot budget: the cohort's
-    # alphabetical tail (7 names, snk_parquet … src_rest_api) rolls to
-    # the r18 head alongside the r13 cohort, keeping the oldest standing
-    # hash at r12 — both cohorts pre-swept (PLANS.md r16 "r17 re-queue
-    # pre-sweep re-run", 22/22 monitors green; r13 cohort re-confirmed on
-    # r17 code, PLANS.md r17 pre-sweep note).
+    # is its head). 23 changed-query slots + 2 + 47 = 72 minus the
+    # 50-slot budget: the cohort's alphabetical tail (~22 names,
+    # f_concat_ws … src_rest_api) rolls to the r18 head alongside the
+    # r13 cohort, keeping the oldest standing hash at r12 (the policy
+    # floor this round) — both cohorts pre-swept (PLANS.md r16 "r17
+    # re-queue pre-sweep re-run", 22/22 monitors green; r13 cohort
+    # re-confirmed on r17 code, PLANS.md r17 pre-sweep note).
     "win_wow_change",
     "agg_approx_distinct",
     "agg_concat_union",
@@ -264,8 +290,6 @@ _PRIORITY = [
     "sql_order_priority",
     "sql_ship_priority",
     "src_xml",
-    "str_foreach_batch_upsert",
-    "str_stateful_crossings",
     "win_gap_fill_locf",
     # r7 cohort (hash age 8 rounds):
     "agg_attribution_last_touch",
@@ -286,9 +310,6 @@ _PRIORITY = [
     "job_snapshot_diff",
     "sql_parameterized",
     "sql_recursive_reachability",
-    "src_rest_api_stream",
-    "src_statestore",
-    "str_resume_stateful",
     "win_cumulative_distinct",
     "win_streak_days",
     # r9 cohort (hash age 6 rounds):
@@ -349,10 +370,6 @@ _PRIORITY = [
     "src_csv",
     "src_jsonl_corrupt",
     "src_parquet_evolve",
-    "str_session_window",
-    "str_sliding_10min",
-    "str_stateful",
-    "str_stream_join",
     "win_change_points",
     "win_first_last",
     "win_percent_rank",
@@ -432,12 +449,6 @@ _PRIORITY = [
     "set_union_all",
     "sort_limit_topk",
     "sort_within_partitions",
-    "str_at_least_once",
-    "str_dedup_late",
-    "str_microbatch_sink",
-    "str_redelivery",
-    "str_trigger_1min",
-    "str_tumbling_day",
     "win_frame_range",
     "win_lag_headway",
     "win_latest_state",

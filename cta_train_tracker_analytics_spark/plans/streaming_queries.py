@@ -40,6 +40,7 @@ from ..streaming.pipelines import (
     parquet_stream,
     run_to_files,
     run_to_memory,
+    scoped_state_partitions,
 )
 from .registry import query
 
@@ -186,13 +187,14 @@ def str_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(store_cur)
         staged.rename(store_cur)
 
-    q = (
-        src.writeStream.foreachBatch(upsert)
-        .option("checkpointLocation", cp)
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_drained(q)
+    with scoped_state_partitions(spark):
+        q = (
+            src.writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_drained(q)
     return spark.read.parquet(str(store_cur)).select(
         "user_id",
         F.col("event_id").cast("bigint").alias("last_event_id"),
@@ -1049,14 +1051,15 @@ def src_rest_api_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     name = f"mem_{uuid.uuid4().hex[:12]}"
-    q = (
-        parsed.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", _cp)
-        .trigger(processingTime="0 seconds")
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    with scoped_state_partitions(spark):
+        q = (
+            parsed.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", _cp)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     return spark.table(name)

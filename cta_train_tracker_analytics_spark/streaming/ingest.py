@@ -60,17 +60,18 @@ def ingest_stream(
         # per-Lambda-invocation instead)
         require_route=False,
     )
-    q = (
-        flat.writeStream.format("json")
-        .option("path", raw_out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    from .pipelines import await_drained
+    from .pipelines import await_drained, scoped_state_partitions
 
-    await_drained(q, timeout_sec)
+    with scoped_state_partitions(flat.sparkSession):
+        q = (
+            flat.writeStream.format("json")
+            .option("path", raw_out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_drained(q, timeout_sec)
 
 
 def read_raw(spark: SparkSession, raw_out_dir: str) -> DataFrame:

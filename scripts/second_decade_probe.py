@@ -180,7 +180,21 @@ FLAT_ASSIGN_CAUSES = {
         "measured banded record below; O(N log N) by design, priced in "
         "the operator docstring."
     ),
+    "str_session_window": (
+        "state-partition granularity, not plan (r17): the bounded-drain "
+        "default STREAM_STATE_PARTITIONS=8 leaves ~1.25M rows/partition "
+        "at sf10 and the per-partition session merge crosses its "
+        "in-memory knee (15.47x). Measured counterfactual at 32 "
+        "partitions, same code: sf10 43.1 s, ratio 6.6 — the linear "
+        "class. This IS the deployment knob the pipelines.py docstring "
+        "documents (size state partitions to peak state volume before "
+        "first start); 8 remains the right default at the verified SFs "
+        "(sf1: 3.97 s at 8 vs 6.52 s at 32)."
+    ),
 }
+
+#: members whose record is a measured-volume story, not the N·k fold model
+_NO_FOLD_MODEL = {"ext_dedup_embed_banded", "str_session_window"}
 
 
 def spatial_grid_structure(spark, sf_dir: str) -> dict:
@@ -321,7 +335,7 @@ def flat_assign_ledger(detail: dict) -> dict:
         rec = {"cause": cause, "wall_sf1_sec": wall.get("sf1_sec"),
                "wall_sf10_sec": wall.get("sf10_sec"),
                "wall_ratio": wall.get("ratio")}
-        if name != "ext_dedup_embed_banded":  # fold model applies
+        if name not in _NO_FOLD_MODEL:  # fold model applies
             rec["fold_model"] = {
                 "sf1": {"n": n1, "n_cells": k1, "score_folds": n1 * k1},
                 "sf10": {"n": n10, "n_cells": k10, "score_folds": n10 * k10},
