@@ -1002,7 +1002,17 @@ def ext_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is ruled out here). The pinned stream is three fixed-width bigints
     # per bigram — materializing it once is linear in the corpus and
     # strictly cheaper than a second regex-tokenize pass over the text.
-    bg = bg.localCheckpoint(eager=True)
+    # DISK_ONLY (r17, third-decade probe): this pin is CORPUS-sized —
+    # the default MEMORY_AND_DISK level unrolls each partition on heap
+    # before deciding to drop it to disk, and at 5M docs (sf100) that
+    # unroll OOM'd a 64g heap while 32 concurrent tasks fought the same
+    # pool. Serialized-to-disk UnsafeRows stream straight through the
+    # block manager with no unroll spike (and ride the OS page cache at
+    # small SFs — measured parity at sf0.1); the vocab-sized ugc pin
+    # below stays in memory.
+    from pyspark import StorageLevel
+
+    bg = bg.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     bgc = bg.groupBy("bh").agg(F.count(F.lit(1)).alias("c_bg"))
     # pinned: the unigram-count table feeds BOTH the scoring join and the
     # vocab-size count — without the pin each consumer re-shuffles the full

@@ -122,6 +122,12 @@ _PRIORITY = [
     "str_stateful",
     "src_rest_api_stream",
     "src_statestore",
+    #   ext_dsir_weights — pin re-key (late r17, sf100 probe finding):
+    #       the corpus-sized bigram localCheckpoint now pins at
+    #       DISK_ONLY — the default level's on-heap partition unroll
+    #       OOM'd a 64g heap at 5M docs; serialized disk blocks stream
+    #       with no unroll spike, sf0.1 parity and wall unchanged.
+    "ext_dsir_weights",
     # THEN the rotation: win_wow_change (r11, the oldest standing hash)
     # + the full r12 cohort (48 names, alphabetical; agg_approx_distinct
     # is its head). 23 changed-query slots + 2 + 47 = 72 minus the
@@ -385,7 +391,6 @@ _PRIORITY = [
     "ext_dedup_minhash_twostage",
     "ext_dedup_paragraph",
     "ext_dedup_substring",
-    "ext_dsir_weights",
     "ext_minhash_accuracy",
     "ext_pmi_collocations",
     "ext_sample_stratified",
