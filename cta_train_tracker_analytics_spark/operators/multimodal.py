@@ -107,7 +107,14 @@ def decode_features(media: DataFrame) -> DataFrame:
             if len(b) >= 2 and b[:2] == b"\xff\xd8":
                 i = 2
                 while i + 4 <= len(b) and b[i] == 0xFF:
+                    # ITU-T T.81 §B.1.1.2: any number of 0xFF fill bytes
+                    # may pad a marker; skip them so the byte after the
+                    # run is read as the marker, not the fill byte.
+                    while i + 4 <= len(b) and b[i + 1] == 0xFF:
+                        i += 1
                     marker = b[i + 1]
+                    if marker == 0xFF:  # fill run to end of buffer
+                        break
                     if marker in sof:
                         if i + 9 <= len(b):
                             h, w = _struct.unpack(">HH", b[i + 5 : i + 9])
@@ -117,6 +124,8 @@ def decode_features(media: DataFrame) -> DataFrame:
                         i += 2
                         continue
                     if marker == 0xD9:  # EOI before any frame header
+                        break
+                    if i + 4 > len(b):  # fill-skip can leave <2 len bytes
                         break
                     seg_len = _struct.unpack(">H", b[i + 2 : i + 4])[0]
                     i += 2 + max(seg_len, 2)  # a corrupt len<2 must still advance

@@ -92,12 +92,19 @@ class scoped_state_partitions:
         self.n = STREAM_STATE_PARTITIONS if n is None else n
 
     def __enter__(self):
-        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        # None default so a never-explicitly-set session width is restored
+        # by UNSETTING (mirrors the _dedup_rocksdb provider-conf restore) —
+        # re-setting the read-back value would freeze the implicit default
+        # into an explicit conf on exit (ADVICE r17).
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions", None)
         self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
         return self
 
     def __exit__(self, *exc):
-        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        if self.prev is None:
+            self.spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
         return False
 
 

@@ -181,15 +181,18 @@ def main() -> int:
 
     probe: dict[str, dict] = {}
     superlinear: list[str] = []
+    failed: list[str] = []
     for name in names:
         fn = queries[name]
         try:
             s100 = sf1_probe._time(spark, fn, SF100_DIR, args.runs)
         except Exception as e:  # a third-decade failure IS the finding:
-            # record it against the query instead of losing the whole run
+            # record it against the query instead of losing the whole run.
+            # Failures are ledgered under their OWN key (ADVICE r17) —
+            # a transient OOM/env failure is not an adjudicated slope.
             msg = str(e).split("\n")[0][:300]
             probe[name] = {"sf100_error": msg, "runs": args.runs}
-            superlinear.append(name)
+            failed.append(name)
             print(f"# {name}: sf100 FAILED: {msg}", file=sys.stderr)
             continue
         # reuse the ledgered sf10 wall when available (same protocol)
@@ -232,13 +235,17 @@ def main() -> int:
         "superlinear": sorted(
             (set(prior.get("superlinear", [])) - set(probe)) | set(superlinear)
         ),
+        "failed": sorted(
+            (set(prior.get("failed", [])) - set(probe)) | set(failed)
+        ),
         "spatial_grid_structure": spatial,
     }
     with open(DETAIL_PATH, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
         f.write("\n")
     print(json.dumps({"sf100_probe": {"n": len(probe),
-                                      "superlinear": superlinear}}))
+                                      "superlinear": superlinear,
+                                      "failed": failed}}))
     return 0
 
 

@@ -23,13 +23,16 @@ def _png(w: int, h: int) -> bytes:
     )
 
 
-def _jpeg(w: int, h: int, extra_segments: int = 0) -> bytes:
+def _jpeg(w: int, h: int, extra_segments: int = 0, fill_bytes: int = 0) -> bytes:
     app0 = b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     # optional COM segments + a standalone RST marker before the frame
     # header — the walk must skip both kinds correctly
     fillers = (b"\xff\xfe\x00\x04ab" + b"\xff\xd0") * extra_segments
+    # ITU-T T.81 §B.1.1.2 allows any number of 0xFF fill bytes before a
+    # marker byte; fill_bytes pads the SOF marker with them
     sof0 = (
-        b"\xff\xc0\x00\x11\x08"
+        b"\xff" * fill_bytes
+        + b"\xff\xc0\x00\x11\x08"
         + struct.pack(">HH", h, w)
         + b"\x03\x01\x11\x00\x02\x11\x01\x03\x11\x01"
     )
@@ -51,6 +54,23 @@ def test_codec_parses_png_and_jpeg_headers(spark):
     assert (got[1]["format"], got[1]["width"], got[1]["height"]) == ("jpeg", 1024, 7)
     # segment walk: COM segments and standalone RST markers are stepped over
     assert (got[2]["format"], got[2]["width"], got[2]["height"]) == ("jpeg", 3, 5)
+
+
+def test_codec_skips_jpeg_fill_bytes_before_markers(spark):
+    # spec-legal 0xFF padding before the SOF marker (ADVICE r17): the walk
+    # must treat the run as fill, not read a fill byte as the marker
+    got = _decode(
+        spark,
+        [
+            _jpeg(31, 17, fill_bytes=3),
+            _jpeg(8, 8, extra_segments=1, fill_bytes=7),
+            b"\xff\xd8" + b"\xff" * 6,  # SOI then only fill bytes: no frame
+        ],
+    )
+    assert (got[0]["format"], got[0]["width"], got[0]["height"]) == ("jpeg", 31, 17)
+    assert (got[1]["format"], got[1]["width"], got[1]["height"]) == ("jpeg", 8, 8)
+    assert got[2]["format"] == "jpeg"
+    assert got[2]["width"] is None and got[2]["height"] is None
 
 
 def test_codec_edge_payloads_never_crash_the_batch(spark):

@@ -171,3 +171,29 @@ def test_availablenow_runs_nodata_eviction_batch(spark, tmp_path):
     assert n_batches == 2, (
         f"expected 1 data + 1 no-data batch, offset log has {n_batches}"
     )
+
+
+def test_scoped_state_partitions_restores_unset_as_unset(spark):
+    # ADVICE r17: when the session never explicitly set the shuffle width,
+    # the scope must restore by unsetting, not by pinning the implicit
+    # default (e.g. "200") as an explicit conf on exit.
+    from cta_train_tracker_analytics_spark.streaming.pipelines import (
+        scoped_state_partitions,
+    )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    try:
+        spark.conf.unset("spark.sql.shuffle.partitions")
+        with scoped_state_partitions(spark, 8):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+        assert spark.conf.get("spark.sql.shuffle.partitions", None) is None
+        # and an explicitly-set width round-trips to the same value
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        with scoped_state_partitions(spark, 8):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+        assert spark.conf.get("spark.sql.shuffle.partitions", None) == "16"
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
