@@ -115,6 +115,7 @@ HEADLINE = [
     "ext_knn_graph_ivf_sharded",
     "ext_knn_graph_prod",
     "ext_sim_search_ivf_sharded",
+    "ext_sim_search_ivf_3level",
     "ext_hard_negatives",
     "ext_hybrid_retrieval_rrf",
     "ext_knn_graph_recall",

@@ -463,6 +463,12 @@ def ivf_assign_sharded(
     two-level docstring describes) and drops out of downstream
     equi-joins.
 
+    Past this form's own O(N·√k) fold growth (measured 17.1× for
+    sf10→sf100, BENCH_DETAIL sf100_probe), ``ivf_assign_sharded_3level``
+    recurses the construction once more: O(N·∛k) work, O(∛k) per-task
+    bytes, one extra branch-keyed shuffle (127 s vs 189 s on that same
+    decade).
+
     Reference parity: the reference has no ANN layer (its 355 lines
     are boto3 ingestion, get_train_status.py:82-138); this extends the
     brief's LLM-pipeline similarity tier."""
@@ -554,6 +560,195 @@ def ivf_assign_sharded(
         F.element_at(
             "leaves",
             F.array_position(F.col("cs2"), F.array_max("cs2")).cast("int"),
+        )["cent_id"].alias("cell"),
+    )
+
+
+def ivf_assign_sharded_3level(
+    df: DataFrame,
+    centroids: DataFrame,
+    n_top: int,
+    n_mid: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """THREE-level sharded coarse quantization — the same construction as
+    ``ivf_assign_sharded``, applied once more. Under the corpus-adaptive
+    cell count k = ⌈N/250⌉ the two-level form's per-vector scoring cost
+    is O(√k) (broadcast ⌈√k⌉ coarse array + one ~√k-leaf branch shard),
+    so total assignment work is O(N·√k) = O(N^1.5 / √250) — the decade
+    ratio the sf100 probe measured converging on 31.6×/decade (r17,
+    BENCH_DETAIL sf100_probe: 17.1× at decade 3). Splitting the descent
+    into THREE balanced levels — n_top ≈ k^(1/3) broadcast tops,
+    n_mid ≈ k^(2/3) mids sharded by top branch, k leaves sharded by mid
+    branch — caps per-vector work at O(3·k^(1/3)), total O(N·k^(1/3)) =
+    O(N^4/3 / 250^(1/3)): the asymptotic decade ratio drops from 31.6×
+    to 10^(4/3) ≈ 21.5×, and the per-task index ceiling drops from
+    O(√k) to O(k^(1/3)) bytes. The trade is ONE more corpus shuffle
+    (two branch-keyed moves instead of one); both key sets grow with N,
+    so parallelism holds and AQE skew-join splits hot branches.
+
+    The level tree:
+
+    - **tops** — the first ``n_top`` centroids (by cent_id), collapsed
+      into ONE broadcast row exactly like the two-level coarse array.
+    - **mids** — the first ``n_mid`` centroids, each assigned to its
+      nearest top by the tiny flat argmax (``ivf_assign`` on the
+      centroid table, n_mid × n_top folds), grouped into one shard row
+      per top branch (~n_mid/n_top structs each).
+    - **leaves** — ALL k centroids, each assigned to a mid by
+      RECURSING the two-level sharded form on the centroid table
+      itself (``ivf_assign_sharded(centroids, mids, n_top)``): a leaf
+      descends top→mid exactly like a corpus vector does, so the
+      centroid-side build is O(k·k^(1/3)) instead of the flat
+      O(k·k^(2/3)), and the first n_top mids ARE the tops (id-ordered
+      prefixes of one table), so the recursion's internal coarse level
+      coincides with this operator's top level.
+
+    Corpus descent: map-side argmax over the broadcast tops →
+    shuffle_hash-pinned branch join on top_id against the mid shards →
+    in-row argmax → second shuffle_hash-pinned branch join on mid_id
+    against the leaf shards → in-row argmax → cell. Both hints are the
+    contract (locally both shard tables are tiny and AQE would happily
+    broadcast them, silently reintroducing a super-k^(1/3) per-task
+    structure); pinned by tests/test_round18_ops.py. Total order at
+    every level is the family's (cos DESC, id ASC) via id-sorted struct
+    arrays + first-position max. Row contract matches the sharded form:
+    every input row appears exactly once; a vector whose top branch
+    holds no mids (or whose mid holds no leaves) keeps a NULL cell
+    through the LEFT joins and drops out of downstream equi-joins.
+
+    Reference parity: the reference has no ANN layer (its 355 lines are
+    boto3 ingestion, get_train_status.py:82-138); this extends the
+    brief's LLM-pipeline similarity tier."""
+    tops = centroids.orderBy("cent_id").limit(n_top).select(
+        F.col("cent_id").alias("top_id"), F.col("c_vec").alias("t_vec")
+    )
+    mids = centroids.orderBy("cent_id").limit(n_mid).select(
+        F.col("cent_id").alias("mid_id"), F.col("c_vec").alias("m_vec")
+    )
+    # mid -> top: tiny flat argmax on the centroid table (n_mid × n_top)
+    mid_assigned = ivf_assign(
+        mids,
+        tops.select(F.col("top_id").alias("cent_id"), F.col("t_vec").alias("c_vec")),
+        id_col="mid_id",
+        vec_col="m_vec",
+    )
+    # leaf -> mid: the two-level sharded construction, recursed on the
+    # centroid table (its internal coarse level = the first n_top mids =
+    # exactly `tops`, so the tree is one consistent id-ordered hierarchy)
+    leaf_to_mid = ivf_assign_sharded(
+        centroids,
+        mids.select(F.col("mid_id").alias("cent_id"), F.col("m_vec").alias("c_vec")),
+        n_top,
+        id_col="cent_id",
+        vec_col="c_vec",
+    )
+    mid_shards = mid_assigned.groupBy(F.col("cell").alias("top_id")).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("id").alias("mid_id"),
+                    F.col("vec").alias("m_vec"),
+                    F.col("v_nrm").alias("m_nrm"),
+                )
+            )
+        ).alias("mids")
+    )
+    leaf_shards = leaf_to_mid.groupBy(F.col("cell").alias("mid_id")).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("id").alias("cent_id"),
+                    F.col("vec").alias("c_vec"),
+                    F.col("v_nrm").alias("c_nrm"),
+                )
+            )
+        ).alias("leaves")
+    )
+    top_row = F.broadcast(
+        tops.select(
+            F.struct(
+                F.col("top_id"),
+                F.col("t_vec"),
+                norm(F.col("t_vec")).alias("t_nrm"),
+            ).alias("g")
+        ).agg(F.array_sort(F.collect_list("g")).alias("top_arr"))
+    )
+    # level 1: map-side argmax over the O(k^(1/3)) broadcast top array
+    branched = (
+        df.crossJoin(top_row)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            norm(F.col(vec_col)).alias("v_nrm"),
+            "top_arr",
+        )
+        .select(
+            "id",
+            "vec",
+            "v_nrm",
+            "top_arr",
+            F.transform(
+                "top_arr",
+                lambda g: dot(F.col("vec"), g["t_vec"]) / (F.col("v_nrm") * g["t_nrm"]),
+            ).alias("cs1"),
+        )
+        .select(
+            "id",
+            "vec",
+            "v_nrm",
+            F.element_at(
+                "top_arr",
+                F.array_position(F.col("cs1"), F.array_max("cs1")).cast("int"),
+            )["top_id"].alias("top_id"),
+        )
+    )
+    # level 2: first corpus shuffle — vectors meet their top branch's mid
+    # shard (~k^(1/3) structs) through the pinned shuffled hash join
+    mid_picked = (
+        branched.join(mid_shards.hint("shuffle_hash"), "top_id", "left")
+        .select(
+            "id",
+            "vec",
+            "v_nrm",
+            "mids",
+            F.transform(
+                "mids",
+                lambda m: dot(F.col("vec"), m["m_vec"]) / (F.col("v_nrm") * m["m_nrm"]),
+            ).alias("cs2"),
+        )
+        .select(
+            "id",
+            "vec",
+            "v_nrm",
+            F.element_at(
+                "mids",
+                F.array_position(F.col("cs2"), F.array_max("cs2")).cast("int"),
+            )["mid_id"].alias("mid_id"),
+        )
+    )
+    # level 3: second corpus shuffle — vectors meet their mid's leaf shard
+    scored = (
+        mid_picked.join(leaf_shards.hint("shuffle_hash"), "mid_id", "left")
+        .select(
+            "id",
+            "vec",
+            "v_nrm",
+            "leaves",
+            F.transform(
+                "leaves",
+                lambda c: dot(F.col("vec"), c["c_vec"]) / (F.col("v_nrm") * c["c_nrm"]),
+            ).alias("cs3"),
+        )
+    )
+    return scored.select(
+        "id",
+        "vec",
+        "v_nrm",
+        F.element_at(
+            "leaves",
+            F.array_position(F.col("cs3"), F.array_max("cs3")).cast("int"),
         )["cent_id"].alias("cell"),
     )
 

@@ -60,6 +60,92 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: parity replay (tests/test_oracle_parity.py) and by the non-UTC
 #: driver simulation run before each commit.
 _PRIORITY = [
+    # ---- Round 18 front block (r17 verdict #2 — the rotation round):
+    # positions 1-50 are this round's driver budget. FIRST the one query
+    # NEW this round (every new query gets its driver row the round it
+    # lands):
+    #   ext_sim_search_ivf_3level — the THIRD-level sharded ANN index
+    #       (r17 verdict #1): the two-level form's N·√k assignment fold
+    #       growth (sf100 probe: 17.1× at decade 3, converging on the
+    #       31.6×/decade asymptote) drops to N·∛k — measured 127.3 s vs
+    #       188.7 s on the same sf10→sf100 decade (ratio 14.73 vs 17.11);
+    #       recall floor pinned in tests/test_round18_ops.py.
+    "ext_sim_search_ivf_3level",
+    # THEN the 20 queries RE-KEYED this round (stale-hash policy; the
+    # set is exactly the BENCH_DETAIL impl-hash diff vs r17):
+    #   ext_multimodal_decode / ext_multimodal_cols — the JPEG segment
+    #       walk now skips ITU-T T.81 §B.1.1.2 fill bytes before reading
+    #       a marker byte (ADVICE r17): padded-but-valid JPEGs keep their
+    #       dims; trailing fill runs and short length fields terminate
+    #       cleanly. Both queries fold in decode_features.
+    "ext_multimodal_decode",
+    "ext_multimodal_cols",
+    #   the streaming tier (16 str_* + both stream sources) — the bounded
+    #       drains now derive their state-store partition count from
+    #       OBSERVED source volume (r17 verdict #4): width =
+    #       max(8, ceil(input_rows / 300k)) reproduces both measured
+    #       optima from ONE code path (sf1 → 8, sf10 → 34 ≈ the
+    #       measured-best 32); parquet_stream notes a metadata-only row
+    #       count, the per-query scratch setup resets it. Output
+    #       identical everywhere (state partitioning is layout, not
+    #       semantics) and the width is unchanged at sf0.01/sf0.1 (floor
+    #       regime), but the shared-helper change re-keys every query
+    #       that drains through pipelines.py — same discipline as r17's
+    #       STREAM_STATE_PARTITIONS pin.
+    "src_rest_api_stream",
+    "src_statestore",
+    "str_at_least_once",
+    "str_dedup_late",
+    "str_dedup_rocksdb",
+    "str_dedup_rocksdb_changelog",
+    "str_foreach_batch_upsert",
+    "str_microbatch_sink",
+    "str_redelivery",
+    "str_resume_stateful",
+    "str_session_window",
+    "str_sliding_10min",
+    "str_stateful",
+    "str_stateful_crossings",
+    "str_stream_join",
+    "str_stream_join_outer",
+    "str_trigger_1min",
+    "str_tumbling_day",
+    # THEN the rotation: the full 23-name r12-aged tail (the r17 block's
+    # alphabetical overflow — after this round ZERO r12-aged hashes
+    # remain; oldest standing hash becomes r13) + the r13 cohort head
+    # (6 of 44, alphabetical). The 21 changed/new slots above push the
+    # other 38 r13 names to the r19 head; both cohorts pre-swept
+    # (PLANS.md r17 "#8 r18 pre-sweep", 22/22 monitors green,
+    # re-confirmed on r18 code in the r18 closing pre-sweep note).
+    "ext_token_count",
+    "f_concat_ws",
+    "f_date_format",
+    "f_iso_ts",
+    "filter_blank_lines",
+    "filter_required",
+    "flagship_region_pricing",
+    "join_asof",
+    "join_dim_broadcast",
+    "join_key_equi",
+    "join_range_interval",
+    "join_salted_skew",
+    "join_semi_anti",
+    "proj_drop",
+    "snk_jsonl_append",
+    "snk_keyed_store",
+    "snk_parquet",
+    "snk_queue",
+    "sql_pricing_summary",
+    "src_jsonl",
+    "src_listing",
+    "src_queue",
+    "src_rest_api",
+    "agg_approx_quantile",
+    "agg_bitmap_distinct",
+    "agg_corr",
+    "agg_custom_pandas_udaf",
+    "agg_distinct",
+    "agg_distinct_trains",
     # ---- Round 17 front block (r16 verdict #2 — the rotation round):
     # positions 1–50 are this round's driver budget. FIRST the three
     # queries NEW this round (no driver row exists yet; every new query
@@ -86,12 +172,7 @@ _PRIORITY = [
     #       mtime-ordering claim corrected per ADVICE r16; fronted on
     #       principle like r12's join_salted_skew).
     "join_spatial_grid_adaptive",
-    "str_dedup_rocksdb_changelog",
-    "ext_multimodal_decode",
     "join_spatial_grid",
-    "str_dedup_rocksdb",
-    "ext_multimodal_cols",
-    "str_stream_join_outer",
     #   ext_bpe_merges — plan re-key (r16 verdict #3): the pair expansion
     #       moved from an interpreted transform-lambda over a char array
     #       to a position explode + codegen substring (measured 3.09 →
@@ -107,21 +188,6 @@ _PRIORITY = [
     #       pipelines.py (the three queries above already sit in this
     #       block); output identical everywhere (state partitioning is
     #       layout, not semantics).
-    "str_stream_join",
-    "str_at_least_once",
-    "str_dedup_late",
-    "str_microbatch_sink",
-    "str_redelivery",
-    "str_trigger_1min",
-    "str_tumbling_day",
-    "str_foreach_batch_upsert",
-    "str_stateful_crossings",
-    "str_resume_stateful",
-    "str_session_window",
-    "str_sliding_10min",
-    "str_stateful",
-    "src_rest_api_stream",
-    "src_statestore",
     #   ext_dsir_weights — pin re-key (late r17, sf100 probe finding):
     #       the corpus-sized bigram localCheckpoint now pins at
     #       DISK_ONLY — the default level's on-heap partition unroll
@@ -163,29 +229,6 @@ _PRIORITY = [
     "ext_sample_hash",
     "ext_sim_search_ivf_sharded",
     "ext_text_stats",
-    "ext_token_count",
-    "f_concat_ws",
-    "f_date_format",
-    "f_iso_ts",
-    "filter_blank_lines",
-    "filter_required",
-    "flagship_region_pricing",
-    "join_asof",
-    "join_dim_broadcast",
-    "join_key_equi",
-    "join_range_interval",
-    "join_salted_skew",
-    "join_semi_anti",
-    "proj_drop",
-    "snk_jsonl_append",
-    "snk_keyed_store",
-    "snk_parquet",
-    "snk_queue",
-    "sql_pricing_summary",
-    "src_jsonl",
-    "src_listing",
-    "src_queue",
-    "src_rest_api",
     # ---- Round 16 front block (r15 verdict #3 — the rotation round):
     # positions 1–50 are this round's driver budget. FIRST the two
     # queries RE-KEYED this round (stale-hash policy): ivf_topk gained
@@ -433,8 +476,6 @@ _PRIORITY = [
     "ext_winsorized_mean",
     "f_math_std",
     # r4 cohort (driver hash age 9 rounds)
-    "agg_distinct",
-    "agg_distinct_trains",
     "agg_salted_skew",
     "f_array_std",
     "f_cast_bool",
@@ -460,10 +501,6 @@ _PRIORITY = [
     "win_rank_topk",
     "win_running",
     # r5 cohort head (hash age 8 rounds)
-    "agg_approx_quantile",
-    "agg_bitmap_distinct",
-    "agg_corr",
-    "agg_custom_pandas_udaf",
     "agg_pivot",
     "ext_bm25",
     "ext_decontaminate",

@@ -38,6 +38,7 @@ from ..streaming.pipelines import (
     assert_rocksdb_engaged,
     await_drained,
     parquet_stream,
+    reset_stream_volume,
     run_to_files,
     run_to_memory,
     scoped_state_partitions,
@@ -50,6 +51,9 @@ _SCRATCH = Path("/tmp/cta_spark_engine_scratch/streaming")
 def _dirs(name: str, sf_dir: str, *subs: str) -> list[str]:
     root = _SCRATCH / Path(sf_dir).name / name
     shutil.rmtree(root, ignore_errors=True)
+    # fresh query, fresh state-width derivation (adaptive width sizes to
+    # THIS query's observed source volume, not a predecessor's)
+    reset_stream_volume()
     out = []
     for s in subs:
         p = root / s

@@ -62,23 +62,66 @@ def await_drained(q, timeout_sec: int | None = None) -> None:
         )
 
 
-#: State-store partition count for the bounded drains (overridable via
-#: SPARK_GRAFT_STREAM_STATE_PARTITIONS). Spark freezes the stateful-operator
-#: partition count into the checkpoint at FIRST batch (later batches and
-#: resumes read it back from checkpoint metadata), defaulting to
-#: spark.sql.shuffle.partitions — a BATCH-width setting. Per-micro-batch
-#: state overhead is per-partition-per-store (task launch + store
-#: open/commit), so inheriting the batch width over-partitions small state:
-#: measured on str_stream_join at sf0.1 (4 join state stores), 32 → 8
-#: partitions cuts the drain 5.69 → 2.73 s with identical output (4 → 2.17
-#: s; 8 keeps headroom for the sf1/sf10 probe volumes). At 100 TB this is
-#: the knob a deployment SIZES UP to peak state volume before first start —
-#: it cannot be changed after checkpoint creation without a state rebuild,
-#: which is exactly why it must not silently inherit whatever batch width
-#: the session happened to carry.
-STREAM_STATE_PARTITIONS = int(
-    os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
-)
+#: Floor for the state-store partition count of the bounded drains. Spark
+#: freezes the stateful-operator partition count into the checkpoint at
+#: FIRST batch (later batches and resumes read it back from checkpoint
+#: metadata), defaulting to spark.sql.shuffle.partitions — a BATCH-width
+#: setting. Per-micro-batch state overhead is per-partition-per-store
+#: (task launch + store open/commit), so inheriting the batch width
+#: over-partitions small state: measured on str_stream_join at sf0.1
+#: (4 join state stores), 32 → 8 partitions cuts the drain 5.69 → 2.73 s
+#: with identical output.
+STREAM_STATE_MIN_PARTITIONS = 8
+
+#: Rows-per-state-partition target for the ADAPTIVE width (r17 verdict
+#: #4): a constant width cannot serve two decades — str_session_window
+#: measured 3.97 s at 8 partitions vs 6.52 s at 32 on sf1 (1M events:
+#: per-batch store overhead dominates) but 43.1 s at 32 vs 61.4 s at 8
+#: on sf10 (10M events: per-partition state volume dominates;
+#: PLANS.md r17). width = max(8, ceil(input_rows / 300k)) reproduces
+#: both measured optima from one code path (sf1 → 8, sf10 → 34 ≈ the
+#: measured-best 32) and keeps growing with volume, which is the 100 TB
+#: shape: state partitions sized to peak state volume BEFORE first start
+#: (the count cannot change after checkpoint creation without a state
+#: rebuild). Input volume is observed by ``parquet_stream`` at source
+#: materialization (a metadata-only parquet count) and accumulated until
+#: the query's scratch reset — multi-source queries size to their total.
+#: SPARK_GRAFT_STREAM_STATE_PARTITIONS remains a hard override (used by
+#: the probes' width counterfactuals).
+STREAM_STATE_TARGET_ROWS = 300_000
+
+_observed_input_rows = 0
+
+
+def reset_stream_volume() -> None:
+    """Forget accumulated source volume — called at each streaming
+    query's scratch-dir setup so one query's inputs never size the next
+    query's state width."""
+    global _observed_input_rows
+    _observed_input_rows = 0
+
+
+def note_stream_volume(rows: int) -> None:
+    global _observed_input_rows
+    _observed_input_rows += rows
+
+
+def stream_state_partitions() -> int:
+    """The adaptive state width for the NEXT drain: env override if set,
+    else the rows/target derivation over the volume observed since the
+    last ``reset_stream_volume`` (floor when nothing was observed — e.g.
+    rate/socket sources that never pass through ``parquet_stream``)."""
+    env = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+    if env is not None:
+        return int(env)
+    if _observed_input_rows <= 0:
+        return STREAM_STATE_MIN_PARTITIONS
+    import math
+
+    return max(
+        STREAM_STATE_MIN_PARTITIONS,
+        math.ceil(_observed_input_rows / STREAM_STATE_TARGET_ROWS),
+    )
 
 
 class scoped_state_partitions:
@@ -89,7 +132,7 @@ class scoped_state_partitions:
 
     def __init__(self, spark: SparkSession, n: int | None = None):
         self.spark = spark
-        self.n = STREAM_STATE_PARTITIONS if n is None else n
+        self.n = stream_state_partitions() if n is None else n
 
     def __enter__(self):
         # None default so a never-explicitly-set session width is restored
@@ -113,9 +156,15 @@ def parquet_stream(
 ) -> DataFrame:
     """Materialize ``df`` as a parquet dir and open it as a stream source.
     ``single_file`` keeps ingestion to one micro-batch (deterministic
-    results for dedup/state queries under availableNow)."""
+    results for dedup/state queries under availableNow).
+
+    The materialized row count (a metadata-only parquet footer read) is
+    accumulated via ``note_stream_volume`` so the next drain's state
+    width can size itself to actual input volume (see
+    STREAM_STATE_TARGET_ROWS)."""
     writer = df.coalesce(1) if single_file else df
     writer.write.mode("overwrite").parquet(source_dir)
+    note_stream_volume(spark.read.parquet(source_dir).count())
     return spark.readStream.schema(df.schema).parquet(source_dir)
 
 

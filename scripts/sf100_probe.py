@@ -76,6 +76,7 @@ DETAIL_PATH = os.path.join(REPO_ROOT, "BENCH_DETAIL.json")
 #: invocation rather than bundled into the default set.
 DEFAULT_QUERIES = [
     "ext_sim_search_ivf_sharded",
+    "ext_sim_search_ivf_3level",
     "ext_sim_search_pq_rerank",
     "ext_sim_search_pq",
     "ext_dedup_minhash_twostage",

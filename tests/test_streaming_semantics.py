@@ -197,3 +197,36 @@ def test_scoped_state_partitions_restores_unset_as_unset(spark):
             spark.conf.unset("spark.sql.shuffle.partitions")
         else:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_adaptive_state_width_derivation(monkeypatch):
+    # r17 verdict #4: width derives from observed source volume — one code
+    # path reproduces both measured optima (sf1 events=1M -> 8 at the
+    # floor; sf10 events=10M -> 34 ~ the measured-best 32), keeps growing
+    # with volume, and the env override still wins (the probes' width
+    # counterfactuals depend on it).
+    from cta_train_tracker_analytics_spark.streaming import pipelines as pl
+
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_STATE_PARTITIONS", raising=False)
+    pl.reset_stream_volume()
+    assert pl.stream_state_partitions() == pl.STREAM_STATE_MIN_PARTITIONS
+    pl.note_stream_volume(1_000_000)
+    assert pl.stream_state_partitions() == 8       # sf1 regime: floor wins
+    pl.note_stream_volume(9_000_000)               # multi-source sum
+    assert pl.stream_state_partitions() == 34      # sf10 regime
+    pl.reset_stream_volume()
+    assert pl.stream_state_partitions() == pl.STREAM_STATE_MIN_PARTITIONS
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "32")
+    pl.note_stream_volume(1)
+    assert pl.stream_state_partitions() == 32      # hard override
+    pl.reset_stream_volume()
+
+
+def test_parquet_stream_observes_source_volume(spark, tmp_path):
+    from cta_train_tracker_analytics_spark.streaming import pipelines as pl
+
+    pl.reset_stream_volume()
+    df = spark.createDataFrame([(i,) for i in range(17)], "k long")
+    pl.parquet_stream(spark, df, str(tmp_path / "src"))
+    assert pl._observed_input_rows == 17
+    pl.reset_stream_volume()
