@@ -84,6 +84,11 @@ DEFAULT_QUERIES = [
     "ext_dsir_weights",
     "ext_dedup_cluster_lsss",
     "ext_bpe_merges",
+    # r17 verdict #6: the next tier of >2 s-at-sf10 document-pipeline
+    # queries over the probe's table subset
+    "ext_dedup_minhash",
+    "ext_decontaminate",
+    "ext_lm_perplexity",
 ]
 
 
