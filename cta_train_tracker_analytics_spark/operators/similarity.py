@@ -24,7 +24,6 @@ from ..functions.text import lcg
 from .util import spread
 
 __all__ = [
-    "EMBED_DIM",
     "dot",
     "norm",
     "cosine",
@@ -40,14 +39,6 @@ __all__ = [
     "lsh_bucketed_pairs",
     "lsh_banded_pairs",
 ]
-
-#: the embeddings table's fixed vector width (array<float>[64], no nulls —
-#: verified across every testdata scale and the probe generators, which all
-#: derive vectors from this same contract, e.g. ``projection_planes(64, …)``
-#: and the PQ geometry below). Plan callers pass this as ``dim`` so the
-#: dot/norm folds compile to flat codegen-able chains; the dim-agnostic
-#: ``dim=None`` fold stays the default for generic callers.
-EMBED_DIM = 64
 
 #: floor hyperplane count for sign-LSH (bucket id = 8 sign bits).
 LSH_PLANES = 8
@@ -94,56 +85,21 @@ def adaptive_planes(
     return max(floor, min(cap, math.ceil(math.log2(n_rows / target_bucket_rows))))
 
 
-def dot(a: Column, b: Column, dim: int | None = None) -> Column:
-    """Sequential-fold dot product in double — order-stable across engines.
-
-    ``dim=None`` (the dim-agnostic form) folds with ``aggregate`` over
-    ``zip_with`` — correct for any array length, but higher-order-function
-    lambdas are ALWAYS interpreted (they never enter whole-stage codegen),
-    so every pair costs ~2·dim interpreted expression evals.
-
-    ``dim=k`` (callers that know the fixed vector width, e.g. the dim-64
-    embeddings contract) emits the SAME left-to-right chain unrolled:
-    ``0.0 + a[0]·b[0] + a[1]·b[1] + …`` — bit-identical IEEE order and
-    per-element double casts, so oracle hashes cannot move — as a flat
-    codegen-able expression. Measured (r18, 1M pairs, dim 64): 6.2× in
-    WholeStageCodegen (with spark.sql.codegen.hugeMethodLimit=8000 so the
-    >8 KB generated method splits instead of silently never JIT-ing —
-    session.py sets it) and ~2.8× even in interpreted transform-lambda
-    contexts (centroid scoring), where the unrolled chain skips the
-    per-step lambda-variable binding of the fold.
-
-    The unrolled chain is guarded by ``size(a) = dim AND size(b) = dim``:
-    only exactly-``dim``-wide pairs take it; every other row — short or
-    wide arrays (synthetic 8/32-dim test corpora run the registered
-    queries too), NULL arrays (the null-payload sweep), null elements,
-    mismatched widths — falls through to the fold expression itself in the
-    ``otherwise`` branch. The guarded form is therefore bit-identical to
-    the bare fold on EVERY input (r18's first two unroll attempts each
-    broke one off-contract class: bare ``F.get`` NaN-poisoned short
-    arrays, coalesce-padding turned NULL arrays into 0.0 and tripped
-    ANSI divide-by-zero in downstream cosine divisions). On-contract rows
-    never evaluate the fold: the branch costs two ``size()`` calls, and
-    the interpreted fold subtree runs only for off-contract rows."""
-    fold = F.aggregate(
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double — order-stable across engines."""
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    if dim is None:
-        return fold
-    acc = F.lit(0.0)
-    for i in range(dim):
-        acc = acc + F.get(a, i).cast("double") * F.get(b, i).cast("double")
-    return F.when((F.size(a) == dim) & (F.size(b) == dim), acc).otherwise(fold)
 
 
-def norm(a: Column, dim: int | None = None) -> Column:
-    return F.sqrt(dot(a, a, dim))
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
 
 
-def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
-    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
 
 
 def scored_cosine(
@@ -152,7 +108,6 @@ def scored_cosine(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
-    dim: int | None = None,
 ) -> DataFrame:
     """(query_id, vec_id, cos_sim) for every query×corpus pair — the shared
     scoring pass under exact top-k search and the recall audit (which ranks
@@ -161,27 +116,22 @@ def scored_cosine(
     Norms are computed ONCE per vector (|Q|+|corpus| array folds), not per
     pair (|Q|×|corpus| folds): higher-order-function folds are interpreted,
     so hoisting them out of the pair loop is a ~3× cut in fold work. The
-    cosine value is bit-identical — same dot/sqrt expressions, same inputs.
-    ``dim`` (known fixed vector width) selects the unrolled codegen-able
-    dot — see ``dot``; bit-identical values either way."""
+    cosine value is bit-identical — same dot/sqrt expressions, same inputs."""
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(vec_col).alias("q_vec"),
-            norm(F.col(vec_col), dim).alias("q_nrm"),
+            norm(F.col(vec_col)).alias("q_nrm"),
         )
     )
     return spread(corpus).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("c_vec"),
-        norm(F.col(vec_col), dim).alias("c_nrm"),
+        norm(F.col(vec_col)).alias("c_nrm"),
     ).crossJoin(q).select(
         "query_id",
         "vec_id",
-        (
-            dot(F.col("q_vec"), F.col("c_vec"), dim)
-            / (F.col("q_nrm") * F.col("c_nrm"))
-        ).alias(
+        (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm"))).alias(
             "cos_sim"
         ),
     )
@@ -194,14 +144,13 @@ def topk_cosine(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
-    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors per query vector, query side broadcast.
 
     Plan shape: BroadcastNestedLoopJoin is *intended* here — the broadcast
     side is k rows, so the 'nested loop' is a constant-width map over the
     corpus scan, followed by a per-query top-k window."""
-    scored = scored_cosine(corpus, queries, id_col, vec_col, query_id_col, dim)
+    scored = scored_cosine(corpus, queries, id_col, vec_col, query_id_col)
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -220,7 +169,6 @@ def ivf_assign(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int | None = None,
 ) -> DataFrame:
     """Coarse quantization: each vector → its nearest centroid (cosine,
     ties broken by centroid id). **Zero-shuffle, map-only**: the centroid
@@ -240,7 +188,7 @@ def ivf_assign(
             F.struct(
                 F.col("cent_id"),
                 F.col("c_vec"),
-                norm(F.col("c_vec"), dim).alias("c_nrm"),
+                norm(F.col("c_vec")).alias("c_nrm"),
             ).alias("c")
         ).agg(F.array_sort(F.collect_list("c")).alias("cents"))
     )
@@ -248,7 +196,7 @@ def ivf_assign(
     scored = df.crossJoin(cents).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        norm(F.col(vec_col), dim).alias("v_nrm"),
+        norm(F.col(vec_col)).alias("v_nrm"),
         F.col("cents"),
     ).select(
         "id",
@@ -257,7 +205,7 @@ def ivf_assign(
         "cents",
         F.transform(
             "cents",
-            lambda c: dot(F.col("vec"), c["c_vec"], dim) / (F.col("v_nrm") * c["c_nrm"]),
+            lambda c: dot(F.col("vec"), c["c_vec"]) / (F.col("v_nrm") * c["c_nrm"]),
         ).alias("cs_arr"),
     )
     return scored.select(
@@ -276,7 +224,6 @@ def ivf_assign_multi(
     nprobe: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int | None = None,
 ) -> DataFrame:
     """Top-``nprobe`` nearest centroid cells per vector (cosine desc,
     cent_id asc on ties) — the QUERY-side assignment for multi-probe IVF.
@@ -289,14 +236,14 @@ def ivf_assign_multi(
             F.struct(
                 F.col("cent_id"),
                 F.col("c_vec"),
-                norm(F.col("c_vec"), dim).alias("c_nrm"),
+                norm(F.col("c_vec")).alias("c_nrm"),
             ).alias("c")
         ).agg(F.array_sort(F.collect_list("c")).alias("cents"))
     )
     scored = df.crossJoin(cents).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        norm(F.col(vec_col), dim).alias("v_nrm"),
+        norm(F.col(vec_col)).alias("v_nrm"),
         F.col("cents"),
     ).select(
         "id",
@@ -308,10 +255,7 @@ def ivf_assign_multi(
                     "cents",
                     lambda c: F.struct(
                         (
-                            -(
-                                dot(F.col("vec"), c["c_vec"], dim)
-                                / (F.col("v_nrm") * c["c_nrm"])
-                            )
+                            -(dot(F.col("vec"), c["c_vec"]) / (F.col("v_nrm") * c["c_nrm"]))
                         ).alias("ncs"),
                         c["cent_id"].alias("cent_id"),
                     ),
@@ -341,7 +285,6 @@ def ivf_assign_two_level(
     n_coarse: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int | None = None,
 ) -> DataFrame:
     """Hierarchical coarse quantization: argmax over ``n_coarse`` level-1
     centroids, then argmax over ONLY that branch's leaf centroids — the
@@ -397,13 +340,12 @@ def ivf_assign_two_level(
         ),
         id_col="cent_id",
         vec_col="c_vec",
-        dim=dim,
     )
     coarse_row = coarse.select(
         F.struct(
             F.col("coarse_id"),
             F.col("g_vec"),
-            norm(F.col("g_vec"), dim).alias("g_nrm"),
+            norm(F.col("g_vec")).alias("g_nrm"),
         ).alias("g")
     ).agg(F.array_sort(F.collect_list("g")).alias("coarse_arr"))
     leaf_row = (
@@ -431,7 +373,7 @@ def ivf_assign_two_level(
         .select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("vec"),
-            norm(F.col(vec_col), dim).alias("v_nrm"),
+            norm(F.col(vec_col)).alias("v_nrm"),
             "coarse_arr",
             "leaf_map",
         )
@@ -443,8 +385,7 @@ def ivf_assign_two_level(
             "coarse_arr",
             F.transform(
                 "coarse_arr",
-                lambda g: dot(F.col("vec"), g["g_vec"], dim)
-                / (F.col("v_nrm") * g["g_nrm"]),
+                lambda g: dot(F.col("vec"), g["g_vec"]) / (F.col("v_nrm") * g["g_nrm"]),
             ).alias("cs1"),
         )
         .select(
@@ -466,8 +407,7 @@ def ivf_assign_two_level(
             "leaves",
             F.transform(
                 "leaves",
-                lambda c: dot(F.col("vec"), c["c_vec"], dim)
-                / (F.col("v_nrm") * c["c_nrm"]),
+                lambda c: dot(F.col("vec"), c["c_vec"]) / (F.col("v_nrm") * c["c_nrm"]),
             ).alias("cs2"),
         )
     )
@@ -488,7 +428,6 @@ def ivf_assign_sharded(
     n_coarse: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int | None = None,
 ) -> DataFrame:
     """Two-level coarse quantization with the leaf codebook SHARDED
     across executors — same assignment as ``ivf_assign_two_level``
@@ -544,7 +483,6 @@ def ivf_assign_sharded(
         ),
         id_col="cent_id",
         vec_col="c_vec",
-        dim=dim,
     )
     # one row per branch carrying that branch's ~√k leaf structs — this
     # table is PARTITIONED on coarse_id by the join below, never broadcast
@@ -564,7 +502,7 @@ def ivf_assign_sharded(
             F.struct(
                 F.col("coarse_id"),
                 F.col("g_vec"),
-                norm(F.col("g_vec"), dim).alias("g_nrm"),
+                norm(F.col("g_vec")).alias("g_nrm"),
             ).alias("g")
         ).agg(F.array_sort(F.collect_list("g")).alias("coarse_arr"))
     )
@@ -576,7 +514,7 @@ def ivf_assign_sharded(
         .select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("vec"),
-            norm(F.col(vec_col), dim).alias("v_nrm"),
+            norm(F.col(vec_col)).alias("v_nrm"),
             "coarse_arr",
         )
         .select(
@@ -586,8 +524,7 @@ def ivf_assign_sharded(
             "coarse_arr",
             F.transform(
                 "coarse_arr",
-                lambda g: dot(F.col("vec"), g["g_vec"], dim)
-                / (F.col("v_nrm") * g["g_nrm"]),
+                lambda g: dot(F.col("vec"), g["g_vec"]) / (F.col("v_nrm") * g["g_nrm"]),
             ).alias("cs1"),
         )
         .select(
@@ -612,8 +549,7 @@ def ivf_assign_sharded(
             "leaves",
             F.transform(
                 "leaves",
-                lambda c: dot(F.col("vec"), c["c_vec"], dim)
-                / (F.col("v_nrm") * c["c_nrm"]),
+                lambda c: dot(F.col("vec"), c["c_vec"]) / (F.col("v_nrm") * c["c_nrm"]),
             ).alias("cs2"),
         )
     )
@@ -635,7 +571,6 @@ def ivf_assign_sharded_3level(
     n_mid: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int | None = None,
 ) -> DataFrame:
     """THREE-level sharded coarse quantization — the same construction as
     ``ivf_assign_sharded``, applied once more. Under the corpus-adaptive
@@ -698,7 +633,6 @@ def ivf_assign_sharded_3level(
         tops.select(F.col("top_id").alias("cent_id"), F.col("t_vec").alias("c_vec")),
         id_col="mid_id",
         vec_col="m_vec",
-        dim=dim,
     )
     # leaf -> mid: the two-level sharded construction, recursed on the
     # centroid table (its internal coarse level = the first n_top mids =
@@ -709,7 +643,6 @@ def ivf_assign_sharded_3level(
         n_top,
         id_col="cent_id",
         vec_col="c_vec",
-        dim=dim,
     )
     mid_shards = mid_assigned.groupBy(F.col("cell").alias("top_id")).agg(
         F.array_sort(
@@ -738,7 +671,7 @@ def ivf_assign_sharded_3level(
             F.struct(
                 F.col("top_id"),
                 F.col("t_vec"),
-                norm(F.col("t_vec"), dim).alias("t_nrm"),
+                norm(F.col("t_vec")).alias("t_nrm"),
             ).alias("g")
         ).agg(F.array_sort(F.collect_list("g")).alias("top_arr"))
     )
@@ -748,7 +681,7 @@ def ivf_assign_sharded_3level(
         .select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("vec"),
-            norm(F.col(vec_col), dim).alias("v_nrm"),
+            norm(F.col(vec_col)).alias("v_nrm"),
             "top_arr",
         )
         .select(
@@ -758,8 +691,7 @@ def ivf_assign_sharded_3level(
             "top_arr",
             F.transform(
                 "top_arr",
-                lambda g: dot(F.col("vec"), g["t_vec"], dim)
-                / (F.col("v_nrm") * g["t_nrm"]),
+                lambda g: dot(F.col("vec"), g["t_vec"]) / (F.col("v_nrm") * g["t_nrm"]),
             ).alias("cs1"),
         )
         .select(
@@ -783,8 +715,7 @@ def ivf_assign_sharded_3level(
             "mids",
             F.transform(
                 "mids",
-                lambda m: dot(F.col("vec"), m["m_vec"], dim)
-                / (F.col("v_nrm") * m["m_nrm"]),
+                lambda m: dot(F.col("vec"), m["m_vec"]) / (F.col("v_nrm") * m["m_nrm"]),
             ).alias("cs2"),
         )
         .select(
@@ -807,8 +738,7 @@ def ivf_assign_sharded_3level(
             "leaves",
             F.transform(
                 "leaves",
-                lambda c: dot(F.col("vec"), c["c_vec"], dim)
-                / (F.col("v_nrm") * c["c_nrm"]),
+                lambda c: dot(F.col("vec"), c["c_vec"]) / (F.col("v_nrm") * c["c_nrm"]),
             ).alias("cs3"),
         )
     )
@@ -832,7 +762,6 @@ def ivf_assign_sharded_multi(
     vec_col: str = "embedding",
     residence_cap: int | None = None,
     n_branches: int | None = None,
-    dim: int | None = None,
 ) -> DataFrame:
     """Multi-probe assignment over the SHARDED two-level index — the
     production composition the graph family's exhibits measure one axis
@@ -918,7 +847,6 @@ def ivf_assign_sharded_multi(
         ),
         id_col="cent_id",
         vec_col="c_vec",
-        dim=dim,
     )
     leaf_shards = leaf_assigned.groupBy(F.col("cell").alias("coarse_id")).agg(
         F.array_sort(
@@ -936,7 +864,7 @@ def ivf_assign_sharded_multi(
             F.struct(
                 F.col("coarse_id"),
                 F.col("g_vec"),
-                norm(F.col("g_vec"), dim).alias("g_nrm"),
+                norm(F.col("g_vec")).alias("g_nrm"),
             ).alias("g")
         ).agg(F.array_sort(F.collect_list("g")).alias("coarse_arr"))
     )
@@ -946,7 +874,7 @@ def ivf_assign_sharded_multi(
         .select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("vec"),
-            norm(F.col(vec_col), dim).alias("v_nrm"),
+            norm(F.col(vec_col)).alias("v_nrm"),
             "coarse_arr",
         )
         .select(
@@ -960,7 +888,7 @@ def ivf_assign_sharded_multi(
                         lambda g: F.struct(
                             (
                                 -(
-                                    dot(F.col("vec"), g["g_vec"], dim)
+                                    dot(F.col("vec"), g["g_vec"])
                                     / (F.col("v_nrm") * g["g_nrm"])
                                 )
                             ).alias("ncs"),
@@ -986,10 +914,7 @@ def ivf_assign_sharded_multi(
                 F.coalesce("leaves", F.array()),
                 lambda c: F.struct(
                     (
-                        -(
-                            dot(F.col("vec"), c["c_vec"], dim)
-                            / (F.col("v_nrm") * c["c_nrm"])
-                        )
+                        -(dot(F.col("vec"), c["c_vec"]) / (F.col("v_nrm") * c["c_nrm"]))
                     ).alias("ncs"),
                     c["cent_id"].alias("cent_id"),
                 ),
@@ -1080,7 +1005,6 @@ def ivf_topk(
     vec_col: str = "embedding",
     corpus_rows: int | None = None,
     pin: bool | None = None,
-    dim: int | None = None,
 ) -> DataFrame:
     """IVF-style ANN: search only the query's centroid cell.
 
@@ -1121,7 +1045,7 @@ def ivf_topk(
     skip both the count and the checkpoint; ``pin=True`` forces the
     checkpoint without counting.
     """
-    assigned = ivf_assign(spread(corpus), centroids, id_col, vec_col, dim)
+    assigned = ivf_assign(spread(corpus), centroids, id_col, vec_col)
     if pin is None:
         if corpus_rows is None:
             corpus_rows = corpus.count()
@@ -1129,9 +1053,9 @@ def ivf_topk(
     if pin:
         assigned = assigned.localCheckpoint(eager=True)
     if nprobe == 1:
-        q = ivf_assign(queries, centroids, id_col, vec_col, dim)
+        q = ivf_assign(queries, centroids, id_col, vec_col)
     else:
-        q = ivf_assign_multi(queries, centroids, nprobe, id_col, vec_col, dim)
+        q = ivf_assign_multi(queries, centroids, nprobe, id_col, vec_col)
     q_assigned = F.broadcast(
         q.select(
             F.col("id").alias("query_id"),
@@ -1144,10 +1068,7 @@ def ivf_topk(
     cand = q_assigned.join(assigned, "cell").select(
         "query_id",
         F.col("id").alias("vec_id"),
-        (
-            dot(F.col("q_vec"), F.col("vec"), dim)
-            / (F.col("q_nrm") * F.col("v_nrm"))
-        ).alias(
+        (dot(F.col("q_vec"), F.col("vec")) / (F.col("q_nrm") * F.col("v_nrm"))).alias(
             "cos_sim"
         ),
     )
@@ -1227,13 +1148,11 @@ def lsh_bucketed_pairs(
     # single shared lambda body instead of `planes` copies of the fold
     # expression; plan-compile cost (re-paid per fresh DataFrame) tracks
     # expression-tree size, and the per-plane fold values are identical
-    projs = F.transform(
-        _lit_matrix(coefs), lambda row: dot(F.col(vec_col), row, dims)
-    )
+    projs = F.transform(_lit_matrix(coefs), lambda row: dot(F.col(vec_col), row))
     with_bucket = spread(df).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        norm(F.col(vec_col), dims).alias("nrm"),
+        norm(F.col(vec_col)).alias("nrm"),
         projs.alias("__projs"),
     )
     bucket = sum(
@@ -1262,10 +1181,7 @@ def lsh_bucketed_pairs(
     ).select(
         F.col("a.id").alias("id_a"),
         F.col("b.id").alias("id_b"),
-        (
-            dot(F.col("a.vec"), F.col("b.vec"), dims)
-            / (F.col("a.nrm") * F.col("b.nrm"))
-        ).alias(
+        (dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm") * F.col("b.nrm"))).alias(
             "cos_sim"
         ),
     )
@@ -1326,13 +1242,11 @@ def lsh_banded_pairs(
     # all tables×planes projections via ONE shared-lambda transform over
     # the literal plane matrix (see lsh_bucketed_pairs — plan-compile cost
     # tracks expression-tree size; values identical per plane)
-    projs = F.transform(
-        _lit_matrix(coefs), lambda row: dot(F.col(vec_col), row, dims)
-    )
+    projs = F.transform(_lit_matrix(coefs), lambda row: dot(F.col(vec_col), row))
     projected = spread(df).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        norm(F.col(vec_col), dims).alias("nrm"),
+        norm(F.col(vec_col)).alias("nrm"),
         projs.alias("__projs"),
     )
     buckets = F.array(
@@ -1372,10 +1286,7 @@ def lsh_banded_pairs(
     pairs = cand.join(va, "id_a").join(vb, "id_b").select(
         "id_a",
         "id_b",
-        (
-            dot(F.col("vec_a"), F.col("vec_b"), dims)
-            / (F.col("nrm_a") * F.col("nrm_b"))
-        ).alias(
+        (dot(F.col("vec_a"), F.col("vec_b")) / (F.col("nrm_a") * F.col("nrm_b"))).alias(
             "cos_sim"
         ),
     )
@@ -1438,21 +1349,22 @@ def pq_code_cols(vec_col: Column) -> list[Column]:
     whole plan-compile path (analysis + codegen, re-run per fresh
     DataFrame because attribute ids change) dominated execution
     (measured: 9.2 s → ~1 s for the same 2000-row assignment)."""
-    def _sq_l2(sub: Column, cv: Column) -> Column:
-        # unrolled left-to-right (v−c)² chain over the fixed PQ_SUBDIM —
-        # same IEEE order and per-element double casts as the former
-        # aggregate/zip_with fold (bit-identical; the fold lambda was
-        # interpreted per element, this chain is one flat expression)
-        acc = F.lit(0.0)
-        for d in range(PQ_SUBDIM):
-            diff = F.get(sub, d).cast("double") - F.get(cv, d)
-            acc = acc + diff * diff
-        return acc
-
     cols = []
     for s, cents in enumerate(pq_codebooks()):
         sub = _pq_subvec(vec_col, s)
-        dists = F.transform(_lit_matrix(cents), lambda cv: _sq_l2(sub, cv))
+        dists = F.transform(
+            _lit_matrix(cents),
+            lambda cv: F.aggregate(
+                F.zip_with(
+                    sub,
+                    cv,
+                    lambda v, c: (v.cast("double") - c)
+                    * (v.cast("double") - c),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
         cols.append(
             (F.array_position(dists, F.array_min(dists)) - 1)
             .cast("int")
@@ -1512,7 +1424,7 @@ def pq_adc_topk(
     # element INDEX column.
     def _subspace_lut(s: int, cents: list[list[float]]) -> Column:
         sub = _pq_subvec(F.col(vec_col), s)
-        return F.transform(_lit_matrix(cents), lambda cv: dot(sub, cv, PQ_SUBDIM))
+        return F.transform(_lit_matrix(cents), lambda cv: dot(sub, cv))
 
     lut = F.array(
         *[_subspace_lut(s, cents) for s, cents in enumerate(pq_codebooks())]

@@ -40,7 +40,6 @@ from ..operators.dedup import (
 )
 from ..operators.multimodal import attach_binary, decode_features
 from ..operators.similarity import (
-    EMBED_DIM,
     adaptive_planes,
     ivf_assign,
     ivf_assign_multi,
@@ -673,7 +672,7 @@ def ext_dedup_embed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one shared-lambda transform over the literal plane matrix (see
         # lsh_bucketed_pairs — plan-compile cost tracks tree size)
         projs = F.transform(
-            _lit_matrix(coefs), lambda row: sdot(F.col("embedding"), row, EMBED_DIM)
+            _lit_matrix(coefs), lambda row: sdot(F.col("embedding"), row)
         )
         bucket = sum(
             (
@@ -685,7 +684,7 @@ def ext_dedup_embed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         return df.select(
             F.col("vec_id").alias(id_alias),
             F.col("embedding").alias(f"{id_alias}_vec"),
-            snorm(F.col("embedding"), EMBED_DIM).alias(f"{id_alias}_nrm"),
+            snorm(F.col("embedding")).alias(f"{id_alias}_nrm"),
             projs.alias("__projs"),
         ).select(
             id_alias,
@@ -700,7 +699,7 @@ def ext_dedup_embed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "batch_id",
         "corpus_id",
         (
-            sdot(F.col("batch_id_vec"), F.col("corpus_id_vec"), EMBED_DIM)
+            sdot(F.col("batch_id_vec"), F.col("corpus_id_vec"))
             / (F.col("batch_id_nrm") * F.col("corpus_id_nrm"))
         ).alias("cos_sim"),
     )
@@ -888,7 +887,7 @@ def ext_sim_search_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries.select(
             "query_id",
             F.col("embedding").alias("q_vec"),
-            snorm(F.col("embedding"), EMBED_DIM).alias("q_nrm"),
+            snorm(F.col("embedding")).alias("q_nrm"),
         )
     )
     scored = (
@@ -896,7 +895,7 @@ def ext_sim_search_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb.select(
                 "vec_id",
                 F.col("embedding").alias("c_vec"),
-                snorm(F.col("embedding"), EMBED_DIM).alias("c_nrm"),
+                snorm(F.col("embedding")).alias("c_nrm"),
             ),
             "vec_id",
         )
@@ -905,7 +904,7 @@ def ext_sim_search_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "vec_id",
             (
-                sdot(F.col("q_vec"), F.col("c_vec"), EMBED_DIM)
+                sdot(F.col("q_vec"), F.col("c_vec"))
                 / (F.col("q_nrm") * F.col("c_nrm"))
             ).alias("cs"),
         )
@@ -1206,7 +1205,7 @@ def ext_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return topk_cosine(emb, queries, k=10, dim=EMBED_DIM)
+    return topk_cosine(emb, queries, k=10)
 
 
 @query(
@@ -1280,7 +1279,7 @@ def ext_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
     )
     queries = emb.filter(F.col("vec_id") < 5)
-    return ivf_topk(emb, queries, centroids, k=10, corpus_rows=n, dim=EMBED_DIM)
+    return ivf_topk(emb, queries, centroids, k=10, corpus_rows=n)
 
 
 @query(
@@ -1352,9 +1351,7 @@ def ext_sim_search_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
     )
     queries = emb.filter(F.col("vec_id") < 5)
-    return ivf_topk(
-        emb, queries, centroids, k=10, nprobe=2, corpus_rows=n, dim=EMBED_DIM
-    )
+    return ivf_topk(emb, queries, centroids, k=10, nprobe=2, corpus_rows=n)
 
 
 @query(
@@ -1447,9 +1444,7 @@ def ext_sim_search_ivf_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.orderBy("vec_id").limit(n_cells).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
     )
-    assigned = ivf_assign_sharded(
-        emb, centroids, n_coarse, dim=EMBED_DIM
-    ).localCheckpoint(
+    assigned = ivf_assign_sharded(emb, centroids, n_coarse).localCheckpoint(
         eager=True
     )
     qside = F.broadcast(
@@ -1463,10 +1458,7 @@ def ext_sim_search_ivf_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = qside.join(assigned, "cell").select(
         "query_id",
         F.col("id").alias("vec_id"),
-        (
-        sdot(F.col("q_vec"), F.col("vec"), EMBED_DIM)
-        / (F.col("q_nrm") * F.col("v_nrm"))
-    ).alias(
+        (sdot(F.col("q_vec"), F.col("vec")) / (F.col("q_nrm") * F.col("v_nrm"))).alias(
             "cos_sim"
         ),
     )
@@ -1622,7 +1614,7 @@ def ext_sim_search_ivf_3level(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
     )
     assigned = ivf_assign_sharded_3level(
-        emb, centroids, n_top, n_mid, dim=EMBED_DIM
+        emb, centroids, n_top, n_mid
     ).localCheckpoint(eager=True)
     qside = F.broadcast(
         assigned.filter(F.col("id") < 5).select(
@@ -1635,10 +1627,7 @@ def ext_sim_search_ivf_3level(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = qside.join(assigned, "cell").select(
         "query_id",
         F.col("id").alias("vec_id"),
-        (
-        sdot(F.col("q_vec"), F.col("vec"), EMBED_DIM)
-        / (F.col("q_nrm") * F.col("v_nrm"))
-    ).alias(
+        (sdot(F.col("q_vec"), F.col("vec")) / (F.col("q_nrm") * F.col("v_nrm"))).alias(
             "cos_sim"
         ),
     )
@@ -2488,7 +2477,7 @@ def ext_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = emb.orderBy("vec_id").limit(8).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
     )
-    assigned = ivf_assign(emb, cents, dim=EMBED_DIM)
+    assigned = ivf_assign(emb, cents)
     t = assigned.select("cell", F.posexplode("vec").alias("pos", "v")).select(
         "cell",
         F.col("pos").cast("int").alias("pos"),
@@ -2965,16 +2954,14 @@ def ext_sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.orderBy("vec_id").offset(n_cells).limit(5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    sc = scored_cosine(emb, queries, dim=EMBED_DIM).localCheckpoint(eager=True)
+    sc = scored_cosine(emb, queries).localCheckpoint(eager=True)
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     exact = (
         sc.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 10)
         .select("query_id", "vec_id")
     )
-    asg = ivf_assign(emb, centroids, dim=EMBED_DIM).select(
-        F.col("id").alias("vec_id"), "cell"
-    )
+    asg = ivf_assign(emb, centroids).select(F.col("id").alias("vec_id"), "cell")
     qcell = asg.join(
         queries.select(F.col("query_id").alias("vec_id")), "vec_id"
     ).select(F.col("vec_id").alias("query_id"), F.col("cell").alias("qcell"))
@@ -3421,7 +3408,7 @@ def ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.orderBy("vec_id").limit(n_cells).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
     )
-    a = ivf_assign(emb, centroids, dim=EMBED_DIM).localCheckpoint(eager=True)
+    a = ivf_assign(emb, centroids).localCheckpoint(eager=True)
     x = a.select(
         F.col("id").alias("id_a"),
         F.col("vec").alias("va"),
@@ -3438,8 +3425,7 @@ def ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         x.join(y, ["cell"])
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
-            sdot(F.col("va"), F.col("vb"), EMBED_DIM) / (F.col("na") * F.col("nb"))
-            >= 0.2
+            sdot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")) >= 0.2
         )
         .select("id_b")
         .distinct()
@@ -4172,7 +4158,7 @@ def ext_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.orderBy("vec_id").limit(n_cells).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
     )
-    assigned = ivf_assign(emb, centroids, dim=EMBED_DIM).join(
+    assigned = ivf_assign(emb, centroids).join(
         emb.select(F.col("vec_id").alias("id"), "label"), "id"
     )
     # pin the assignment (the materialized IVF index) so both join sides
@@ -4200,7 +4186,7 @@ def ext_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(b, ["label", "cell"]).filter(
         F.col("vec_id") != F.col("neighbor_id")
     )
-    cs = sdot(F.col("va"), F.col("vb"), EMBED_DIM) / (F.col("na") * F.col("nb"))
+    cs = sdot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     scored = pairs.select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
         F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
@@ -4313,7 +4299,7 @@ def ext_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.orderBy("vec_id").limit(n_cells).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
     )
-    assigned = ivf_assign(emb, centroids, dim=EMBED_DIM)  # id, vec, v_nrm, cell
+    assigned = ivf_assign(emb, centroids)  # id, vec, v_nrm, cell
     # pin the assignment (the materialized IVF index) so both join sides
     # scan it instead of re-inlining the broadcast-argmax per side
     assigned = assigned.localCheckpoint(eager=True)
@@ -4334,7 +4320,7 @@ def ext_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell",
     )
     pairs = left.join(right, "cell").filter(F.col("vec_id") != F.col("neighbor_id"))
-    cs = sdot(F.col("va"), F.col("vb"), EMBED_DIM) / (F.col("na") * F.col("nb"))
+    cs = sdot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     scored = pairs.select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
         F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
@@ -4448,9 +4434,7 @@ def ext_knn_graph_ivf_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.orderBy("vec_id").limit(n_cells).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
     )
-    assigned = ivf_assign_multi(
-        emb, centroids, 2, dim=EMBED_DIM
-    ).localCheckpoint(eager=True)
+    assigned = ivf_assign_multi(emb, centroids, 2).localCheckpoint(eager=True)
     # numbered repartition on cell: exempt from AQE coalescing, which
     # otherwise merges the byte-light / CPU-dense pair-scoring stage to
     # one task (see _pinned_shuffle_width; measured 8.8 s → 3.6 s sf0.1)
@@ -4468,7 +4452,7 @@ def ext_knn_graph_ivf_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell",
     )
     pairs = left.join(right, "cell").filter(F.col("vec_id") != F.col("neighbor_id"))
-    cs = sdot(F.col("va"), F.col("vb"), EMBED_DIM) / (F.col("na") * F.col("nb"))
+    cs = sdot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     scored = pairs.select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
         F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
@@ -4602,7 +4586,7 @@ def ext_knn_graph_ivf_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.orderBy("vec_id").limit(n_cells).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
     )
-    assigned = ivf_assign_two_level(emb, centroids, n_coarse, dim=EMBED_DIM)
+    assigned = ivf_assign_two_level(emb, centroids, n_coarse)
     assigned = assigned.localCheckpoint(eager=True)
     # numbered repartition on cell: exempt from AQE coalescing, which
     # otherwise merges the byte-light / CPU-dense pair-scoring stage to
@@ -4621,7 +4605,7 @@ def ext_knn_graph_ivf_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell",
     )
     pairs = left.join(right, "cell").filter(F.col("vec_id") != F.col("neighbor_id"))
-    cs = sdot(F.col("va"), F.col("vb"), EMBED_DIM) / (F.col("na") * F.col("nb"))
+    cs = sdot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     scored = pairs.select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
         F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
@@ -4751,7 +4735,7 @@ def ext_knn_graph_ivf_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.orderBy("vec_id").limit(n_cells).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
     )
-    assigned = ivf_assign_sharded(emb, centroids, n_coarse, dim=EMBED_DIM)
+    assigned = ivf_assign_sharded(emb, centroids, n_coarse)
     assigned = assigned.localCheckpoint(eager=True)
     width = _pinned_shuffle_width(spark)
     left = assigned.repartition(width, "cell").select(
@@ -4767,7 +4751,7 @@ def ext_knn_graph_ivf_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell",
     )
     pairs = left.join(right, "cell").filter(F.col("vec_id") != F.col("neighbor_id"))
-    cs = sdot(F.col("va"), F.col("vb"), EMBED_DIM) / (F.col("na") * F.col("nb"))
+    cs = sdot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     scored = pairs.select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
         F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
@@ -4905,9 +4889,7 @@ def ext_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    sc = scored_cosine(emb, queries, dim=EMBED_DIM).filter(
-        F.col("vec_id") != F.col("query_id")
-    )
+    sc = scored_cosine(emb, queries).filter(F.col("vec_id") != F.col("query_id"))
     wv = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "vec_id")
     vec_r = (
         sc.withColumn("r", F.row_number().over(wv))
@@ -5013,7 +4995,7 @@ def ext_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.orderBy("vec_id").limit(n_cells).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
     )
-    assigned = ivf_assign(emb, centroids, dim=EMBED_DIM).join(
+    assigned = ivf_assign(emb, centroids).join(
         emb.select(F.col("vec_id").alias("id"), "label"), "id"
     )
     assigned = assigned.localCheckpoint(eager=True)
@@ -5036,7 +5018,7 @@ def ext_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") != F.col("neg_id"))
         & (F.col("label_a") != F.col("label_b"))
     )
-    cs = sdot(F.col("va"), F.col("vb"), EMBED_DIM) / (F.col("na") * F.col("nb"))
+    cs = sdot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     scored = pairs.select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
         F.col("neg_id").cast("bigint").alias("neg_id"),
@@ -5226,7 +5208,7 @@ def ext_knn_graph_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
     )
     assigned = ivf_assign_sharded_multi(
-        emb, centroids, n_coarse, 2, residence_cap=cap, n_branches=4, dim=EMBED_DIM
+        emb, centroids, n_coarse, 2, residence_cap=cap, n_branches=4
     )
     assigned = assigned.localCheckpoint(eager=True)
     width = _pinned_shuffle_width(spark)
@@ -5243,7 +5225,7 @@ def ext_knn_graph_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell",
     )
     pairs = left.join(right, "cell").filter(F.col("vec_id") != F.col("neighbor_id"))
-    cs = sdot(F.col("va"), F.col("vb"), EMBED_DIM) / (F.col("na") * F.col("nb"))
+    cs = sdot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     scored = pairs.select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
         F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
@@ -5354,7 +5336,7 @@ def ext_knn_graph_prod_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     sc = (
-        scored_cosine(emb, seeds, dim=EMBED_DIM)
+        scored_cosine(emb, seeds)
         .filter(F.col("vec_id") != F.col("query_id"))
         .localCheckpoint(eager=True)
     )
@@ -5510,7 +5492,7 @@ def ext_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     sc = (
-        scored_cosine(emb, seeds, dim=EMBED_DIM)
+        scored_cosine(emb, seeds)
         .filter(F.col("vec_id") != F.col("query_id"))
         .localCheckpoint(eager=True)
     )
@@ -5520,12 +5502,8 @@ def ext_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("query_id", "vec_id")
     )
-    asg = ivf_assign(emb, centroids, dim=EMBED_DIM).select(
-        F.col("id").alias("vec_id"), "cell"
-    )
-    probes = ivf_assign_multi(
-        seeds, centroids, 2, id_col="query_id", dim=EMBED_DIM
-    ).select(
+    asg = ivf_assign(emb, centroids).select(F.col("id").alias("vec_id"), "cell")
+    probes = ivf_assign_multi(seeds, centroids, 2, id_col="query_id").select(
         F.col("id").alias("query_id"), "probe", F.col("cell").alias("qcell")
     )
     lvls = F.explode(F.array(F.lit(1), F.lit(2))).alias("nprobe")

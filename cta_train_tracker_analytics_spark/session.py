@@ -65,16 +65,6 @@ def get_spark(
         # growth (default is 30min — far too lazy for a query-per-second
         # analytics session).
         .config("spark.cleaner.periodicGC.interval", "1min")
-        # HotSpot never JIT-compiles a method over 8000 bytecode bytes
-        # (-XX:-DontCompileHugeMethods' threshold), and Spark's default
-        # hugeMethodLimit (65535) happily emits such methods — the unrolled
-        # dim-64 dot chains (operators/similarity.py::dot) then run
-        # INTERPRETED bytecode, measured 3.4× slower than the HOF fold
-        # they replace. At 8000 codegen falls back to split/non-WSCG paths
-        # whose methods all JIT: the same unrolled chain runs 6.2× faster
-        # than the fold (r18 microbench, 1M dim-64 pairs). Scale-independent
-        # (a codegen/JIT property, not a data-size knob).
-        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
     )
     for k, v in (extra_conf or {}).items():
