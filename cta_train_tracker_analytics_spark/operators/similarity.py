@@ -1333,7 +1333,27 @@ def _pq_subvec(vec_col: Column, s: int) -> Column:
 
 
 def _lit_matrix(rows: list[list[float]]) -> Column:
-    return F.array(*[F.array(*[F.lit(x) for x in r]) for r in rows])
+    """Literal array<array<double>> in ONE expression call.
+
+    The obvious ``F.array(*[F.array(*[F.lit(x) ...]) ...])`` costs one
+    py4j round-trip per element — ~1 s of single-threaded driver time per
+    plan build for the PQ codebooks (8×16×8 = 1024 literals), re-paid on
+    EVERY fresh DataFrame because the bench (and any real caller) rebuilds
+    the plan per run. One ``F.expr`` string is a single round-trip; the
+    JVM parses the ~8 KB literal in well under a millisecond. Values are
+    bit-identical: ``repr(float)`` is the shortest round-trip decimal and
+    the SQL lexer's ``...D`` double literal parses it with the same
+    correctly-rounded IEEE-754 semantics as ``F.lit``'s direct transfer
+    (pinned by tests/test_similarity_ops.py::test_lit_matrix_exact)."""
+
+    def d(x: float) -> str:
+        return repr(float(x)) + "D"
+
+    return F.expr(
+        "array("
+        + ",".join("array(" + ",".join(d(x) for x in r) + ")" for r in rows)
+        + ")"
+    )
 
 
 def pq_code_cols(vec_col: Column) -> list[Column]:

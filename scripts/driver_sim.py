@@ -53,6 +53,16 @@ print(f"entry(): {n} rows", flush=True)
 assert n > 0
 
 queries, oracles = entrymod.queries(), entrymod.oracle_sql()
+# iteration aid (r18): SPARK_GRAFT_VERIFY_ONLY=q1,q2 checks just those
+# queries against their oracles — for verifying a targeted operator change
+# without the full ~20-min sweep. The round-closing verification must
+# still be a FULL run (no ONLY filter).
+only = os.environ.get("SPARK_GRAFT_VERIFY_ONLY")
+if only:
+    wanted = [n.strip() for n in only.split(",") if n.strip()]
+    unknown = [n for n in wanted if n not in queries]
+    assert not unknown, f"SPARK_GRAFT_VERIFY_ONLY names not registered: {unknown}"
+    queries = {n: queries[n] for n in wanted}
 con = duckdb.connect()
 for t in TABLES:
     con.execute(

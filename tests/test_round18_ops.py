@@ -210,3 +210,36 @@ def test_3level_search_recall_floor(spark):
         "for the two-level form on the same budget; a routing regression "
         "craters toward the random-cell baseline, far below the floor)"
     )
+
+
+def test_lit_matrix_exact(spark):
+    """_lit_matrix's single-expr form must be BIT-identical to the
+    per-element F.lit form for every literal family it carries (PQ
+    codebooks: x/4000.0 non-terminating binaries; projection planes:
+    ±1e6-range integer-valued doubles) plus repr edge shapes (exponent
+    notation, negative zero is not used but tiny/huge magnitudes are
+    covered). repr() is the shortest round-trip decimal and the SQL
+    lexer's `...D` literal parses with the same correctly-rounded
+    IEEE-754 semantics as F.lit's direct transfer."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from cta_train_tracker_analytics_spark.operators.similarity import (
+        _lit_matrix,
+        pq_codebooks,
+        projection_planes,
+    )
+
+    matrices = [m for m in pq_codebooks()]
+    matrices.append(projection_planes(64, 12))
+    matrices.append([[1e-17, -3.5e300, 7.1, 0.1 + 0.2, 123456789.0]])
+    for rows in matrices:
+        old = F.array(*[F.array(*[F.lit(float(x)) for x in r]) for r in rows])
+        got = spark.range(1).select(
+            _lit_matrix(rows).alias("new"), old.alias("old")
+        ).collect()[0]
+        bits = lambda v: struct.pack("<d", v)  # noqa: E731
+        assert [
+            [bits(x) for x in r] for r in got["new"]
+        ] == [[bits(x) for x in r] for r in got["old"]]
