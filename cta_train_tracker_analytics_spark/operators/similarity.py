@@ -102,6 +102,43 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+# --- SQL-fragment twins of dot/norm (r18 optimization round 1) -----------
+#
+# Constructing the Column form of `dot` costs ~110 py4j round-trips
+# (zip_with + aggregate + two lambdas + per-element arithmetic Columns);
+# at the ~0.5-1 ms/round-trip this sandbox class measures, every dot()
+# CALL SITE adds 50-150 ms of single-threaded driver time to plan
+# construction — re-paid per run, since each run builds a fresh
+# DataFrame. The assignment operators below reference dot 3-6 times each,
+# so their BUILD phase (measured via scripts/overhead_profile.py) was
+# ~1 s of pure expression construction before any job ran. The fragment
+# twins render the same expression as ONE F.expr string (one round-trip,
+# sub-ms JVM parse). The parsed tree is the identical analyzed
+# expression: `cast(x as double)` == Column.cast("double"), `0.0D` ==
+# F.lit(0.0) (DoubleType literal), zip_with/aggregate resolve to the
+# same higher-order functions — pinned bit-for-bit by
+# tests/test_round18_ops.py::test_sql_fragment_twins_exact and by the
+# full oracle parity sweep.
+
+def q_ident(name: str) -> str:
+    """Backtick-quote a caller-supplied column name for an expr fragment."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def dot_sql(a: str, b: str) -> str:
+    """SQL fragment: the same sequential left-to-right double fold as
+    ``dot`` — ``a``/``b`` are SQL expressions (column names pre-quoted
+    via ``q_ident`` when caller-supplied)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * "
+        f"cast(y as double)), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def norm_sql(a: str) -> str:
+    return f"sqrt({dot_sql(a, a)})"
+
+
 def scored_cosine(
     corpus: DataFrame,
     queries: DataFrame,
@@ -117,23 +154,22 @@ def scored_cosine(
     pair (|Q|×|corpus| folds): higher-order-function folds are interpreted,
     so hoisting them out of the pair loop is a ~3× cut in fold work. The
     cosine value is bit-identical — same dot/sqrt expressions, same inputs."""
+    v = q_ident(vec_col)
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(vec_col).alias("q_vec"),
-            norm(F.col(vec_col)).alias("q_nrm"),
+            F.expr(norm_sql(v)).alias("q_nrm"),
         )
     )
     return spread(corpus).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("c_vec"),
-        norm(F.col(vec_col)).alias("c_nrm"),
+        F.expr(norm_sql(v)).alias("c_nrm"),
     ).crossJoin(q).select(
         "query_id",
         "vec_id",
-        (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm"))).alias(
-            "cos_sim"
-        ),
+        F.expr(f"{dot_sql('q_vec', 'c_vec')} / (q_nrm * c_nrm)").alias("cos_sim"),
     )
 
 
@@ -185,10 +221,8 @@ def ivf_assign(
     and no shuffle at all — assignment stays inside the scan stage."""
     cents = F.broadcast(
         centroids.select(
-            F.struct(
-                F.col("cent_id"),
-                F.col("c_vec"),
-                norm(F.col("c_vec")).alias("c_nrm"),
+            F.expr(
+                f"struct(cent_id, c_vec, {norm_sql('c_vec')} AS c_nrm)"
             ).alias("c")
         ).agg(F.array_sort(F.collect_list("c")).alias("cents"))
     )
@@ -196,25 +230,26 @@ def ivf_assign(
     scored = df.crossJoin(cents).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        norm(F.col(vec_col)).alias("v_nrm"),
+        F.expr(norm_sql(q_ident(vec_col))).alias("v_nrm"),
         F.col("cents"),
     ).select(
         "id",
         "vec",
         "v_nrm",
         "cents",
-        F.transform(
-            "cents",
-            lambda c: dot(F.col("vec"), c["c_vec"]) / (F.col("v_nrm") * c["c_nrm"]),
+        F.expr(
+            f"transform(cents, c -> {dot_sql('vec', 'c.c_vec')}"
+            " / (v_nrm * c.c_nrm))"
         ).alias("cs_arr"),
     )
     return scored.select(
         "id",
         "vec",
         "v_nrm",
-        F.element_at(
-            "cents", F.array_position(F.col("cs_arr"), F.array_max("cs_arr")).cast("int")
-        )["cent_id"].alias("cell"),
+        F.expr(
+            "element_at(cents, cast(array_position(cs_arr, array_max(cs_arr))"
+            " as int)).cent_id"
+        ).alias("cell"),
     )
 
 
@@ -233,36 +268,24 @@ def ivf_assign_multi(
     (id, vec, v_nrm, probe, cell) with probe = 1..nprobe."""
     cents = F.broadcast(
         centroids.select(
-            F.struct(
-                F.col("cent_id"),
-                F.col("c_vec"),
-                norm(F.col("c_vec")).alias("c_nrm"),
+            F.expr(
+                f"struct(cent_id, c_vec, {norm_sql('c_vec')} AS c_nrm)"
             ).alias("c")
         ).agg(F.array_sort(F.collect_list("c")).alias("cents"))
     )
     scored = df.crossJoin(cents).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        norm(F.col(vec_col)).alias("v_nrm"),
+        F.expr(norm_sql(q_ident(vec_col))).alias("v_nrm"),
         F.col("cents"),
     ).select(
         "id",
         "vec",
         "v_nrm",
-        F.slice(
-            F.array_sort(
-                F.transform(
-                    "cents",
-                    lambda c: F.struct(
-                        (
-                            -(dot(F.col("vec"), c["c_vec"]) / (F.col("v_nrm") * c["c_nrm"]))
-                        ).alias("ncs"),
-                        c["cent_id"].alias("cent_id"),
-                    ),
-                )
-            ),
-            1,
-            nprobe,
+        F.expr(
+            "slice(array_sort(transform(cents, c -> struct("
+            f"-({dot_sql('vec', 'c.c_vec')} / (v_nrm * c.c_nrm)) AS ncs, "
+            f"c.cent_id AS cent_id))), 1, {int(nprobe)})"
         ).alias("probes"),
     )
     return scored.select(
@@ -342,10 +365,8 @@ def ivf_assign_two_level(
         vec_col="c_vec",
     )
     coarse_row = coarse.select(
-        F.struct(
-            F.col("coarse_id"),
-            F.col("g_vec"),
-            norm(F.col("g_vec")).alias("g_nrm"),
+        F.expr(
+            f"struct(coarse_id, g_vec, {norm_sql('g_vec')} AS g_nrm)"
         ).alias("g")
     ).agg(F.array_sort(F.collect_list("g")).alias("coarse_arr"))
     leaf_row = (
@@ -373,7 +394,7 @@ def ivf_assign_two_level(
         .select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("vec"),
-            norm(F.col(vec_col)).alias("v_nrm"),
+            F.expr(norm_sql(q_ident(vec_col))).alias("v_nrm"),
             "coarse_arr",
             "leaf_map",
         )
@@ -383,21 +404,18 @@ def ivf_assign_two_level(
             "v_nrm",
             "leaf_map",
             "coarse_arr",
-            F.transform(
-                "coarse_arr",
-                lambda g: dot(F.col("vec"), g["g_vec"]) / (F.col("v_nrm") * g["g_nrm"]),
+            F.expr(
+                f"transform(coarse_arr, g -> {dot_sql('vec', 'g.g_vec')}"
+                " / (v_nrm * g.g_nrm))"
             ).alias("cs1"),
         )
         .select(
             "id",
             "vec",
             "v_nrm",
-            F.element_at(
-                "leaf_map",
-                F.element_at(
-                    "coarse_arr",
-                    F.array_position(F.col("cs1"), F.array_max("cs1")).cast("int"),
-                )["coarse_id"],
+            F.expr(
+                "element_at(leaf_map, element_at(coarse_arr, "
+                "cast(array_position(cs1, array_max(cs1)) as int)).coarse_id)"
             ).alias("leaves"),
         )
         .select(
@@ -405,9 +423,9 @@ def ivf_assign_two_level(
             "vec",
             "v_nrm",
             "leaves",
-            F.transform(
-                "leaves",
-                lambda c: dot(F.col("vec"), c["c_vec"]) / (F.col("v_nrm") * c["c_nrm"]),
+            F.expr(
+                f"transform(leaves, c -> {dot_sql('vec', 'c.c_vec')}"
+                " / (v_nrm * c.c_nrm))"
             ).alias("cs2"),
         )
     )
@@ -415,10 +433,10 @@ def ivf_assign_two_level(
         "id",
         "vec",
         "v_nrm",
-        F.element_at(
-            "leaves",
-            F.array_position(F.col("cs2"), F.array_max("cs2")).cast("int"),
-        )["cent_id"].alias("cell"),
+        F.expr(
+            "element_at(leaves, cast(array_position(cs2, array_max(cs2))"
+            " as int)).cent_id"
+        ).alias("cell"),
     )
 
 
@@ -499,10 +517,8 @@ def ivf_assign_sharded(
     )
     coarse_row = F.broadcast(
         coarse.select(
-            F.struct(
-                F.col("coarse_id"),
-                F.col("g_vec"),
-                norm(F.col("g_vec")).alias("g_nrm"),
+            F.expr(
+                f"struct(coarse_id, g_vec, {norm_sql('g_vec')} AS g_nrm)"
             ).alias("g")
         ).agg(F.array_sort(F.collect_list("g")).alias("coarse_arr"))
     )
@@ -514,7 +530,7 @@ def ivf_assign_sharded(
         .select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("vec"),
-            norm(F.col(vec_col)).alias("v_nrm"),
+            F.expr(norm_sql(q_ident(vec_col))).alias("v_nrm"),
             "coarse_arr",
         )
         .select(
@@ -522,19 +538,19 @@ def ivf_assign_sharded(
             "vec",
             "v_nrm",
             "coarse_arr",
-            F.transform(
-                "coarse_arr",
-                lambda g: dot(F.col("vec"), g["g_vec"]) / (F.col("v_nrm") * g["g_nrm"]),
+            F.expr(
+                f"transform(coarse_arr, g -> {dot_sql('vec', 'g.g_vec')}"
+                " / (v_nrm * g.g_nrm))"
             ).alias("cs1"),
         )
         .select(
             "id",
             "vec",
             "v_nrm",
-            F.element_at(
-                "coarse_arr",
-                F.array_position(F.col("cs1"), F.array_max("cs1")).cast("int"),
-            )["coarse_id"].alias("coarse_id"),
+            F.expr(
+                "element_at(coarse_arr, cast(array_position(cs1, "
+                "array_max(cs1)) as int)).coarse_id"
+            ).alias("coarse_id"),
         )
     )
     # level 2: the ONE corpus shuffle — vectors meet their branch's leaf
@@ -547,9 +563,9 @@ def ivf_assign_sharded(
             "vec",
             "v_nrm",
             "leaves",
-            F.transform(
-                "leaves",
-                lambda c: dot(F.col("vec"), c["c_vec"]) / (F.col("v_nrm") * c["c_nrm"]),
+            F.expr(
+                f"transform(leaves, c -> {dot_sql('vec', 'c.c_vec')}"
+                " / (v_nrm * c.c_nrm))"
             ).alias("cs2"),
         )
     )
@@ -557,10 +573,10 @@ def ivf_assign_sharded(
         "id",
         "vec",
         "v_nrm",
-        F.element_at(
-            "leaves",
-            F.array_position(F.col("cs2"), F.array_max("cs2")).cast("int"),
-        )["cent_id"].alias("cell"),
+        F.expr(
+            "element_at(leaves, cast(array_position(cs2, array_max(cs2))"
+            " as int)).cent_id"
+        ).alias("cell"),
     )
 
 
@@ -668,10 +684,8 @@ def ivf_assign_sharded_3level(
     )
     top_row = F.broadcast(
         tops.select(
-            F.struct(
-                F.col("top_id"),
-                F.col("t_vec"),
-                norm(F.col("t_vec")).alias("t_nrm"),
+            F.expr(
+                f"struct(top_id, t_vec, {norm_sql('t_vec')} AS t_nrm)"
             ).alias("g")
         ).agg(F.array_sort(F.collect_list("g")).alias("top_arr"))
     )
@@ -681,7 +695,7 @@ def ivf_assign_sharded_3level(
         .select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("vec"),
-            norm(F.col(vec_col)).alias("v_nrm"),
+            F.expr(norm_sql(q_ident(vec_col))).alias("v_nrm"),
             "top_arr",
         )
         .select(
@@ -689,19 +703,19 @@ def ivf_assign_sharded_3level(
             "vec",
             "v_nrm",
             "top_arr",
-            F.transform(
-                "top_arr",
-                lambda g: dot(F.col("vec"), g["t_vec"]) / (F.col("v_nrm") * g["t_nrm"]),
+            F.expr(
+                f"transform(top_arr, g -> {dot_sql('vec', 'g.t_vec')}"
+                " / (v_nrm * g.t_nrm))"
             ).alias("cs1"),
         )
         .select(
             "id",
             "vec",
             "v_nrm",
-            F.element_at(
-                "top_arr",
-                F.array_position(F.col("cs1"), F.array_max("cs1")).cast("int"),
-            )["top_id"].alias("top_id"),
+            F.expr(
+                "element_at(top_arr, cast(array_position(cs1, "
+                "array_max(cs1)) as int)).top_id"
+            ).alias("top_id"),
         )
     )
     # level 2: first corpus shuffle — vectors meet their top branch's mid
@@ -713,19 +727,19 @@ def ivf_assign_sharded_3level(
             "vec",
             "v_nrm",
             "mids",
-            F.transform(
-                "mids",
-                lambda m: dot(F.col("vec"), m["m_vec"]) / (F.col("v_nrm") * m["m_nrm"]),
+            F.expr(
+                f"transform(mids, m -> {dot_sql('vec', 'm.m_vec')}"
+                " / (v_nrm * m.m_nrm))"
             ).alias("cs2"),
         )
         .select(
             "id",
             "vec",
             "v_nrm",
-            F.element_at(
-                "mids",
-                F.array_position(F.col("cs2"), F.array_max("cs2")).cast("int"),
-            )["mid_id"].alias("mid_id"),
+            F.expr(
+                "element_at(mids, cast(array_position(cs2, array_max(cs2))"
+                " as int)).mid_id"
+            ).alias("mid_id"),
         )
     )
     # level 3: second corpus shuffle — vectors meet their mid's leaf shard
@@ -736,9 +750,9 @@ def ivf_assign_sharded_3level(
             "vec",
             "v_nrm",
             "leaves",
-            F.transform(
-                "leaves",
-                lambda c: dot(F.col("vec"), c["c_vec"]) / (F.col("v_nrm") * c["c_nrm"]),
+            F.expr(
+                f"transform(leaves, c -> {dot_sql('vec', 'c.c_vec')}"
+                " / (v_nrm * c.c_nrm))"
             ).alias("cs3"),
         )
     )
@@ -746,10 +760,10 @@ def ivf_assign_sharded_3level(
         "id",
         "vec",
         "v_nrm",
-        F.element_at(
-            "leaves",
-            F.array_position(F.col("cs3"), F.array_max("cs3")).cast("int"),
-        )["cent_id"].alias("cell"),
+        F.expr(
+            "element_at(leaves, cast(array_position(cs3, array_max(cs3))"
+            " as int)).cent_id"
+        ).alias("cell"),
     )
 
 
@@ -861,10 +875,8 @@ def ivf_assign_sharded_multi(
     )
     coarse_row = F.broadcast(
         coarse.select(
-            F.struct(
-                F.col("coarse_id"),
-                F.col("g_vec"),
-                norm(F.col("g_vec")).alias("g_nrm"),
+            F.expr(
+                f"struct(coarse_id, g_vec, {norm_sql('g_vec')} AS g_nrm)"
             ).alias("g")
         ).agg(F.array_sort(F.collect_list("g")).alias("coarse_arr"))
     )
@@ -874,30 +886,18 @@ def ivf_assign_sharded_multi(
         .select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("vec"),
-            norm(F.col(vec_col)).alias("v_nrm"),
+            F.expr(norm_sql(q_ident(vec_col))).alias("v_nrm"),
             "coarse_arr",
         )
         .select(
             "id",
             "vec",
             "v_nrm",
-            F.slice(
-                F.array_sort(
-                    F.transform(
-                        "coarse_arr",
-                        lambda g: F.struct(
-                            (
-                                -(
-                                    dot(F.col("vec"), g["g_vec"])
-                                    / (F.col("v_nrm") * g["g_nrm"])
-                                )
-                            ).alias("ncs"),
-                            g["coarse_id"].alias("coarse_id"),
-                        ),
-                    )
-                ),
-                1,
-                n_branches if n_branches is not None else nprobe,
+            F.expr(
+                "slice(array_sort(transform(coarse_arr, g -> struct("
+                f"-({dot_sql('vec', 'g.g_vec')} / (v_nrm * g.g_nrm)) AS ncs, "
+                "g.coarse_id AS coarse_id))), 1, "
+                f"{int(n_branches if n_branches is not None else nprobe)})"
             ).alias("branches"),
         )
         .select("id", "vec", "v_nrm", F.explode("branches").alias("b"))
@@ -910,14 +910,10 @@ def ivf_assign_sharded_multi(
             "id",
             "vec",
             "v_nrm",
-            F.transform(
-                F.coalesce("leaves", F.array()),
-                lambda c: F.struct(
-                    (
-                        -(dot(F.col("vec"), c["c_vec"]) / (F.col("v_nrm") * c["c_nrm"]))
-                    ).alias("ncs"),
-                    c["cent_id"].alias("cent_id"),
-                ),
+            F.expr(
+                "transform(coalesce(leaves, array()), c -> struct("
+                f"-({dot_sql('vec', 'c.c_vec')} / (v_nrm * c.c_nrm)) AS ncs, "
+                "c.cent_id AS cent_id))"
             ).alias("scored"),
         )
     )
@@ -1068,9 +1064,7 @@ def ivf_topk(
     cand = q_assigned.join(assigned, "cell").select(
         "query_id",
         F.col("id").alias("vec_id"),
-        (dot(F.col("q_vec"), F.col("vec")) / (F.col("q_nrm") * F.col("v_nrm"))).alias(
-            "cos_sim"
-        ),
+        F.expr(f"{dot_sql('q_vec', 'vec')} / (q_nrm * v_nrm)").alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
@@ -1148,19 +1142,24 @@ def lsh_bucketed_pairs(
     # single shared lambda body instead of `planes` copies of the fold
     # expression; plan-compile cost (re-paid per fresh DataFrame) tracks
     # expression-tree size, and the per-plane fold values are identical
-    projs = F.transform(_lit_matrix(coefs), lambda row: dot(F.col(vec_col), row))
+    projs = F.expr(
+        f"transform({_lit_matrix_sql(coefs)}, row -> "
+        f"{dot_sql(q_ident(vec_col), 'row')})"
+    )
     with_bucket = spread(df).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        norm(F.col(vec_col)).alias("nrm"),
+        F.expr(norm_sql(q_ident(vec_col))).alias("nrm"),
         projs.alias("__projs"),
     )
-    bucket = sum(
-        (
-            F.when(F.element_at("__projs", p + 1) >= 0, 1 << p).otherwise(0)
+    bucket = F.expr(
+        "("
+        + " + ".join(
+            f"(case when element_at(__projs, {p + 1}) >= 0 "
+            f"then {1 << p} else 0 end)"
             for p in range(planes)
-        ),
-        F.lit(0),
+        )
+        + ")"
     )
     # norm folded once per vector here, reused on both sides of the pair join
     bucketed = with_bucket.select(
@@ -1181,9 +1180,7 @@ def lsh_bucketed_pairs(
     ).select(
         F.col("a.id").alias("id_a"),
         F.col("b.id").alias("id_b"),
-        (dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm") * F.col("b.nrm"))).alias(
-            "cos_sim"
-        ),
+        F.expr(f"{dot_sql('a.vec', 'b.vec')} / (a.nrm * b.nrm)").alias("cos_sim"),
     )
     return pairs.filter(F.col("cos_sim") >= threshold).select(
         F.col("id_a").cast("bigint"),
@@ -1242,26 +1239,29 @@ def lsh_banded_pairs(
     # all tables×planes projections via ONE shared-lambda transform over
     # the literal plane matrix (see lsh_bucketed_pairs — plan-compile cost
     # tracks expression-tree size; values identical per plane)
-    projs = F.transform(_lit_matrix(coefs), lambda row: dot(F.col(vec_col), row))
+    projs = F.expr(
+        f"transform({_lit_matrix_sql(coefs)}, row -> "
+        f"{dot_sql(q_ident(vec_col), 'row')})"
+    )
     projected = spread(df).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        norm(F.col(vec_col)).alias("nrm"),
+        F.expr(norm_sql(q_ident(vec_col))).alias("nrm"),
         projs.alias("__projs"),
     )
-    buckets = F.array(
-        *[
-            sum(
-                (
-                    F.when(
-                        F.element_at("__projs", t * planes + p + 1) >= 0, 1 << p
-                    ).otherwise(0)
-                    for p in range(planes)
-                ),
-                F.lit(0),
-            ).cast("int")
+    buckets = F.expr(
+        "array("
+        + ",".join(
+            "cast(("
+            + " + ".join(
+                f"(case when element_at(__projs, {t * planes + p + 1}) >= 0 "
+                f"then {1 << p} else 0 end)"
+                for p in range(planes)
+            )
+            + ") as int)"
             for t in range(tables)
-        ]
+        )
+        + ")"
     )
     pinned = projected.select("id", "vec", "nrm", buckets.alias("bks")).localCheckpoint(
         eager=True
@@ -1286,9 +1286,7 @@ def lsh_banded_pairs(
     pairs = cand.join(va, "id_a").join(vb, "id_b").select(
         "id_a",
         "id_b",
-        (dot(F.col("vec_a"), F.col("vec_b")) / (F.col("nrm_a") * F.col("nrm_b"))).alias(
-            "cos_sim"
-        ),
+        F.expr(f"{dot_sql('vec_a', 'vec_b')} / (nrm_a * nrm_b)").alias("cos_sim"),
     )
     return pairs.filter(F.col("cos_sim") >= threshold).select(
         F.col("id_a").cast("bigint"),
@@ -1332,6 +1330,11 @@ def _pq_subvec(vec_col: Column, s: int) -> Column:
     return F.slice(vec_col, s * PQ_SUBDIM + 1, PQ_SUBDIM)
 
 
+def _pq_subvec_sql(vec: str, s: int) -> str:
+    """SQL-fragment twin of ``_pq_subvec`` (``vec`` pre-quoted)."""
+    return f"slice({vec}, {s * PQ_SUBDIM + 1}, {PQ_SUBDIM})"
+
+
 def _lit_matrix(rows: list[list[float]]) -> Column:
     """Literal array<array<double>> in ONE expression call.
 
@@ -1346,17 +1349,24 @@ def _lit_matrix(rows: list[list[float]]) -> Column:
     correctly-rounded IEEE-754 semantics as ``F.lit``'s direct transfer
     (pinned by tests/test_similarity_ops.py::test_lit_matrix_exact)."""
 
+    return F.expr(_lit_matrix_sql(rows))
+
+
+def _lit_matrix_sql(rows: list[list[float]]) -> str:
+    """The SQL-fragment form of ``_lit_matrix`` — for embedding the
+    literal matrix inside a larger single-parse expression string."""
+
     def d(x: float) -> str:
         return repr(float(x)) + "D"
 
-    return F.expr(
+    return (
         "array("
         + ",".join("array(" + ",".join(d(x) for x in r) + ")" for r in rows)
         + ")"
     )
 
 
-def pq_code_cols(vec_col: Column) -> list[Column]:
+def pq_code_cols(vec_col: str = "embedding") -> list[Column]:
     """One 4-bit code column per subspace: argmin over the 16 centroids of
     the sequential-fold squared-L2 distance (ties → lowest centroid id via
     first-position-of-min). Pure column math over broadcast-free literals —
@@ -1371,24 +1381,17 @@ def pq_code_cols(vec_col: Column) -> list[Column]:
     (measured: 9.2 s → ~1 s for the same 2000-row assignment)."""
     cols = []
     for s, cents in enumerate(pq_codebooks()):
-        sub = _pq_subvec(vec_col, s)
-        dists = F.transform(
-            _lit_matrix(cents),
-            lambda cv: F.aggregate(
-                F.zip_with(
-                    sub,
-                    cv,
-                    lambda v, c: (v.cast("double") - c)
-                    * (v.cast("double") - c),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
+        sub = _pq_subvec_sql(q_ident(vec_col), s)
+        dists = (
+            f"transform({_lit_matrix_sql(cents)}, cv -> "
+            f"aggregate(zip_with({sub}, cv, (v, c) -> "
+            "(cast(v as double) - c) * (cast(v as double) - c)), "
+            "0.0D, (acc, x) -> acc + x))"
         )
         cols.append(
-            (F.array_position(dists, F.array_min(dists)) - 1)
-            .cast("int")
-            .alias(f"code_{s}")
+            F.expr(
+                f"cast(array_position({dists}, array_min({dists})) - 1 as int)"
+            ).alias(f"code_{s}")
         )
     return cols
 
@@ -1430,35 +1433,41 @@ def pq_adc_topk(
     and O(|Q|)× in general. The pin also reflects the production shape:
     codes are a precomputed stored index (``ext_embed_pq`` is the build
     step), not something the search recomputes per scan."""
-    code_cols = pq_code_cols(F.col(vec_col))
+    code_cols = pq_code_cols(vec_col)
     corp = (
         spread(corpus)
         .select(F.col(id_col).alias("vec_id"), *code_cols)
         .localCheckpoint(eager=True)
     )
-    # per-subspace LUT via one shared-lambda transform over the literal
-    # centroid matrix (same compile-cost reasoning as pq_code_cols).
-    # NB: the lambda must take exactly ONE parameter — F.transform treats a
-    # two-parameter callable as (element, index), so a default-arg closure
-    # trick (lambda cv, _s=s: ...) silently binds the subspace to the
-    # element INDEX column.
-    def _subspace_lut(s: int, cents: list[list[float]]) -> Column:
-        sub = _pq_subvec(F.col(vec_col), s)
-        return F.transform(_lit_matrix(cents), lambda cv: dot(sub, cv))
 
-    lut = F.array(
-        *[_subspace_lut(s, cents) for s, cents in enumerate(pq_codebooks())]
+    # per-subspace LUT via one single-parse transform over the literal
+    # centroid matrix (same plan-construction-cost reasoning as
+    # pq_code_cols).
+    def _subspace_lut_sql(s: int, cents: list[list[float]]) -> str:
+        sub = _pq_subvec_sql(q_ident(vec_col), s)
+        return (
+            f"transform({_lit_matrix_sql(cents)}, cv -> {dot_sql(sub, 'cv')})"
+        )
+
+    lut = F.expr(
+        "array("
+        + ",".join(
+            _subspace_lut_sql(s, cents)
+            for s, cents in enumerate(pq_codebooks())
+        )
+        + ")"
     )
     q = F.broadcast(
         queries.select(F.col(query_id_col).alias("query_id"), lut.alias("lut"))
     )
     # left-fold of the 8 LUT lookups — same order as the oracle's
     # list_reduce over list(d ORDER BY s)
-    score = F.element_at(F.element_at("lut", 1), F.col("code_0") + 1)
-    for s in range(1, PQ_SUBSPACES):
-        score = score + F.element_at(
-            F.element_at("lut", s + 1), F.col(f"code_{s}") + 1
+    score = F.expr(
+        " + ".join(
+            f"element_at(element_at(lut, {s + 1}), code_{s} + 1)"
+            for s in range(PQ_SUBSPACES)
         )
+    )
     scored = corp.crossJoin(q).select(
         "query_id", "vec_id", score.alias("approx")
     )

@@ -760,7 +760,7 @@ def ext_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     code — Spark's fold produced a code from NULL subvectors while the
     oracle's argmin collapsed, silently diverging)."""
     emb = load(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
-    codes = pq_code_cols(F.col("embedding"))
+    codes = pq_code_cols("embedding")
     return spread(emb).select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
         pq_pack(codes).alias("pq_code"),

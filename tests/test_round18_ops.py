@@ -243,3 +243,145 @@ def test_lit_matrix_exact(spark):
         assert [
             [bits(x) for x in r] for r in got["new"]
         ] == [[bits(x) for x in r] for r in got["old"]]
+
+
+def test_sql_fragment_twins_exact(spark):
+    """The r18 single-parse expression rework must be PLAN-IDENTICAL to
+    the r17 Column-form construction (not merely value-equal):
+    Dataset.sameSemantics compares canonicalized analyzed plans, so a True
+    here guarantees bit-identical execution for every input. Covers the
+    dot/norm fragments and the two assignment shapes whose inner
+    expressions were re-rendered as expr() strings."""
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from cta_train_tracker_analytics_spark.operators.similarity import (
+        dot,
+        dot_sql,
+        norm,
+        norm_sql,
+        ivf_assign,
+        ivf_assign_multi,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    rows = [(i, [float(i + d) / 7.0 for d in range(8)]) for i in range(20)]
+    df = spark.createDataFrame(rows, schema)
+
+    # dot/norm fragments vs Column forms
+    old = df.select(
+        dot(F.col("embedding"), F.col("embedding")).alias("d"),
+        norm(F.col("embedding")).alias("n"),
+    )
+    new = df.select(
+        F.expr(dot_sql("embedding", "embedding")).alias("d"),
+        F.expr(norm_sql("embedding")).alias("n"),
+    )
+    assert old.sameSemantics(new)
+
+    # whole-operator equivalence: the new ivf_assign / ivf_assign_multi
+    # vs an inline replica of the r17 Column-form construction
+    cents_df = df.limit(4).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
+    )
+
+    def old_ivf_assign(d, centroids):
+        cents = F.broadcast(
+            centroids.select(
+                F.struct(
+                    F.col("cent_id"),
+                    F.col("c_vec"),
+                    norm(F.col("c_vec")).alias("c_nrm"),
+                ).alias("c")
+            ).agg(F.array_sort(F.collect_list("c")).alias("cents"))
+        )
+        scored = d.crossJoin(cents).select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").alias("vec"),
+            norm(F.col("embedding")).alias("v_nrm"),
+            F.col("cents"),
+        ).select(
+            "id",
+            "vec",
+            "v_nrm",
+            "cents",
+            F.transform(
+                "cents",
+                lambda c: dot(F.col("vec"), c["c_vec"])
+                / (F.col("v_nrm") * c["c_nrm"]),
+            ).alias("cs_arr"),
+        )
+        return scored.select(
+            "id",
+            "vec",
+            "v_nrm",
+            F.element_at(
+                "cents",
+                F.array_position(F.col("cs_arr"), F.array_max("cs_arr")).cast(
+                    "int"
+                ),
+            )["cent_id"].alias("cell"),
+        )
+
+    def old_ivf_assign_multi(d, centroids, nprobe):
+        cents = F.broadcast(
+            centroids.select(
+                F.struct(
+                    F.col("cent_id"),
+                    F.col("c_vec"),
+                    norm(F.col("c_vec")).alias("c_nrm"),
+                ).alias("c")
+            ).agg(F.array_sort(F.collect_list("c")).alias("cents"))
+        )
+        scored = d.crossJoin(cents).select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").alias("vec"),
+            norm(F.col("embedding")).alias("v_nrm"),
+            F.col("cents"),
+        ).select(
+            "id",
+            "vec",
+            "v_nrm",
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        "cents",
+                        lambda c: F.struct(
+                            (
+                                -(
+                                    dot(F.col("vec"), c["c_vec"])
+                                    / (F.col("v_nrm") * c["c_nrm"])
+                                )
+                            ).alias("ncs"),
+                            c["cent_id"].alias("cent_id"),
+                        ),
+                    )
+                ),
+                1,
+                nprobe,
+            ).alias("probes"),
+        )
+        return scored.select(
+            "id", "vec", "v_nrm", F.posexplode("probes")
+        ).select(
+            "id",
+            "vec",
+            "v_nrm",
+            (F.col("pos") + 1).alias("probe"),
+            F.col("col.cent_id").alias("cell"),
+        )
+
+    assert ivf_assign(df, cents_df).sameSemantics(old_ivf_assign(df, cents_df))
+    assert ivf_assign_multi(df, cents_df, 2).sameSemantics(
+        old_ivf_assign_multi(df, cents_df, 2)
+    )
