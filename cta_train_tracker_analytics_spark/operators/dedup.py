@@ -147,11 +147,18 @@ def minhash_signatures(tok_df: DataFrame) -> DataFrame:
     else:
         h = tok_df.select("id", (hash60(F.col("tok")) % MINHASH_PRIME).alias("hv"))
     perms = minhash_params()
-    pv = F.array(
-        *[(F.lit(a) * F.col("hv") + F.lit(b)) % MINHASH_PRIME for a, b in perms]
+    # single-parse expression strings (r18): the per-permutation Column
+    # arithmetic cost ~6 py4j round-trips × K per plan BUILD — ~100 calls
+    # re-paid per fresh DataFrame; one expr() string parses the identical
+    # tree in one round-trip (bare integer literals < 2^31 parse as INT,
+    # exactly F.lit's type, so the analyzed tree is unchanged).
+    pv = F.expr(
+        "array("
+        + ",".join(f"({a} * hv + {b}) % {MINHASH_PRIME}" for a, b in perms)
+        + ")"
     )
     return h.select("id", pv.alias("pv")).groupBy("id").agg(
-        *[F.min(F.col("pv").getItem(i)).alias(f"mh{i}") for i in range(MINHASH_K)]
+        *[F.expr(f"min(pv[{i}]) AS mh{i}") for i in range(MINHASH_K)]
     )
 
 
@@ -170,14 +177,15 @@ def minhash_candidate_pairs(sig: DataFrame) -> DataFrame:
     band_structs = []
     for band in range(MINHASH_BANDS):
         idx = range(band * rows_per_band, (band + 1) * rows_per_band)
-        sig_str = F.concat_ws(
-            ",", *[F.format_string("%02d:%d", F.lit(i), F.col(f"mh{i}")) for i in idx]
-        )
+        sig_str = "concat_ws(',', " + ", ".join(
+            f"format_string('%02d:%d', {i}, mh{i})" for i in idx
+        ) + ")"
         band_structs.append(
-            F.struct(F.lit(band).alias("band"), F.md5(sig_str).alias("band_hash"))
+            f"struct({band} AS band, md5({sig_str}) AS band_hash)"
         )
     band_sig = sig.select(
-        "id", F.explode(F.array(*band_structs)).alias("b")
+        "id",
+        F.expr("explode(array(" + ", ".join(band_structs) + "))").alias("b"),
     ).select("id", F.col("b.band").alias("band"), F.col("b.band_hash").alias("band_hash"))
     a = band_sig.alias("a")
     b = band_sig.alias("b")

@@ -57,9 +57,11 @@ from ..operators.similarity import (
     scored_cosine,
     topk_cosine,
 )
-from ..operators.similarity import _lit_matrix
-from ..operators.similarity import dot as sdot
-from ..operators.similarity import norm as snorm
+from ..operators.similarity import (
+    _lit_matrix_sql,
+    dot_sql,
+    norm_sql,
+)
 from ..operators.util import spread
 from .registry import query
 
@@ -669,22 +671,25 @@ def ext_dedup_embed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     coefs = projection_planes(64, planes)
 
     def bucketed(df: DataFrame, id_alias: str) -> DataFrame:
-        # one shared-lambda transform over the literal plane matrix (see
-        # lsh_bucketed_pairs — plan-compile cost tracks tree size)
-        projs = F.transform(
-            _lit_matrix(coefs), lambda row: sdot(F.col("embedding"), row)
+        # single-parse transform over the literal plane matrix (see
+        # lsh_bucketed_pairs — plan-construction cost tracks py4j calls)
+        projs = F.expr(
+            f"transform({_lit_matrix_sql(coefs)}, row -> "
+            f"{dot_sql('embedding', 'row')})"
         )
-        bucket = sum(
-            (
-                F.when(F.element_at("__projs", p + 1) >= 0, 1 << p).otherwise(0)
+        bucket = F.expr(
+            "("
+            + " + ".join(
+                f"(case when element_at(__projs, {p + 1}) >= 0 "
+                f"then {1 << p} else 0 end)"
                 for p in range(planes)
-            ),
-            F.lit(0),
+            )
+            + ")"
         )
         return df.select(
             F.col("vec_id").alias(id_alias),
             F.col("embedding").alias(f"{id_alias}_vec"),
-            snorm(F.col("embedding")).alias(f"{id_alias}_nrm"),
+            F.expr(norm_sql("embedding")).alias(f"{id_alias}_nrm"),
             projs.alias("__projs"),
         ).select(
             id_alias,
@@ -698,9 +703,9 @@ def ext_dedup_embed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = b.join(c, "bucket").select(
         "batch_id",
         "corpus_id",
-        (
-            sdot(F.col("batch_id_vec"), F.col("corpus_id_vec"))
-            / (F.col("batch_id_nrm") * F.col("corpus_id_nrm"))
+        F.expr(
+            f"{dot_sql('batch_id_vec', 'corpus_id_vec')}"
+            " / (batch_id_nrm * corpus_id_nrm)"
         ).alias("cos_sim"),
     )
     return pairs.filter(F.col("cos_sim") >= 0.2).select(
@@ -887,7 +892,7 @@ def ext_sim_search_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries.select(
             "query_id",
             F.col("embedding").alias("q_vec"),
-            snorm(F.col("embedding")).alias("q_nrm"),
+            F.expr(norm_sql("embedding")).alias("q_nrm"),
         )
     )
     scored = (
@@ -895,7 +900,7 @@ def ext_sim_search_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb.select(
                 "vec_id",
                 F.col("embedding").alias("c_vec"),
-                snorm(F.col("embedding")).alias("c_nrm"),
+                F.expr(norm_sql("embedding")).alias("c_nrm"),
             ),
             "vec_id",
         )
@@ -903,10 +908,7 @@ def ext_sim_search_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "vec_id",
-            (
-                sdot(F.col("q_vec"), F.col("c_vec"))
-                / (F.col("q_nrm") * F.col("c_nrm"))
-            ).alias("cs"),
+            F.expr(f"{dot_sql('q_vec', 'c_vec')} / (q_nrm * c_nrm)").alias("cs"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cs").desc(), F.col("vec_id"))
@@ -1458,9 +1460,7 @@ def ext_sim_search_ivf_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = qside.join(assigned, "cell").select(
         "query_id",
         F.col("id").alias("vec_id"),
-        (sdot(F.col("q_vec"), F.col("vec")) / (F.col("q_nrm") * F.col("v_nrm"))).alias(
-            "cos_sim"
-        ),
+        F.expr(f"{dot_sql('q_vec', 'vec')} / (q_nrm * v_nrm)").alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
@@ -1627,9 +1627,7 @@ def ext_sim_search_ivf_3level(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = qside.join(assigned, "cell").select(
         "query_id",
         F.col("id").alias("vec_id"),
-        (sdot(F.col("q_vec"), F.col("vec")) / (F.col("q_nrm") * F.col("v_nrm"))).alias(
-            "cos_sim"
-        ),
+        F.expr(f"{dot_sql('q_vec', 'vec')} / (q_nrm * v_nrm)").alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
@@ -3425,7 +3423,7 @@ def ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         x.join(y, ["cell"])
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
-            sdot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")) >= 0.2
+            F.expr(f"{dot_sql('va', 'vb')} / (na * nb)") >= 0.2
         )
         .select("id_b")
         .distinct()
@@ -4186,7 +4184,7 @@ def ext_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(b, ["label", "cell"]).filter(
         F.col("vec_id") != F.col("neighbor_id")
     )
-    cs = sdot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    cs = F.expr(f"{dot_sql('va', 'vb')} / (na * nb)")
     scored = pairs.select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
         F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
@@ -4320,7 +4318,7 @@ def ext_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell",
     )
     pairs = left.join(right, "cell").filter(F.col("vec_id") != F.col("neighbor_id"))
-    cs = sdot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    cs = F.expr(f"{dot_sql('va', 'vb')} / (na * nb)")
     scored = pairs.select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
         F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
@@ -4452,7 +4450,7 @@ def ext_knn_graph_ivf_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell",
     )
     pairs = left.join(right, "cell").filter(F.col("vec_id") != F.col("neighbor_id"))
-    cs = sdot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    cs = F.expr(f"{dot_sql('va', 'vb')} / (na * nb)")
     scored = pairs.select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
         F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
@@ -4605,7 +4603,7 @@ def ext_knn_graph_ivf_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell",
     )
     pairs = left.join(right, "cell").filter(F.col("vec_id") != F.col("neighbor_id"))
-    cs = sdot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    cs = F.expr(f"{dot_sql('va', 'vb')} / (na * nb)")
     scored = pairs.select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
         F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
@@ -4751,7 +4749,7 @@ def ext_knn_graph_ivf_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell",
     )
     pairs = left.join(right, "cell").filter(F.col("vec_id") != F.col("neighbor_id"))
-    cs = sdot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    cs = F.expr(f"{dot_sql('va', 'vb')} / (na * nb)")
     scored = pairs.select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
         F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
@@ -5018,7 +5016,7 @@ def ext_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") != F.col("neg_id"))
         & (F.col("label_a") != F.col("label_b"))
     )
-    cs = sdot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    cs = F.expr(f"{dot_sql('va', 'vb')} / (na * nb)")
     scored = pairs.select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
         F.col("neg_id").cast("bigint").alias("neg_id"),
@@ -5225,7 +5223,7 @@ def ext_knn_graph_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell",
     )
     pairs = left.join(right, "cell").filter(F.col("vec_id") != F.col("neighbor_id"))
-    cs = sdot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    cs = F.expr(f"{dot_sql('va', 'vb')} / (na * nb)")
     scored = pairs.select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
         F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
