@@ -1347,7 +1347,7 @@ def _lit_matrix(rows: list[list[float]]) -> Column:
     bit-identical: ``repr(float)`` is the shortest round-trip decimal and
     the SQL lexer's ``...D`` double literal parses it with the same
     correctly-rounded IEEE-754 semantics as ``F.lit``'s direct transfer
-    (pinned by tests/test_similarity_ops.py::test_lit_matrix_exact)."""
+    (pinned by tests/test_round18_ops.py::test_lit_matrix_exact)."""
 
     return F.expr(_lit_matrix_sql(rows))
 
