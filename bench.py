@@ -305,6 +305,49 @@ def regression_candidates(
     return out
 
 
+def streaming_tier_gate(
+    streaming_total: float | None,
+    prior_best: float | None,
+    session_offset: float | None,
+    full_run: bool,
+) -> tuple[float | None, dict | None]:
+    """The streaming tier's TOTAL promoted into the regression gate (r18
+    verdict #7), same thresholds as the headline per-query rule. Returns
+    (new_best, flag_record): flag_record is None when the total is within
+    thresholds; new_best only moves on a FULL run (a filtered run's partial
+    tier sum is a different quantity and must neither flag nor re-floor).
+    The record carries the offset-normalized ratio; the caller routes it to
+    regressions or drift_excused on the NORMALIZED_REGRESSION_RATIO margin
+    exactly like a per-query flag."""
+    if not full_run or streaming_total is None:
+        return prior_best, None
+    rec = None
+    if (
+        prior_best is not None
+        and streaming_total > REGRESSION_RATIO * prior_best
+        and streaming_total - prior_best > REGRESSION_MIN_DELTA_SEC
+    ):
+        rec = {
+            "query": "streaming_tier_total",
+            "best_ever": prior_best,
+            "measured": streaming_total,
+            "retimed": streaming_total,
+            "ratio": round(streaming_total / prior_best, 2),
+            "normalized_ratio": normalized_regression_ratio(
+                streaming_total, prior_best, session_offset,
+                "streaming_tier_total",
+            ),
+            "session_offset": session_offset,
+            "floor_protocol": "bench-run",
+        }
+    new_best = (
+        streaming_total
+        if prior_best is None or streaming_total < prior_best
+        else prior_best
+    )
+    return new_best, rec
+
+
 def tag_floor_protocols(
     best_ever: dict[str, float], best_ever_env: dict[str, dict]
 ) -> None:
@@ -334,6 +377,7 @@ def driver_line(
     sf: float,
     filtered: bool = False,
     streaming: dict[str, float] | None = None,
+    control: dict | None = None,
 ) -> str:
     """The ONE stdout JSON line the driver records. Kept deliberately
     small — summary plus the 15 slowest queries (the ones worth a plan
@@ -366,6 +410,12 @@ def driver_line(
         payload["streaming_slowest"] = dict(
             sorted(streaming.items(), key=lambda kv: kv[1], reverse=True)[:5]
         )
+    if control:
+        # the control query's measured/floor ratio rides the driver line
+        # (r18 verdict #6): the next judge separates environment drift from
+        # code without digging through BENCH_DETAIL provenance. Additions
+        # only — consumers of the existing keys are unaffected.
+        payload["control"] = control
     if filtered:
         payload["filtered"] = True
     return json.dumps(payload, separators=(",", ":"))
@@ -377,7 +427,7 @@ def driver_line(
 _OWNED_DETAIL_KEYS = {
     "sf", "total_sec", "streaming_total_sec", "queries", "queries_min",
     "best_ever", "best_ever_env", "regressions", "provenance", "method",
-    "impl_hash", "impl_hash_meta",
+    "impl_hash", "impl_hash_meta", "streaming_total_best",
 }
 
 
@@ -556,9 +606,15 @@ def detail_payload(
     control_query: dict | None = None,
     drift_excused: list[dict] | None = None,
     streaming_names: set[str] | frozenset[str] = frozenset(),
+    streaming_total_best: float | None = None,
 ) -> dict:
     return {
         **{k: v for k, v in prior.items() if k not in _OWNED_DETAIL_KEYS},
+        # best-ever of the FULL streaming tier total (r18 verdict #7): the
+        # tier-level floor the streaming gate below compares against. Only
+        # full runs update it (a filtered run's partial tier sum is not the
+        # same quantity); carried forward otherwise.
+        "streaming_total_best": streaming_total_best,
         "sf": sf,
         # total_sec stays HEADLINE-only so round-over-round totals remain
         # comparable after the r17 streaming-tier addition; the str_* tier
@@ -648,6 +704,14 @@ def detail_payload(
                 "every registered str_* query, timed after the headline "
                 "set under the same estimators/floors/flag rule; totals "
                 "reported separately (total_sec is headline-only)"
+            ),
+            "streaming_tier_total_gate": (
+                "full runs compare the tier total vs streaming_total_best "
+                f"under the headline thresholds ({REGRESSION_RATIO}x and "
+                f"+{REGRESSION_MIN_DELTA_SEC}s, offset-normalized margin "
+                f"{NORMALIZED_REGRESSION_RATIO}x); no per-query retime for "
+                "the sum — the per-query rows already carry their own "
+                "retimed verdicts"
             ),
             "floor_reset": (
                 "best_ever dropped when impl_hash (AST fingerprint of the "
@@ -928,6 +992,32 @@ def main() -> None:
         ]
         drift_excused = kept_excused + drift_excused
 
+    # streaming tier total gate (r18 verdict #7): flag the TIER's sum under
+    # the same thresholds/offset normalization as per-query drift. Only a
+    # full run judges or re-floors it — a filtered run's partial tier sum
+    # is a different quantity.
+    streaming_total = (
+        round(sum(streaming_timings.values()), 3) if streaming_timings else None
+    )
+    streaming_total_best, tier_rec = streaming_tier_gate(
+        streaming_total,
+        prior.get("streaming_total_best"),
+        effective_session_offset(main_offset, retimed_offset),
+        full_run=not only,
+    )
+    if tier_rec is not None:
+        if tier_rec["normalized_ratio"] > NORMALIZED_REGRESSION_RATIO:
+            print(
+                f"# regression streaming_tier_total: ratio "
+                f"{tier_rec['ratio']:.2f}x (normalized "
+                f"{tier_rec['normalized_ratio']:.2f}x) vs tier floor "
+                f"{tier_rec['best_ever']}s",
+                file=sys.stderr,
+            )
+            regressions.append(tier_rec)
+        else:
+            drift_excused.append(tier_rec)
+
     refloored: set[str] = set()
     for name, sec in timings_min.items():
         # best-of-history on the min-of-runs timing: distinguishes noise
@@ -984,6 +1074,7 @@ def main() -> None:
                 control_query=control_query,
                 drift_excused=drift_excused,
                 streaming_names=set(streaming_tier),
+                streaming_total_best=streaming_total_best,
             ),
             f,
             indent=1,
@@ -997,8 +1088,20 @@ def main() -> None:
     headline_timings = {
         k: v for k, v in timings.items() if k not in set(streaming_tier)
     }
+    # the control's measured/floor ratio rides the line (r18 verdict #6)
+    line_control = (
+        {
+            "sec": control_query["min_sec"],
+            "floor": control_query["floor"],
+            "offset": control_query["session_offset"]
+            if control_query["session_offset"] is not None
+            else control_query["main_loop_offset"],
+        }
+        if control_query
+        else None
+    )
     print(driver_line(headline_timings, total, sf, filtered=bool(only),
-                      streaming=streaming_timings))
+                      streaming=streaming_timings, control=line_control))
 
 
 if __name__ == "__main__":

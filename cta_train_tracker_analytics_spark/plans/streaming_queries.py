@@ -833,7 +833,12 @@ def str_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
         "leftOuter",
     )
-    out = run_to_memory(joined, "append", cp)
+    # evict_emission: the null rows for unmatched clicks are emitted by
+    # the watermark-advance no-data batch (SPARK-24156) — the one drain in
+    # the tier whose OUTPUT depends on it (r19 measured: without it, 183
+    # rows instead of 19 865). Every other drain leaves the default
+    # (no-data batches suppressed — pure fixed cost for bounded drains).
+    out = run_to_memory(joined, "append", cp, evict_emission=True)
     return out.filter(F.col("c_user") >= 0).select(
         F.col("c_user").alias("user_id"),
         F.col("click_id").cast("bigint"),

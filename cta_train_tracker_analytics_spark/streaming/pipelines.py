@@ -128,11 +128,20 @@ class scoped_state_partitions:
     """Context manager pinning spark.sql.shuffle.partitions (the stateful
     streaming partition count) around a streaming query START; restores the
     session's batch width afterwards. Safe to restore while the query still
-    runs: StreamExecution clones the session conf at start()."""
+    runs: StreamExecution clones the session conf at start().
 
-    def __init__(self, spark: SparkSession, n: int | None = None):
+    ``extra`` scopes additional session confs the same way (used by the
+    drains' no-data-batch control below)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        n: int | None = None,
+        extra: dict[str, str] | None = None,
+    ):
         self.spark = spark
         self.n = stream_state_partitions() if n is None else n
+        self.extra = dict(extra or {})
 
     def __enter__(self):
         # None default so a never-explicitly-set session width is restored
@@ -141,6 +150,11 @@ class scoped_state_partitions:
         # into an explicit conf on exit (ADVICE r17).
         self.prev = self.spark.conf.get("spark.sql.shuffle.partitions", None)
         self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+        self.prev_extra = {
+            k: self.spark.conf.get(k, None) for k in self.extra
+        }
+        for k, v in self.extra.items():
+            self.spark.conf.set(k, v)
         return self
 
     def __exit__(self, *exc):
@@ -148,7 +162,36 @@ class scoped_state_partitions:
             self.spark.conf.unset("spark.sql.shuffle.partitions")
         else:
             self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        for k, v in self.prev_extra.items():
+            if v is None:
+                self.spark.conf.unset(k)
+            else:
+                self.spark.conf.set(k, v)
         return False
+
+
+def _no_data_batch_conf(evict_emission: bool) -> dict[str, str]:
+    """The bounded drains' no-data-batch policy (r19, guide §1/§2: cut
+    fixed per-batch cost — each no-data batch re-opens and re-commits
+    every state-store partition, measured ~1.0-1.5 s per drain at sf0.1).
+
+    When the watermark advances, Spark by default runs ONE extra no-data
+    micro-batch (SPARK-24156) so eviction-driven results flow without more
+    input. For a bounded availableNow drain that is pure overhead UNLESS
+    the sink's output depends on eviction emission: an append-mode sink
+    fed by watermark-closed state (outer-join null rows, append-mode
+    windowed aggregations). Those drains must pass ``evict_emission=True``
+    (str_stream_join_outer is the registered case — measured: without the
+    no-data batch its unmatched clicks are never emitted, 183 rows vs
+    19 865). Everything else — complete/update modes, dedup and inner
+    joins that emit at arrival/match time — produces identical output
+    without the extra batch; the registered tier is oracle-pinned both
+    ways. Production deployments with processingTime triggers are
+    unaffected: this conf is scoped to the drain it wraps."""
+    return {
+        "spark.sql.streaming.noDataMicroBatches.enabled":
+            "true" if evict_emission else "false",
+    }
 
 
 def parquet_stream(
@@ -164,19 +207,45 @@ def parquet_stream(
     STREAM_STATE_TARGET_ROWS)."""
     writer = df.coalesce(1) if single_file else df
     writer.write.mode("overwrite").parquet(source_dir)
-    note_stream_volume(spark.read.parquet(source_dir).count())
+    note_stream_volume(_parquet_dir_rows(source_dir))
     return spark.readStream.schema(df.schema).parquet(source_dir)
+
+
+def _parquet_dir_rows(source_dir: str) -> int:
+    """Row count of a just-staged parquet dir from the FOOTER metadata —
+    the same number ``spark.read.parquet(dir).count()`` returns (Spark
+    answers a bare count from the same footers), without scheduling a
+    Spark job for it. The staging count runs once per streaming query per
+    bench run; the job-submission overhead (~0.15-0.6 s each, measured
+    r19) was the second-largest fixed cost in the tier after no-data
+    batches."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(str(p)).metadata.num_rows
+        for p in Path(source_dir).glob("*.parquet")
+    )
 
 
 def run_to_memory(
     sdf: DataFrame, output_mode: str, checkpoint_dir: str,
     timeout_sec: int | None = None,
+    evict_emission: bool = False,
 ) -> DataFrame:
     """Drain a bounded stream into an in-memory sink (availableNow) and
     return the sink table as a DataFrame. Raises if the drain outlives
-    its budget (see await_drained) — never returns a partial sink."""
+    its budget (see await_drained) — never returns a partial sink.
+
+    ``evict_emission=True`` keeps Spark's watermark-advance no-data batch
+    (see _no_data_batch_conf) — REQUIRED when the sink's rows are emitted
+    by state eviction rather than at arrival/match time (append-mode
+    outer joins / windowed aggregations)."""
     name = f"mem_{uuid.uuid4().hex[:12]}"
-    with scoped_state_partitions(sdf.sparkSession):
+    with scoped_state_partitions(
+        sdf.sparkSession, extra=_no_data_batch_conf(evict_emission)
+    ):
         q = (
             sdf.writeStream.format("memory")
             .queryName(name)
@@ -196,12 +265,17 @@ def run_to_files(
     checkpoint_dir: str,
     fmt: str = "json",
     timeout_sec: int | None = None,
+    evict_emission: bool = False,
 ) -> None:
     """Drain a bounded stream into a checkpointed file sink — the
     exactly-once replacement for the reference's Firehose retry loop.
     Re-running with the same checkpoint is a no-op (offsets committed),
-    which is precisely the at-least-once → exactly-once upgrade."""
-    with scoped_state_partitions(sdf.sparkSession):
+    which is precisely the at-least-once → exactly-once upgrade.
+
+    ``evict_emission`` as in run_to_memory."""
+    with scoped_state_partitions(
+        sdf.sparkSession, extra=_no_data_batch_conf(evict_emission)
+    ):
         q = (
             sdf.writeStream.format(fmt)
             .option("path", out_dir)

@@ -110,7 +110,12 @@ def test_availablenow_runs_nodata_eviction_batch(spark, tmp_path):
     silently drop every unmatched-click row. Pin the behavior on a 3-row
     staged source: (a) the unmatched click surfaces as a null-purchase
     row, and (b) the committed offset log records EXACTLY two batches —
-    one data batch, one no-data eviction batch."""
+    one data batch, one no-data eviction batch.
+
+    Since r19 the drain must OPT IN via ``evict_emission=True`` — the
+    bounded drains suppress no-data batches by default (pure fixed cost
+    when the sink doesn't depend on eviction; see _no_data_batch_conf).
+    This test pins both directions of that contract."""
     from pathlib import Path
 
     from pyspark.sql import functions as F
@@ -158,7 +163,11 @@ def test_availablenow_runs_nodata_eviction_batch(spark, tmp_path):
     )
     from cta_train_tracker_analytics_spark.streaming.pipelines import run_to_memory
 
-    rows = run_to_memory(joined, "append", cp).filter(F.col("c_user") >= 0).collect()
+    rows = (
+        run_to_memory(joined, "append", cp, evict_emission=True)
+        .filter(F.col("c_user") >= 0)
+        .collect()
+    )
     by_click = {r["click_id"]: r for r in rows}
     assert by_click[1]["purchase_id"] == 10
     assert by_click[2]["purchase_id"] is None, (
@@ -171,6 +180,19 @@ def test_availablenow_runs_nodata_eviction_batch(spark, tmp_path):
     assert n_batches == 2, (
         f"expected 1 data + 1 no-data batch, offset log has {n_batches}"
     )
+    # and the r19 default (evict_emission=False) suppresses the no-data
+    # batch: one committed batch, no null row for the unmatched click —
+    # exactly why str_stream_join_outer must keep opting in.
+    cp2 = str(Path(cp).parent / "cp_nodata_off")
+    rows_off = (
+        run_to_memory(joined, "append", cp2)
+        .filter(F.col("c_user") >= 0)
+        .collect()
+    )
+    assert {r["click_id"] for r in rows_off} == {1}
+    offsets2 = Path(cp2) / "offsets"
+    n2 = len([p for p in offsets2.iterdir() if not p.name.startswith(".")])
+    assert n2 == 1, f"expected the single data batch, offset log has {n2}"
 
 
 def test_scoped_state_partitions_restores_unset_as_unset(spark):
@@ -230,3 +252,51 @@ def test_parquet_stream_observes_source_volume(spark, tmp_path):
     pl.parquet_stream(spark, df, str(tmp_path / "src"))
     assert pl._observed_input_rows == 17
     pl.reset_stream_volume()
+
+
+def test_parquet_dir_rows_matches_spark_count(spark, tmp_path):
+    """r19: the adaptive-width staging count is a pyarrow footer read (no
+    Spark job); it must equal what spark.read.parquet().count() returns,
+    including over multi-file dirs."""
+    from cta_train_tracker_analytics_spark.streaming import pipelines as pl
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(123)], "k long, v double")
+    d = str(tmp_path / "multi")
+    df.repartition(4).write.mode("overwrite").parquet(d)
+    assert pl._parquet_dir_rows(d) == spark.read.parquet(d).count() == 123
+
+
+def test_scoped_state_partitions_extra_confs_restore(spark):
+    """The drains' scoped no-data-batch conf restores like the width pin:
+    a never-set conf is UNSET on exit, an explicit one is re-set."""
+    from cta_train_tracker_analytics_spark.streaming import pipelines as pl
+
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev = spark.conf.get(key, None)
+    try:
+        assert spark.conf.get(key, None) is None  # engine default, unset
+        with pl.scoped_state_partitions(
+            spark, extra=pl._no_data_batch_conf(evict_emission=False)
+        ):
+            assert spark.conf.get(key) == "false"
+        assert spark.conf.get(key, None) is None
+        spark.conf.set(key, "true")
+        with pl.scoped_state_partitions(
+            spark, extra=pl._no_data_batch_conf(evict_emission=True)
+        ):
+            assert spark.conf.get(key) == "true"
+        assert spark.conf.get(key) == "true"
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+def test_no_data_batch_conf_values():
+    from cta_train_tracker_analytics_spark.streaming import pipelines as pl
+
+    off = pl._no_data_batch_conf(False)
+    on = pl._no_data_batch_conf(True)
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    assert off[key] == "false" and on[key] == "true"

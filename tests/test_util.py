@@ -513,3 +513,61 @@ def test_bench_driver_line_headline_map_excludes_streaming():
     assert obj["n_queries"] == 2
     assert "str_a" not in obj["queries"]
     assert obj["streaming_slowest"] == {"str_a": 9.0}
+
+
+def test_bench_driver_line_carries_control_offset():
+    """r18 verdict #6: every bench emission carries the control query's
+    measured/floor ratio so the judge separates environment drift from
+    code without BENCH_DETAIL archaeology. Additions-only: absent when a
+    filtered run excluded the control."""
+    import json as _json
+
+    import bench
+
+    control = {"sec": 0.7, "floor": 0.62, "offset": 1.13}
+    obj = _json.loads(
+        bench.driver_line({"q": 1.0}, 1.0, 0.1, control=control)
+    )
+    assert obj["control"] == control
+    obj2 = _json.loads(bench.driver_line({"q": 1.0}, 1.0, 0.1))
+    assert "control" not in obj2
+
+
+def test_bench_streaming_tier_gate():
+    """r18 verdict #7: the streaming tier TOTAL joins the regression gate
+    under the headline thresholds; filtered runs neither flag nor
+    re-floor it (their partial tier sum is a different quantity)."""
+    import bench
+
+    # first full run: floor set, no flag
+    best, rec = bench.streaming_tier_gate(30.0, None, 1.0, full_run=True)
+    assert best == 30.0 and rec is None
+    # improvement re-floors
+    best, rec = bench.streaming_tier_gate(25.0, 30.0, 1.0, full_run=True)
+    assert best == 25.0 and rec is None
+    # drift past both thresholds flags with the offset-normalized ratio
+    best, rec = bench.streaming_tier_gate(45.0, 25.0, 1.2, full_run=True)
+    assert best == 25.0
+    assert rec is not None and rec["query"] == "streaming_tier_total"
+    assert rec["ratio"] == 1.8
+    assert rec["normalized_ratio"] == 1.5  # 45/25/1.2
+    # a slow control never amplifies: offset clamped at >=1 by the shared
+    # normalized_regression_ratio helper
+    _, rec_fast = bench.streaming_tier_gate(45.0, 25.0, 0.5, full_run=True)
+    assert rec_fast["normalized_ratio"] == 1.8
+    # filtered run: carries the floor, never flags
+    best, rec = bench.streaming_tier_gate(45.0, 25.0, 1.0, full_run=False)
+    assert best == 25.0 and rec is None
+    # no streaming timings this run (e.g. headline-only filter)
+    best, rec = bench.streaming_tier_gate(None, 25.0, 1.0, full_run=True)
+    assert best == 25.0 and rec is None
+
+
+def test_bench_detail_payload_carries_streaming_total_best():
+    import bench
+
+    out = bench.detail_payload(
+        {}, 0.1, {"str_a": 2.0}, {"str_a": 1.9}, {}, [], filtered=False,
+        streaming_names={"str_a"}, streaming_total_best=24.5,
+    )
+    assert out["streaming_total_best"] == 24.5
