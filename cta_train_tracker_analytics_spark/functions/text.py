@@ -41,6 +41,29 @@ def tokens(col: Column) -> Column:
     return F.split(F.lower(F.trim(col)), r"\s+")
 
 
+# --- SQL-fragment twins (r19 optimization round 2) -----------------------
+#
+# Same single-parse recipe as similarity.dot_sql (r18): each Column
+# operator costs ~13-37 py4j round-trips on this PySpark, so the shared
+# dedup/text builders were spending ~300-900 round-trips of
+# single-threaded driver time per plan BUILD, re-paid per run. One
+# F.expr/selectExpr string parses the identical tree in ~3 round-trips.
+# Equivalence pinned by tests/test_round19_ops.py::test_dedup_fragment
+# _twins_exact (sameSemantics vs inline replicas of the Column forms).
+
+def tokens_sql(frag: str) -> str:
+    """SQL-fragment twin of ``tokens`` — ``frag`` is a SQL expression
+    (column names pre-quoted via similarity.q_ident when
+    caller-supplied). ``'\\\\s+'`` in the rendered SQL lexes to the same
+    ``\\s+`` pattern string F.split ships."""
+    return f"split(lower(trim({frag})), '\\\\s+')"
+
+
+def hash60_sql(frag: str) -> str:
+    """SQL-fragment twin of ``hash60``."""
+    return f"cast(conv(substring(md5({frag}), 1, 15), 16, 10) as bigint)"
+
+
 def token_count(col: Column) -> Column:
     """Whitespace token count (bigint)."""
     return F.size(tokens(col)).cast("bigint")

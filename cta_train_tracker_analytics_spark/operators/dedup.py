@@ -15,14 +15,17 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .util import spread
+from .similarity import q_ident
 from ..functions.text import (
     MINHASH_BANDS,
     MINHASH_K,
     MINHASH_PRIME,
     fingerprint,
     hash60,
+    hash60_sql,
     minhash_params,
     tokens,
+    tokens_sql,
 )
 
 __all__ = [
@@ -45,9 +48,11 @@ __all__ = [
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup by content hash: one surviving row (min id) per sha256.
     A single hash aggregate — the cheapest possible full-corpus dedup."""
-    return df.groupBy(F.sha2(F.col(text_col), 256).alias("content_hash")).agg(
-        F.min(id_col).cast("bigint").alias("keep_doc_id"),
-        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+    return df.groupBy(
+        F.expr(f"sha2({q_ident(text_col)}, 256)").alias("content_hash")
+    ).agg(
+        F.expr(f"cast(min({q_ident(id_col)}) as bigint) AS keep_doc_id"),
+        F.expr("cast(count(1) as bigint) AS n_copies"),
     )
 
 
@@ -56,8 +61,11 @@ def doc_tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     set-similarity operator shares."""
     return (
         spread(df, id_col)
-        .select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok"))
-        .filter(F.col("tok") != "")
+        .selectExpr(
+            f"{q_ident(id_col)} AS id",
+            f"explode({tokens_sql(q_ident(text_col))}) AS tok",
+        )
+        .filter(F.expr("tok != ''"))
         .distinct()
     )
 
@@ -75,17 +83,19 @@ def _shingle_rows(
     # allocation inside the interpreted higher-order transform (~25% faster
     # on measurement, byte-identical output: tokens are whitespace-free, so
     # with all positions in bounds every shingle has exactly n tokens).
-    toks = spread(df, id_col).select(
-        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("ts")
-    ).filter(F.size("ts") >= n)
-    shingle = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at("ts", i + j + 1) for j in range(n)]
-    )
-    return toks.select(
+    # Single-parse expression strings (r19): the Column form of this
+    # builder cost ~280 py4j round-trips per plan build, re-paid per run
+    # by every shingle-consuming query (sameSemantics-pinned twin).
+    toks = spread(df, id_col).selectExpr(
+        f"{q_ident(id_col)} AS id", f"{tokens_sql(q_ident(text_col))} AS ts"
+    ).filter(F.expr(f"size(ts) >= {n}"))
+    shingle = "concat_ws(' ', " + ", ".join(
+        f"element_at(ts, i + {j} + 1)" for j in range(n)
+    ) + ")"
+    return toks.selectExpr(
         "id",
-        F.explode(
-            F.transform(F.sequence(F.lit(0), F.size("ts") - n), shingle)
-        ).alias("tok"),
+        f"explode(transform(sequence(0, size(ts) - {n}), i -> {shingle}))"
+        " AS tok",
     )
 
 
@@ -122,8 +132,8 @@ def hashed_shingles(
     (``verified_jaccard_pairs(distinct_sets=True)``). On a 100 TB corpus
     that exchange is a full shuffle of the token stream; skipping it is the
     difference between one map-side pass and two corpus-wide stages."""
-    rows = _shingle_rows(df, n, text_col, id_col).select(
-        "id", hash60(F.col("tok")).alias("hv")
+    rows = _shingle_rows(df, n, text_col, id_col).selectExpr(
+        "id", f"{hash60_sql('tok')} AS hv"
     )
     return rows.distinct() if distinct else rows
 
@@ -143,9 +153,11 @@ def minhash_signatures(tok_df: DataFrame) -> DataFrame:
     per-row md5 here entirely.
     """
     if "hv" in tok_df.columns:
-        h = tok_df.select("id", (F.col("hv") % MINHASH_PRIME).alias("hv"))
+        h = tok_df.selectExpr("id", f"hv % {MINHASH_PRIME} AS hv")
     else:
-        h = tok_df.select("id", (hash60(F.col("tok")) % MINHASH_PRIME).alias("hv"))
+        h = tok_df.selectExpr(
+            "id", f"{hash60_sql('tok')} % {MINHASH_PRIME} AS hv"
+        )
     perms = minhash_params()
     # single-parse expression strings (r18): the per-permutation Column
     # arithmetic cost ~6 py4j round-trips × K per plan BUILD — ~100 calls
@@ -186,17 +198,17 @@ def minhash_candidate_pairs(sig: DataFrame) -> DataFrame:
     band_sig = sig.select(
         "id",
         F.expr("explode(array(" + ", ".join(band_structs) + "))").alias("b"),
-    ).select("id", F.col("b.band").alias("band"), F.col("b.band_hash").alias("band_hash"))
+    ).selectExpr("id", "b.band AS band", "b.band_hash AS band_hash")
     a = band_sig.alias("a")
     b = band_sig.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id")),
+            F.expr(
+                "a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id"
+            ),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .selectExpr("a.id AS id_a", "b.id AS id_b")
         .distinct()
     )
 
@@ -219,15 +231,13 @@ def verified_jaccard_pairs(
     working set instead of the whole corpus."""
     out = _pair_overlap(candidates, tok_df, distinct_sets).withColumn(
         "jaccard",
-        F.round(
-            F.col("n_inter")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
-            4,
+        F.expr(
+            "round(n_inter / cast(n_a + n_b - n_inter as double), 4)"
         ),
     )
-    return out.filter(F.col("jaccard") >= threshold).select(
-        F.col("id_a").cast("bigint"),
-        F.col("id_b").cast("bigint"),
+    return out.filter(F.col("jaccard") >= threshold).selectExpr(
+        "cast(id_a as bigint) AS id_a",
+        "cast(id_b as bigint) AS id_b",
         "jaccard",
     )
 
@@ -245,14 +255,11 @@ def verified_containment_pairs(
     candidate-restricted plan shape as ``verified_jaccard_pairs``."""
     out = _pair_overlap(candidates, tok_df, distinct_sets).withColumn(
         "containment",
-        F.round(
-            F.col("n_inter") / F.least("n_a", "n_b").cast("double"),
-            4,
-        ),
+        F.expr("round(n_inter / cast(least(n_a, n_b) as double), 4)"),
     )
-    return out.filter(F.col("containment") >= threshold).select(
-        F.col("id_a").cast("bigint"),
-        F.col("id_b").cast("bigint"),
+    return out.filter(F.col("containment") >= threshold).selectExpr(
+        "cast(id_a as bigint) AS id_a",
+        "cast(id_b as bigint) AS id_b",
         "containment",
     )
 
@@ -271,23 +278,23 @@ def _pair_overlap(
     # full (id, elem) table never re-shuffles for verification. AQE turns
     # these semi-joins into broadcasts when the candidate id list is small.
     cand_ids = (
-        candidates.select(F.col("id_a").alias("id"))
-        .union(candidates.select(F.col("id_b").alias("id")))
+        candidates.selectExpr("id_a AS id")
+        .union(candidates.selectExpr("id_b AS id"))
         .distinct()
     )
     tok_c = tok_df.join(cand_ids, "id", "left_semi")
     if distinct_sets:
         tok_c = tok_c.distinct()
-    sizes = tok_c.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    sizes = tok_c.groupBy("id").agg(F.expr("count(1) AS n"))
     inter = (
-        candidates.join(tok_c.select(F.col("id").alias("id_a"), elem), "id_a")
-        .join(tok_c.select(F.col("id").alias("id_b"), elem), ["id_b", elem])
+        candidates.join(tok_c.selectExpr("id AS id_a", elem), "id_a")
+        .join(tok_c.selectExpr("id AS id_b", elem), ["id_b", elem])
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .agg(F.expr("count(1) AS n_inter"))
     )
     return inter.join(
-        sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")), "id_a"
-    ).join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
+        sizes.selectExpr("id AS id_a", "n AS n_a"), "id_a"
+    ).join(sizes.selectExpr("id AS id_b", "n AS n_b"), "id_b")
 
 
 def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -296,19 +303,22 @@ def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     aggregate (no 16× bit explode) — linear work, exact integer arithmetic
     (oracle-reproducible)."""
     tok = doc_tokens(df, text_col, id_col)
-    h = tok.select("id", (hash60(F.col("tok"))).alias("hv"))
+    h = tok.selectExpr("id", f"{hash60_sql('tok')} AS hv")
+    # single-parse (r19): the 16 per-bit sum Columns cost ~1500 py4j
+    # round-trips per build; the expr strings parse the identical trees
+    # (CASE WHEN == when/otherwise, shiftright/& == the Column operators).
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("hv"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s{j}")
+        F.expr(
+            f"sum(CASE WHEN (shiftright(hv, {j}) & 1) = 1 THEN 1 ELSE -1 END)"
+            f" AS s{j}"
+        )
         for j in range(16)
     ]
     sums = h.groupBy("id").agg(*bit_sums)
-    packed = sum(
-        (F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(0) for j in range(16)),
-        F.lit(0),
+    packed = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16)
     )
-    return sums.select("id", packed.cast("bigint").alias("simhash"))
+    return sums.selectExpr("id", f"cast(0 + {packed} as bigint) AS simhash")
 
 
 def ngram_candidate_pairs(
@@ -325,20 +335,23 @@ def ngram_candidate_pairs(
     # pre-filtered so every element_at position is in bounds under ANSI).
     ngrams = (
         _shingle_rows(df, n, text_col, id_col)
-        .select("id", F.col("tok").alias("ng"))
+        .selectExpr("id", "tok AS ng")
         .distinct()
     )
     rare = (
         ngrams.groupBy("ng")
-        .agg(F.count(F.lit(1)).alias("dfreq"))
-        .filter(F.col("dfreq").between(2, max_df))
+        .agg(F.expr("count(1) AS dfreq"))
+        # expanded form, not SQL BETWEEN: the parser's between() is a
+        # RuntimeReplaceable node that canonicalizes differently from
+        # Column.between's (>= AND <=) tree
+        .filter(F.expr(f"dfreq >= 2 AND dfreq <= {max_df}"))
     )
     blocked = ngrams.join(rare.select("ng"), "ng")
     a = blocked.alias("a")
     b = blocked.alias("b")
     return (
-        a.join(b, (F.col("a.ng") == F.col("b.ng")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        a.join(b, F.expr("a.ng = b.ng AND a.id < b.id"))
+        .selectExpr("a.id AS id_a", "b.id AS id_b")
         .distinct()
     )
 
@@ -359,23 +372,24 @@ def winnow_fingerprints(
     sliding-window min via a RANGE frame over the position — a nested
     array `transform` would re-evaluate the whole hash array per window
     (measured O(n·w) md5 blowup, 140s → ~2s on 50 docs)."""
-    text = F.lower(F.trim(F.col(text_col)))
-    base = spread(df, id_col).select(
-        F.col(id_col).alias("id"),
-        text.alias("__t"),
-        F.greatest(F.length(text) - (k - 1), F.lit(0)).alias("__ng"),
+    text = f"lower(trim({q_ident(text_col)}))"
+    base = spread(df, id_col).selectExpr(
+        f"{q_ident(id_col)} AS id",
+        f"{text} AS __t",
+        f"greatest(length({text}) - {k - 1}, 0) AS __ng",
     )
-    grams = base.select(
+    grams = base.selectExpr(
         "id",
         "__ng",
-        F.explode(F.sequence(F.lit(1), F.col("__ng"))).alias("pos"),
+        "explode(sequence(1, __ng)) AS pos",
         "__t",
-    ).select(
-        "id", "__ng", "pos", hash60(F.col("__t").substr(F.col("pos"), F.lit(k))).alias("h")
+    ).selectExpr(
+        "id", "__ng", "pos",
+        f"{hash60_sql(f'substring(__t, pos, {k})')} AS h",
     )
     win = Window.partitionBy("id").orderBy("pos").rangeBetween(0, w - 1)
     mins = grams.withColumn("fp", F.min("h").over(win)).filter(
-        F.col("pos") <= F.col("__ng") - (w - 1)
+        F.expr(f"pos <= __ng - {w - 1}")
     )
     return mins.select("id", "fp").distinct()
 

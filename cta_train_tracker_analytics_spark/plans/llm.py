@@ -4010,24 +4010,25 @@ def ext_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     sig = minhash_signatures(tok).localCheckpoint(eager=True)
     cand = minhash_candidate_pairs(sig)
-    sig_a = sig.select(
-        F.col("id").alias("id_a"),
-        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(16)],
+    # single-parse expression strings (r19): the 34 aliased signature
+    # columns + 16 comparison Columns cost ~2300 py4j round-trips per
+    # build (~0.5 s of single-threaded driver time); the selectExpr forms
+    # parse the identical trees (sameSemantics-pinned in
+    # tests/test_round19_ops.py).
+    sig_a = sig.selectExpr(
+        "id AS id_a", *[f"mh{i} AS a{i}" for i in range(16)]
     )
-    sig_b = sig.select(
-        F.col("id").alias("id_b"),
-        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(16)],
+    sig_b = sig.selectExpr(
+        "id AS id_b", *[f"mh{i} AS b{i}" for i in range(16)]
     )
-    n_match = sum(
-        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(16)
-    )
+    n_match = " + ".join(f"cast((a{i} = b{i}) as int)" for i in range(16))
     est = (
         cand.join(sig_a, "id_a")
         .join(sig_b, "id_b")
-        .select(
-            F.col("id_a").cast("bigint").alias("id_a"),
-            F.col("id_b").cast("bigint").alias("id_b"),
-            F.round(n_match / F.lit(16.0), 4).alias("est_j"),
+        .selectExpr(
+            "cast(id_a as bigint) AS id_a",
+            "cast(id_b as bigint) AS id_b",
+            f"round((0 + {n_match}) / 16.0D, 4) AS est_j",
         )
     )
     exact = verified_jaccard_pairs(cand, tok, threshold=0.0, distinct_sets=True)
@@ -4037,10 +4038,8 @@ def ext_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["id_a", "id_b"],
             "left",
         )
-        .withColumn("exact_j", F.coalesce("exact_j", F.lit(0.0)))
-        .withColumn(
-            "abs_err", F.round(F.abs(F.col("est_j") - F.col("exact_j")), 4)
-        )
+        .withColumn("exact_j", F.expr("coalesce(exact_j, 0.0D)"))
+        .withColumn("abs_err", F.expr("round(abs(est_j - exact_j), 4)"))
     )
 
 
