@@ -127,8 +127,16 @@ def q_ident(name: str) -> str:
 
 def dot_sql(a: str, b: str) -> str:
     """SQL fragment: the same sequential left-to-right double fold as
-    ``dot`` — ``a``/``b`` are SQL expressions (column names pre-quoted
-    via ``q_ident`` when caller-supplied)."""
+    ``dot``.
+
+    CONTRACT (ADVICE r18): ``a``/``b`` are raw SQL FRAGMENTS, interpolated
+    verbatim — a caller-supplied column NAME must be pre-quoted with
+    ``q_ident`` (a name containing a dot, backtick or keyword would
+    otherwise mis-resolve or parse as SQL). In-tree call sites pass either
+    q_ident-quoted names or fragments they rendered themselves."""
+    assert isinstance(a, str) and isinstance(b, str) and a and b, (
+        "dot_sql takes SQL fragment strings (q_ident-quote plain names)"
+    )
     return (
         f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * "
         f"cast(y as double)), 0.0D, (acc, x) -> acc + x)"
@@ -1357,7 +1365,16 @@ def _lit_matrix_sql(rows: list[list[float]]) -> str:
     literal matrix inside a larger single-parse expression string."""
 
     def d(x: float) -> str:
-        return repr(float(x)) + "D"
+        # guard, not behavior (ADVICE r18): every shipped matrix is
+        # LCG-derived and finite; a non-finite value would render an
+        # unparseable token ('infD') that fails only at F.expr parse time
+        # with an error far from the bad input — fail here instead.
+        x = float(x)
+        if x != x or x in (float("inf"), float("-inf")):
+            raise ValueError(
+                f"non-finite literal {x!r} cannot render as a SQL double"
+            )
+        return repr(x) + "D"
 
     return (
         "array("
@@ -1379,21 +1396,10 @@ def pq_code_cols(vec_col: str = "embedding") -> list[Column]:
     whole plan-compile path (analysis + codegen, re-run per fresh
     DataFrame because attribute ids change) dominated execution
     (measured: 9.2 s → ~1 s for the same 2000-row assignment)."""
-    cols = []
-    for s, cents in enumerate(pq_codebooks()):
-        sub = _pq_subvec_sql(q_ident(vec_col), s)
-        dists = (
-            f"transform({_lit_matrix_sql(cents)}, cv -> "
-            f"aggregate(zip_with({sub}, cv, (v, c) -> "
-            "(cast(v as double) - c) * (cast(v as double) - c)), "
-            "0.0D, (acc, x) -> acc + x))"
-        )
-        cols.append(
-            F.expr(
-                f"cast(array_position({dists}, array_min({dists})) - 1 as int)"
-            ).alias(f"code_{s}")
-        )
-    return cols
+    return [
+        F.expr(sql).alias(f"code_{s}")
+        for s, sql in enumerate(pq_code_sqls(vec_col))
+    ]
 
 
 def pq_pack(code_cols: list[Column]) -> Column:
@@ -1402,6 +1408,46 @@ def pq_pack(code_cols: list[Column]) -> Column:
     packed = F.lit(0).cast("bigint")
     for s in range(PQ_SUBSPACES):
         packed = packed + (code_cols[s].cast("bigint") * F.lit(1 << (4 * s)))
+    return packed
+
+
+def pq_code_sqls(vec_col: str = "embedding") -> list[str]:
+    """SQL-fragment twins of ``pq_code_cols``'s per-subspace expressions
+    (un-aliased) — for embedding the assignment inside a larger
+    single-parse string (pq_pack_sql)."""
+    if not isinstance(vec_col, str):
+        # ADVICE r18: the r18 rework changed pq_code_cols' parameter from
+        # Column to str; a Column caller would otherwise die inside
+        # q_ident with an opaque AttributeError.
+        raise TypeError(
+            f"vec_col must be a column NAME (str), got {type(vec_col).__name__}"
+            " — pass the name; the fragment quotes it itself"
+        )
+    out = []
+    for s, cents in enumerate(pq_codebooks()):
+        sub = _pq_subvec_sql(q_ident(vec_col), s)
+        dists = (
+            f"transform({_lit_matrix_sql(cents)}, cv -> "
+            f"aggregate(zip_with({sub}, cv, (v, c) -> "
+            "(cast(v as double) - c) * (cast(v as double) - c)), "
+            "0.0D, (acc, x) -> acc + x))"
+        )
+        out.append(
+            f"cast(array_position({dists}, array_min({dists})) - 1 as int)"
+        )
+    return out
+
+
+def pq_pack_sql(code_sqls: list[str]) -> str:
+    """Single-parse twin of ``pq_pack`` over SQL code fragments (r19):
+    the Column form cost ~40 py4j round-trips per build re-paid per run;
+    this renders the identical left-fold tree (cast(0 as bigint) then
+    + (cast(code) * 2^{4s}) per subspace, bare int literals < 2^31 ==
+    F.lit's INT type) in one parse. sameSemantics-pinned in
+    tests/test_round19_ops.py::test_pq_pack_twin_exact."""
+    packed = "cast(0 as bigint)"
+    for s in range(PQ_SUBSPACES):
+        packed = f"{packed} + (cast({code_sqls[s]} as bigint) * {1 << (4 * s)})"
     return packed
 
 

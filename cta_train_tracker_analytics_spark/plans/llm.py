@@ -52,7 +52,9 @@ from ..operators.similarity import (
     lsh_bucketed_pairs,
     pq_adc_topk,
     pq_code_cols,
+    pq_code_sqls,
     pq_pack,
+    pq_pack_sql,
     projection_planes,
     scored_cosine,
     topk_cosine,
@@ -765,10 +767,12 @@ def ext_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     code — Spark's fold produced a code from NULL subvectors while the
     oracle's argmin collapsed, silently diverging)."""
     emb = load(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
-    codes = pq_code_cols("embedding")
-    return spread(emb).select(
-        F.col("vec_id").cast("bigint").alias("vec_id"),
-        pq_pack(codes).alias("pq_code"),
+    # single-parse pack (r19): the Column pq_pack over 8 aliased code
+    # columns cost ~40 extra round-trips per build; pq_pack_sql renders
+    # the identical tree in one parse (sameSemantics-pinned).
+    return spread(emb).selectExpr(
+        "cast(vec_id as bigint) AS vec_id",
+        f"{pq_pack_sql(pq_code_sqls('embedding'))} AS pq_code",
     )
 
 

@@ -65,6 +65,16 @@ def get_spark(
         # growth (default is 30min — far too lazy for a query-per-second
         # analytics session).
         .config("spark.cleaner.periodicGC.interval", "1min")
+        # Disable PySpark's per-Column-call Python call-site capture
+        # (Spark 4 DataFrame debugging): every Column/functions call pays
+        # ~8 extra py4j round-trips (PySparkCurrentOrigin get/set/clear +
+        # getActiveSession) purely to decorate error messages with Python
+        # line numbers. Measured r19: F.col 13 -> 3 round-trips, Column
+        # == 37 -> 7; plan construction is single-threaded driver time
+        # re-paid per run (guide §5). Diagnostics-only: plans, results
+        # and JVM-side error classes are unchanged — re-enable when
+        # debugging a failing expression interactively.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
     )
     for k, v in (extra_conf or {}).items():

@@ -101,5 +101,11 @@ print(f"checked {len(queries)} queries ({rows_only} rows-only) in "
       f"{time.time()-t0:.0f}s")
 for name, why in mism:
     print(f"MISMATCH {name}: {why[:400]}")
-print(f"MISMATCHES: {len(mism)}")
+# self-describing summary (ADVICE r18): a VERIFY_ONLY-filtered run's log
+# must never be mistakable for round-closing full verification
+if only:
+    print(f"MISMATCHES: {len(mism)} (FILTERED: {len(queries)} of "
+          f"{len(entrymod.queries())})")
+else:
+    print(f"MISMATCHES: {len(mism)}")
 sys.exit(1 if mism else 0)

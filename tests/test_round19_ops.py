@@ -360,3 +360,41 @@ def test_minhash_accuracy_est_block_twin_exact(spark):
         .withColumn("abs_err", F.expr("round(abs(est_j - exact_j), 4)"))
     )
     assert new_out.sameSemantics(old_out)
+
+
+def test_pq_pack_twin_exact(spark):
+    """ext_embed_pq's single-parse pack (pq_pack_sql over pq_code_sqls)
+    vs the r18 Column construction (pq_code_cols + pq_pack) — the last
+    item of the r18 verdict's py4j long-tail list."""
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from cta_train_tracker_analytics_spark.operators.similarity import (
+        pq_code_cols,
+        pq_code_sqls,
+        pq_pack,
+        pq_pack_sql,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    rows = [(i, [float(i + d) / 7.0 for d in range(64)]) for i in range(10)]
+    df = spark.createDataFrame(rows, schema)
+    old = df.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        pq_pack(pq_code_cols("embedding")).alias("pq_code"),
+    )
+    new = df.selectExpr(
+        "cast(vec_id as bigint) AS vec_id",
+        f"{pq_pack_sql(pq_code_sqls('embedding'))} AS pq_code",
+    )
+    assert new.sameSemantics(old)
